@@ -1,0 +1,26 @@
+"""spark_sentiment_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of witlox/spark_sentiment, re-expressed Spark-first.
+
+The reference (cited throughout as ``SRC/`` = ``/root/reference/src/main/
+scala-2.11/ch/uzh/sentiment/``) is a Scala/Spark-2.1 batch sentiment engine.
+This package is a ground-up PySpark rebuild: every computation is declared with
+the DataFrame API so Catalyst/Tungsten pick the physical plan; Python executes
+only where semantics genuinely require it (Porter stemmer, tweet tokenizer),
+always as Arrow-batched pandas UDFs.
+
+Layout
+------
+- ``sources``   — IO: format dispatch, CSV dialect sniffing, readers/writers
+- ``functions`` — scalar/text functions: cleaning, stemmer, tokenizer, lexicon
+- ``operators`` — engine operators: detection, word-score, dedup, similarity,
+                  text stats, multimodal plumbing
+- ``ml``        — MLlib pipeline (tokenize→TF→IDF→classifier), sweeps, wordlist
+                  extraction
+- ``streaming`` — Structured Streaming windows/sessionization over event data
+- ``plans``     — the query catalog exposed to the correctness/bench harness
+"""
+
+from spark_sentiment_spark.session import get_spark
+
+__all__ = ["get_spark"]
+__version__ = "0.1.0"

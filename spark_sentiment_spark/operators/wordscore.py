@@ -1,0 +1,153 @@
+"""Word-score sentiment — the reference's flagship analysis
+(SRC/PlainTextAnalyser.scala:8-39, SRC/utils/WordList.scala:35-62), rebuilt as
+a native Spark plan.
+
+The reference scores each row inside a scalar UDF probing a broadcast
+word→score map. Here the same computation is declarative:
+
+    clean → split/explode → broadcast-hash join against the lexicon →
+    hash re-aggregate per document
+
+which keeps everything in whole-stage codegen, lets Catalyst push filters into
+the parquet scan, and turns the lexicon probe into a broadcast join (no
+shuffle on the big side except the final doc-id aggregation, which AQE sizes).
+
+Two variants:
+
+* ``score_documents_raw`` — raw-token matching only; every step is ANSI-SQL
+  expressible, so it doubles as the DuckDB-checked flagship query.
+* ``score_documents`` — full reference parity: per-token scoring with
+  stemming + duplicate-char collapse (WordList.value), averaged over raw and
+  stemmed token streams (PlainTextAnalyser.computeSentiment). Token scoring
+  runs once per *distinct* token (bounded vocabulary — at 100 TB the distinct
+  token set is millions, not trillions), via an Arrow pandas UDF, then joins
+  back.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_sentiment_spark.functions.lexicon import raw_lexicon_df
+from spark_sentiment_spark.functions.text import clean_text_col
+
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    cleaned = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), clean_text_col(text_col).alias("_clean")
+    )
+    return cleaned.select(
+        id_col, F.explode(F.split(F.col("_clean"), " ", -1)).alias("token")
+    )
+
+
+def score_documents_raw(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Mean lexicon score over matched tokens; 0.0 when nothing matches.
+
+    Semantics (PlainTextAnalyser.getValue, raw stream only): numerator =
+    sum of matched scores; denominator = count of tokens whose score ≠ 0.
+    """
+    spark = docs.sparkSession
+    lex = raw_lexicon_df(spark).where(F.col("score") != 0)
+    toks = _tokens(docs, id_col, text_col)
+    scored = toks.join(F.broadcast(lex), toks.token == lex.word, "left")
+    per_doc = scored.groupBy(id_col).agg(
+        (F.coalesce(F.sum("score"), F.lit(0.0))
+         / F.when(F.count("score") > 0, F.count("score"))).alias("_ratio")
+    )
+    out = docs.select(id_col, text_col).join(per_doc, id_col, "left")
+    return out.select(
+        id_col,
+        F.round(F.coalesce(F.col("_ratio"), F.lit(0.0)), 6).alias("sentiment"),
+    )
+
+
+def score_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    output_col: str = "sentiment",
+) -> DataFrame:
+    """Full reference-parity scoring.
+
+    Per token t: value(t) and value(stem(t)) via WordList.value (stemmed
+    lexicon; duplicate-char fallback; dead fuzzy path → 0). Per document:
+    raw = sum(value(t)) / count(value(t) ≠ 0) when defined; same for the
+    stemmed stream; result = mean of the defined ones, else 0.0
+    (PlainTextAnalyser.computeSentiment:21-35).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _value(tokens: pd.Series) -> pd.Series:
+        from spark_sentiment_spark.functions.lexicon import word_value
+
+        return tokens.map(lambda t: word_value(t) if t is not None else 0.0)
+
+    @pandas_udf("double")
+    def _value_of_stem(tokens: pd.Series) -> pd.Series:
+        from spark_sentiment_spark.functions.lexicon import word_value
+        from spark_sentiment_spark.functions.stemmer import stem
+
+        return tokens.map(
+            lambda t: word_value(stem(t)) if t is not None else 0.0
+        )
+
+    toks = _tokens(docs, id_col, text_col)
+    # Score each *distinct* token once, then broadcast-join back: the Python
+    # hop runs over the vocabulary, not the corpus.
+    vocab = toks.select("token").distinct()
+    vocab = vocab.select(
+        "token",
+        _value("token").alias("v_raw"),
+        _value_of_stem("token").alias("v_stem"),
+    )
+    # Plain equi-join back on token: AQE broadcasts it when the vocabulary is
+    # small; at 100 TB the distinct-token set may exceed broadcast limits, so
+    # we must not force a broadcast here.
+    scored = toks.join(vocab, "token", "left")
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("v_raw").alias("raw_sum"),
+        F.count(F.when(F.col("v_raw") != 0, 1)).alias("raw_n"),
+        F.sum("v_stem").alias("stem_sum"),
+        F.count(F.when(F.col("v_stem") != 0, 1)).alias("stem_n"),
+    )
+    raw = F.when(F.col("raw_n") > 0, F.col("raw_sum") / F.col("raw_n"))
+    stm = F.when(F.col("stem_n") > 0, F.col("stem_sum") / F.col("stem_n"))
+    combined = (
+        F.when(raw.isNotNull() & stm.isNotNull(), (raw + stm) / 2)
+        .when(raw.isNotNull(), raw)
+        .when(stm.isNotNull(), stm)
+        .otherwise(F.lit(0.0))
+    )
+    per_doc = per_doc.select(id_col, combined.alias(output_col))
+    out = docs.join(per_doc, id_col, "left")
+    return out.withColumn(output_col, F.coalesce(F.col(output_col), F.lit(0.0)))
+
+
+def compute_sentiment_py(text: str) -> float:
+    """Driver-side transcription of PlainTextAnalyser.computeSentiment —
+    used only as a differential-test oracle (SURVEY §5.2.4)."""
+    from spark_sentiment_spark.functions.lexicon import word_value
+    from spark_sentiment_spark.functions.stemmer import stem
+
+    words = text.split(" ")
+
+    def get_value(ws):
+        vals = [word_value(w) for w in ws]
+        nz = sum(1 for v in vals if v != 0.0)
+        return (sum(vals) / nz) if nz else None
+
+    raw = get_value(words)
+    stm = get_value([stem(w) for w in words])
+    if raw is not None and stm is not None:
+        return (raw + stm) / 2
+    if raw is not None:
+        return raw
+    if stm is not None:
+        return stm
+    return 0.0
