@@ -44,7 +44,9 @@ def clean_text_sql(expr: str) -> str:
     """Equivalent DuckDB SQL expression (RE2 'g' flag) for the oracle."""
     out = f"lower({expr})"
     for pat, repl in CLEANING_STEPS:
-        p = pat.replace("\\", "\\\\").replace("'", "''")
+        # DuckDB string literals pass backslashes through verbatim — only
+        # quotes need escaping.
+        p = pat.replace("'", "''")
         r = repl.replace("'", "''")
         out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
     return out

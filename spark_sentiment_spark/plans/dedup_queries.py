@@ -1,0 +1,218 @@
+"""Deduplication operators over ``documents`` — the LLM-pipeline extension
+surface: exact hash dedup, n-gram Jaccard near-dup, MinHash-LSH, SimHash.
+
+Scale posture: exact dedup is one hash-partitioned groupBy (linear);
+MinHash+LSH banding turns all-pairs similarity into per-bucket joins (the
+100 TB path); the exact Jaccard self-join is the correctness oracle for LSH,
+quadratic by nature, and excluded from the bench set."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_sentiment_spark.plans.registry import load, register
+
+EXACT_SQL = """
+WITH hashed AS (
+  SELECT doc_id, md5(lower(trim(text))) AS h FROM documents
+),
+ranked AS (
+  SELECT doc_id, h,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM hashed
+)
+SELECT doc_id, h AS content_hash FROM ranked WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@register("dedup_exact", sql=EXACT_SQL, bench=True, tags=("dedup",))
+def dedup_exact(spark, sf_dir):
+    """Exact dedup, keep-first (lowest doc_id) per content hash — one
+    hash shuffle, no collect."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.trim(F.col("text"))).cast("binary"))
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        docs.select("doc_id", h.alias("content_hash"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "content_hash")
+        .orderBy("doc_id")
+    )
+
+
+JACCARD_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.9
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_jaccard_pairs", sql=JACCARD_SQL, tags=("dedup",))
+def dedup_jaccard_pairs(spark, sf_dir):
+    """Exact token-set Jaccard near-dup pairs (threshold 0.9). The
+    inverted-index self-join is the textbook exact formulation — quadratic in
+    posting-list length, so it serves as the small-SF oracle for the LSH
+    variant below (which is the plan you run at 100 TB)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("w"),
+        )
+        .distinct()
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= 0.9)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register("dedup_minhash_lsh", bench=True, tags=("dedup",))
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash near-dup candidate pairs at scale: shingle → minhash
+    signature → band → bucket join (the standard LSH banding scheme).
+
+    Fully native: per-token xxhash64 under 32 seeded permutations
+    (a*h+b mod p), min per permutation, group 32 hashes into 8 bands of 4,
+    join on (band_id, band_hash) — no UDFs, no all-pairs product. Signature
+    agreement estimates Jaccard; candidates filtered at >= 0.5 estimated.
+    Rows-only check (hash functions are engine-specific); the exact Jaccard
+    query above is its semantic oracle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_hashes, n_bands = 32, 8
+    rows_per_band = n_hashes // n_bands
+    # Deterministic permutation parameters (fixed seed — stable across runs).
+    # 31-bit hash space with the Mersenne prime 2^31-1 keeps a*h+b < 2^62,
+    # safe under ANSI overflow checking.
+    import random
+
+    rng = random.Random(42)
+    p = (1 << 31) - 1
+    perms = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(n_hashes)]
+
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col("text")), " ", -1))
+        ).alias("w"),
+    )
+    h = F.xxhash64("w").bitwiseAND(F.lit(0x7FFFFFFF))
+    mins = tok.groupBy("doc_id").agg(
+        *[
+            F.min((h * F.lit(a) + F.lit(b)) % F.lit(p)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(perms)
+        ]
+    )
+    # Band hashes: hash the concatenation of each band's minhashes.
+    bands = mins.select(
+        "doc_id",
+        *[
+            F.xxhash64(*[F.col(f"mh{band * rows_per_band + r}")
+                         for r in range(rows_per_band)]).alias(f"band{band}")
+            for band in range(n_bands)
+        ],
+    )
+    # Candidate pairs: docs sharing any band bucket.
+    pairs = None
+    for band in range(n_bands):
+        x = bands.select("doc_id", F.col(f"band{band}").alias("bh"),
+                         F.lit(band).alias("band_id"))
+        pairs = x if pairs is None else pairs.unionByName(x)
+    a = pairs.alias("a")
+    b = pairs.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Estimate similarity = fraction of agreeing minhashes.
+    am = mins.alias("am")
+    bm = mins.alias("bm")
+    agree = sum(
+        F.when(F.col(f"am.mh{i}") == F.col(f"bm.mh{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    return (
+        cand.join(am, F.col("doc_a") == F.col("am.doc_id"))
+        .join(bm, F.col("doc_b") == F.col("bm.doc_id"))
+        .select(
+            "doc_a", "doc_b",
+            F.round(agree / F.lit(float(n_hashes)), 4).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register("dedup_simhash", tags=("dedup",))
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash per document, fully native: per-token xxhash64, per-bit
+    +1/−1 vote weighted by token frequency, sign → bit. Near-dups share
+    Hamming-close signatures; here we emit (doc_id, simhash, band16s) so a
+    banded self-join can find candidates. Rows-only check (engine-specific
+    hash)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("w"),
+    )
+    h = F.xxhash64("w")
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    sim = votes.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"v{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+             .cast("long") * F.shiftleft(F.lit(1).cast("long"), i))
+            for i in range(64)
+        ).alias("simhash"),
+    )
+    return sim.select(
+        "doc_id", "simhash",
+        *[F.shiftrightunsigned(F.col("simhash"), b * 16)
+          .bitwiseAND(F.lit(0xFFFF)).alias(f"band{b}") for b in range(4)],
+    ).orderBy("doc_id")

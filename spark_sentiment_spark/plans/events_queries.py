@@ -1,0 +1,181 @@
+"""Event-stream queries (batch form). The streaming module runs the same
+logical windows under Structured Streaming; these batch twins are what the
+DuckDB oracle can check (SURVEY §7.4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_sentiment_spark.plans.registry import load, register
+
+TUMBLE_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+@register("events_tumbling_hour", sql=TUMBLE_SQL, bench=True, tags=("events",))
+def events_tumbling_hour(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+SLIDE_SQL = """
+WITH grid AS (
+  SELECT unnest(generate_series(
+    date_trunc('hour', (SELECT min(ts) FROM events)) - INTERVAL 30 MINUTE,
+    (SELECT max(ts) FROM events),
+    INTERVAL 30 MINUTE)) AS w_start
+)
+SELECT strftime(g.w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n,
+       round(sum(e.value), 4) AS total_value
+FROM grid g
+JOIN events e ON e.ts >= g.w_start AND e.ts < g.w_start + INTERVAL 1 HOUR
+GROUP BY g.w_start
+ORDER BY window_start
+"""
+
+
+@register("events_sliding_hour", sql=SLIDE_SQL, tags=("events",))
+def events_sliding_hour(spark, sf_dir):
+    """Sliding window (1h window, 30min slide) — F.window produces the
+    overlapping assignment natively; the oracle reconstructs the same grid
+    with generate_series."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "n", "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 3600000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("events_sessionize", sql=SESSION_SQL, bench=True, tags=("events",))
+def events_sessionize(spark, sf_dir):
+    """Sessionization with a 1-hour inactivity gap — lag + cumulative-sum
+    windows, one shuffle on user_id (the streaming twin uses
+    session_window/applyInPandasWithState)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    lag_ms = F.unix_millis(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            lag_ms.isNull()
+            | ((F.unix_millis(F.col("ts")) - lag_ms) > 3_600_000), 1
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
+    return (
+        sess.groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n_sessions"),
+             F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+JSON_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("events_json_extract", sql=JSON_SQL, tags=("events", "scalar"))
+def events_json_extract(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return (
+        ev.where(k.cast("long") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(k.cast("double")), 6).alias("avg_k"),
+            F.max(k.cast("long")).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+RATE_SQL = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       round(count(*) * 1.0 /
+             greatest((epoch_ms(max(ts)) - epoch_ms(min(ts))) / 86400000.0, 0.001), 4)
+         AS events_per_day
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("events_user_rates", sql=RATE_SQL, tags=("events",))
+def events_user_rates(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    span_days = (
+        (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))) / 86_400_000.0
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.round(
+                F.count(F.lit(1)) * 1.0
+                / F.greatest(span_days, F.lit(0.001)), 4
+            ).alias("events_per_day"),
+        )
+        .orderBy("user_id")
+    )

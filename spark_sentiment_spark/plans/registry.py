@@ -1,0 +1,77 @@
+"""Registry plumbing for the query catalog.
+
+Every engine operator is exposed as a named query ``(spark, sf_dir) ->
+DataFrame`` with (where ANSI-SQL-expressible) a DuckDB oracle SQL twin that
+the correctness harness runs side-by-side at sf0.01. Conventions that make
+the value-hash comparison deterministic:
+
+* every computed column is aliased identically in Spark and SQL;
+* doubles are rounded (2 dp for money-scale sums, 6 dp for ratios) on BOTH
+  sides;
+* integer outputs are cast to BIGINT/long on both sides;
+* timestamps are formatted to strings, arrays never returned.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str] = None         # DuckDB oracle (None → rows-only check)
+    bench: bool = False               # part of the bench.py headline set
+    tags: tuple = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, sql: str | None = None, bench: bool = False,
+             tags: tuple = ()):
+    def deco(fn):
+        REGISTRY[name] = Query(fn=fn, sql=sql, bench=bench, tags=tags)
+        return fn
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    try:
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    except Exception:
+        # TIMESTAMP(NANOS) parquet columns need the legacy nanos-as-long read
+        # path (driver-owned sessions may not have it set at build time).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # nanos → micros (floor), matching DuckDB's nanos→TIMESTAMP cast.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Import registration modules for their side effects.
+    import spark_sentiment_spark.plans.relational  # noqa: F401
+    import spark_sentiment_spark.plans.text_queries  # noqa: F401
+    import spark_sentiment_spark.plans.events_queries  # noqa: F401
+    import spark_sentiment_spark.plans.dedup_queries  # noqa: F401
+    import spark_sentiment_spark.plans.similarity_queries  # noqa: F401
+
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    all_queries()
+    return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    all_queries()
+    return {name: q.fn for name, q in REGISTRY.items() if q.bench}

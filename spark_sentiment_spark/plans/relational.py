@@ -1,0 +1,688 @@
+"""Relational operator coverage over the TPC-H-ish tables.
+
+The reference's own relational surface is thin (single-key groupBy, one
+null-safe join — SURVEY §2.3-2.5); these queries declare the full relational
+extension surface (joins of every flavor, multi-key/rollup/cube aggregation,
+window functions, sorts/top-k, set ops) as first-class engine operators.
+
+Scale notes: every join below either broadcasts a dimension (nation, region,
+customer at small SF — AQE decides via size stats) or shuffles on the join
+key; aggregations are partial+final hash aggs; windows shuffle once on the
+partition key. Filters sit directly on the scans so Catalyst pushes them into
+parquet (verified via .explain in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_sentiment_spark.plans.registry import load, register
+
+# --- TPC-H-style aggregations ----------------------------------------------
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                     AS sum_qty,
+       round(sum(l_extendedprice), 2)                                AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)             AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6)                                     AS avg_qty,
+       round(avg(l_extendedprice), 6)                                AS avg_price,
+       round(avg(l_discount), 6)                                     AS avg_disc,
+       count(*)                                                      AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", sql=Q1_SQL, bench=True, tags=("agg",))
+def q1_pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-30'
+  AND l_shipdate  > TIMESTAMP '1997-06-30'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", sql=Q3_SQL, bench=True, tags=("join", "agg"))
+def q3_shipping_priority(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-06-30").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-06-30").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select(
+            "l_orderkey", "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register("q5_local_supplier", sql=Q5_SQL, bench=True, tags=("join", "agg"))
+def q5_local_supplier(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", sql=Q6_SQL, bench=True, tags=("agg", "filter"))
+def q6_forecast_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"))
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(any_value(c_acctbal), 2) AS acctbal
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", sql=Q10_SQL, bench=True, tags=("join", "agg"))
+def q10_returned_items(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.round(F.any_value(F.col("c_acctbal")), 2).alias("acctbal"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --- Join flavors -----------------------------------------------------------
+
+SEMI_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("join_semi", sql=SEMI_SQL, tags=("join",))
+def join_semi(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+ANTI_SQL = """
+SELECT count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+@register("join_anti", sql=ANTI_SQL, tags=("join",))
+def join_anti(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+LEFT_SQL = """
+SELECT n_name, count(o_orderkey) AS n_orders
+FROM nation
+LEFT JOIN customer ON c_nationkey = n_nationkey
+LEFT JOIN orders   ON o_custkey = c_custkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@register("join_left_outer", sql=LEFT_SQL, tags=("join",))
+def join_left_outer(spark, sf_dir):
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        nation.join(cust, cust.c_nationkey == nation.n_nationkey, "left")
+        .join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("n_name")
+    )
+
+
+NULLSAFE_SQL = """
+SELECT count(*) AS n_rows
+FROM orders a
+JOIN orders b ON a.o_custkey IS NOT DISTINCT FROM b.o_custkey
+            AND a.o_orderkey = b.o_orderkey
+"""
+
+
+@register("join_null_safe", sql=NULLSAFE_SQL, tags=("join",))
+def join_null_safe(spark, sf_dir):
+    """The reference's J1: null-safe equi-join (<=>), SRC/TrainingSet.scala:51
+    — intended multi-source alignment semantics (dead code there, live here).
+    """
+    a = load(spark, sf_dir, "orders").alias("a")
+    b = load(spark, sf_dir, "orders").alias("b")
+    return (
+        a.join(b, F.col("a.o_custkey").eqNullSafe(F.col("b.o_custkey"))
+               & (F.col("a.o_orderkey") == F.col("b.o_orderkey")))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+# --- Aggregation shapes -----------------------------------------------------
+
+ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@register("agg_rollup", sql=ROLLUP_SQL, tags=("agg",))
+def agg_rollup(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy(F.asc_nulls_first("o_orderstatus"),
+                 F.asc_nulls_first("o_orderpriority"))
+    )
+
+
+CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@register("agg_cube", sql=CUBE_SQL, tags=("agg",))
+def agg_cube(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .orderBy(F.asc_nulls_first("l_returnflag"),
+                 F.asc_nulls_first("l_linestatus"))
+    )
+
+
+STATS_SQL = """
+SELECT count(*)                                   AS n_rows,
+       CAST(count(DISTINCT l_partkey) AS BIGINT)  AS n_parts,
+       round(sum(l_extendedprice), 2)             AS sum_price,
+       round(avg(l_extendedprice), 6)             AS avg_price,
+       round(min(l_extendedprice), 2)             AS min_price,
+       round(max(l_extendedprice), 2)             AS max_price,
+       round(stddev_samp(l_extendedprice), 4)     AS sd_price
+FROM lineitem
+"""
+
+
+@register("agg_global_stats", sql=STATS_SQL, tags=("agg",))
+def agg_global_stats(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+    )
+
+
+HAVING_SQL = """
+SELECT l_suppkey, round(sum(l_quantity), 2) AS total_qty
+FROM lineitem
+GROUP BY l_suppkey
+HAVING sum(l_quantity) > 14000
+ORDER BY l_suppkey
+"""
+
+
+@register("agg_having", sql=HAVING_SQL, tags=("agg",))
+def agg_having(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .where(F.col("_q") > 14000)
+        .select("l_suppkey", F.round("_q", 2).alias("total_qty"))
+        .orderBy("l_suppkey")
+    )
+
+
+BUCKET_SQL = """
+SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+            WHEN o_totalprice < 300000 THEN 'mid'
+            ELSE 'high' END AS band,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY 1
+ORDER BY band
+"""
+
+
+@register("agg_case_bucket", sql=BUCKET_SQL, tags=("agg", "scalar"))
+def agg_case_bucket(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 100000, "low")
+        .when(F.col("o_totalprice") < 300000, "mid")
+        .otherwise("high")
+    )
+    return (
+        orders.groupBy(band.alias("band"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("band")
+    )
+
+
+DATE_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT)  AS y,
+       CAST(month(o_orderdate) AS BIGINT) AS m,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY 1, 2
+ORDER BY y, m
+"""
+
+
+@register("agg_by_month", sql=DATE_SQL, tags=("agg", "scalar"))
+def agg_by_month(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.month("o_orderdate").cast("long").alias("m"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("y", "m")
+    )
+
+
+# --- Window functions -------------------------------------------------------
+
+WTOPK_SQL = """
+SELECT o_orderstatus, o_orderkey, round(o_totalprice, 2) AS totalprice,
+       CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+ORDER BY o_orderstatus, rn
+"""
+
+
+@register("window_topk_per_group", sql=WTOPK_SQL, tags=("window",))
+def window_topk_per_group(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("o_orderstatus", "o_orderkey",
+                F.round("o_totalprice", 2).alias("totalprice"), "rn")
+        .orderBy("o_orderstatus", "rn")
+    )
+
+
+WRUN_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register("window_running_sum", sql=WRUN_SQL, bench=True, tags=("window",))
+def window_running_sum(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+WLAG_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice - lag(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register("window_lag_delta", sql=WLAG_SQL, tags=("window",))
+def window_lag_delta(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey",
+            F.round(
+                F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
+            ).alias("delta"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+RANKDENSE_SQL = """
+SELECT p_brand, p_partkey,
+       CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS BIGINT)       AS drnk,
+       round(p_retailprice - avg(p_retailprice) OVER (PARTITION BY p_brand), 4)       AS price_vs_brand
+FROM part
+ORDER BY p_brand, p_partkey
+"""
+
+
+@register("window_rank_mix", sql=RANKDENSE_SQL, tags=("window",))
+def window_rank_mix(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    wr = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"),
+                                               F.asc("p_partkey"))
+    wd = Window.partitionBy("p_brand").orderBy("p_size")
+    wa = Window.partitionBy("p_brand")
+    return (
+        part.select(
+            "p_brand", "p_partkey",
+            F.rank().over(wr).cast("long").alias("rnk"),
+            F.dense_rank().over(wd).cast("long").alias("drnk"),
+            F.round(
+                F.col("p_retailprice") - F.avg("p_retailprice").over(wa), 4
+            ).alias("price_vs_brand"),
+        )
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+# --- Sorts / limits / set ops ----------------------------------------------
+
+TOPK_SQL = """
+SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 100
+"""
+
+
+@register("sort_topk_global", sql=TOPK_SQL, bench=True, tags=("sort",))
+def sort_topk_global(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber",
+                  F.round("l_extendedprice", 2).alias("price"))
+        .orderBy(F.desc("price"), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+UNION_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  UNION
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
+"""
+
+
+@register("set_union", sql=UNION_SQL, tags=("setop",))
+def set_union(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    f = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.union(o).distinct().agg(F.count(F.lit(1)).alias("n"))
+
+
+INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+ORDER BY o_custkey
+"""
+
+
+@register("set_intersect", sql=INTERSECT_SQL, tags=("setop",))
+def set_intersect(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    f = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    p = orders.where(F.col("o_orderstatus") == "P").select("o_custkey")
+    return f.intersect(p).orderBy("o_custkey")
+
+
+EXCEPT_SQL = """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey FROM orders
+ORDER BY c_custkey
+"""
+
+
+@register("set_except", sql=EXCEPT_SQL, tags=("setop",))
+def set_except(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.exceptAll(orders).distinct().orderBy("c_custkey")
+
+
+DISTINCT_SQL = """
+SELECT DISTINCT c_mktsegment, c_nationkey
+FROM customer
+ORDER BY c_mktsegment, c_nationkey
+"""
+
+
+@register("distinct_pairs", sql=DISTINCT_SQL, tags=("setop",))
+def distinct_pairs(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    return (cust.select("c_mktsegment", "c_nationkey").distinct()
+            .orderBy("c_mktsegment", "c_nationkey"))
+
+
+# --- Scalar function coverage ----------------------------------------------
+
+STRING_SQL = """
+SELECT upper(p_brand)                    AS brand_uc,
+       CAST(length(p_name) AS BIGINT)    AS name_len,
+       substr(p_type, 1, 5)              AS type_prefix,
+       replace(p_brand, 'Brand#', 'B')   AS brand_short,
+       count(*) AS n
+FROM part
+GROUP BY 1, 2, 3, 4
+ORDER BY brand_uc, name_len, type_prefix, brand_short
+"""
+
+
+@register("scalar_string_funcs", sql=STRING_SQL, tags=("scalar",))
+def scalar_string_funcs(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    return (
+        part.groupBy(
+            F.upper("p_brand").alias("brand_uc"),
+            F.length("p_name").cast("long").alias("name_len"),
+            F.substring("p_type", 1, 5).alias("type_prefix"),
+            F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("brand_uc", "name_len", "type_prefix", "brand_short")
+    )
+
+
+MATH_SQL = """
+SELECT l_linenumber,
+       round(sum(l_extendedprice * l_tax), 2)              AS tax_amount,
+       round(sum(abs(l_discount - 0.05)), 4)               AS disc_dev,
+       CAST(sum(CAST(ceil(l_quantity) AS BIGINT)) AS BIGINT)  AS qty_ceil,
+       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty_floor,
+       round(sum(pow(l_discount, 2)), 6)                   AS disc_sq
+FROM lineitem
+GROUP BY l_linenumber
+ORDER BY l_linenumber
+"""
+
+
+@register("scalar_math_funcs", sql=MATH_SQL, tags=("scalar",))
+def scalar_math_funcs(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linenumber")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_tax")), 2)
+            .alias("tax_amount"),
+            F.round(F.sum(F.abs(F.col("l_discount") - 0.05)), 4).alias("disc_dev"),
+            F.sum(F.ceil("l_quantity").cast("long")).alias("qty_ceil"),
+            F.sum(F.floor("l_quantity").cast("long")).alias("qty_floor"),
+            F.round(F.sum(F.pow("l_discount", F.lit(2))), 6).alias("disc_sq"),
+        )
+        .orderBy("l_linenumber")
+    )

@@ -1,0 +1,164 @@
+"""Similarity search over the ``embeddings`` table (array<float>, dim 64).
+
+Brute-force cosine top-k is the exactness baseline (and DuckDB-checkable);
+the LSH-bucketed variant is the sublinear scale path. Dot products run as
+native ``aggregate``/``zip_with`` Column expressions — JVM-side, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_sentiment_spark.plans.registry import load, register
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    ))
+
+
+KNN_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5
+),
+c AS (SELECT vec_id, label, embedding::DOUBLE[] AS ce FROM embeddings),
+scored AS (
+  SELECT q.qid, c.vec_id, c.label,
+         list_dot_product(q.qe, c.ce)
+           / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce)))
+           AS cos
+  FROM q CROSS JOIN c
+  WHERE q.qid <> c.vec_id
+),
+ranked AS (
+  SELECT qid, vec_id, label, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT qid, vec_id, CAST(label AS BIGINT) AS label, round(cos, 6) AS cosine,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10
+ORDER BY qid, rn
+"""
+
+
+@register("knn_cosine_topk", sql=KNN_SQL, tags=("similarity",))
+def knn_cosine_topk(spark, sf_dir):
+    """Exact cosine top-10 for 5 query vectors — broadcast the queries,
+    stream the corpus once, per-query top-k via window."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = (emb.where(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("qid"),
+                 _as_double("embedding").alias("qe")))
+    c = emb.select("vec_id", "label", _as_double("embedding").alias("ce"))
+    cos = _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", F.col("label").cast("long").alias("label"),
+                cos.alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 10)
+        .select("qid", "vec_id", "label",
+                F.round("cos", 6).alias("cosine"), "rn")
+        .orderBy("qid", "rn")
+    )
+
+
+CENTROID_SQL = """
+WITH c AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+per_dim AS (
+  SELECT label, i, avg(e[i]) AS v
+  FROM c, generate_series(1, 64) AS t(i)
+  GROUP BY label, i
+)
+SELECT CAST(label AS BIGINT) AS label,
+       round(sum(v * v), 6) AS centroid_sqnorm,
+       CAST(count(*) AS BIGINT) AS dim
+FROM per_dim
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register("embedding_centroids", sql=CENTROID_SQL, tags=("similarity",))
+def embedding_centroids(spark, sf_dir):
+    """Per-label centroid squared-norm — element-wise aggregate over array
+    columns via posexplode (the building block of IVF coarse quantization)."""
+    emb = load(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select("label", F.posexplode(_as_double("embedding"))
+                   .alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("v"))
+    )
+    return (
+        per_dim.groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.round(F.sum(F.col("v") * F.col("v")), 6).alias("centroid_sqnorm"),
+            F.count(F.lit(1)).alias("dim"),
+        )
+        .orderBy("label")
+    )
+
+
+@register("ann_lsh_topk", bench=True, tags=("similarity",))
+def ann_lsh_topk(spark, sf_dir):
+    """Approximate NN via random-hyperplane LSH, fully native: 16 fixed
+    random hyperplanes → 16-bit signature → candidates share the bucket →
+    exact cosine re-rank within buckets. Sublinear candidate generation — the
+    100 TB path (brute-force stays as the recall oracle). Rows-only check.
+    """
+    import random
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim, n_planes = 64, 16
+    rng = random.Random(7)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+    e = _as_double("embedding")
+    sig = sum(
+        (
+            F.when(
+                sum(F.element_at(e, j + 1) * F.lit(planes[i][j])
+                    for j in range(dim)) > 0,
+                F.lit(1 << i),
+            ).otherwise(F.lit(0))
+        )
+        for i in range(n_planes)
+    )
+    signed = emb.select("vec_id", "label", e.alias("e"),
+                        sig.cast("long").alias("bucket"))
+    a = signed.alias("a")
+    b = signed.alias("b")
+    cos = _dot(F.col("a.e"), F.col("b.e")) / (
+        _norm(F.col("a.e")) * _norm(F.col("b.e"))
+    )
+    pairs = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.3)
+    )
+    return pairs.orderBy(F.desc("cosine"), "vec_a", "vec_b").limit(200)

@@ -1,0 +1,242 @@
+"""Text-path queries: cleaning, word-score sentiment, and the text-analysis
+extension surface (token stats, quality scores, language ID, fingerprints)
+over the ``documents`` table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_sentiment_spark.functions.lexicon import LEXICON_CSV
+from spark_sentiment_spark.functions.text import clean_text_col, clean_text_sql
+from spark_sentiment_spark.plans.registry import load, register
+
+# --- Cleaning (native regexp chain, F4-F7 / U1) -----------------------------
+
+CLEAN_SQL = f"""
+SELECT doc_id, {clean_text_sql('text')} AS cleaned
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("clean_text", sql=CLEAN_SQL, tags=("text",))
+def clean_text(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (docs.select("doc_id", clean_text_col("text").alias("cleaned"))
+            .orderBy("doc_id"))
+
+
+# --- Word-score sentiment (flagship; M13/A8/J2 as a native plan) ------------
+
+WORDSCORE_SQL = f"""
+WITH lex AS (
+  SELECT word, avg(score) AS score
+  FROM read_csv('{LEXICON_CSV}', header=true,
+                columns={{'word': 'VARCHAR', 'score': 'DOUBLE'}})
+  GROUP BY word
+  HAVING avg(score) <> 0
+),
+toks AS (
+  SELECT doc_id, unnest(string_split({clean_text_sql('text')}, ' ')) AS token
+  FROM documents
+  WHERE text IS NOT NULL
+),
+per_doc AS (
+  SELECT t.doc_id,
+         coalesce(sum(l.score), 0.0) AS s,
+         count(l.score)              AS n
+  FROM toks t LEFT JOIN lex l ON t.token = l.word
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       round(coalesce(CASE WHEN p.n > 0 THEN p.s / p.n END, 0.0), 6) AS sentiment
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register("wordscore_sentiment", sql=WORDSCORE_SQL, bench=True, tags=("text",))
+def wordscore_sentiment(spark, sf_dir):
+    from spark_sentiment_spark.operators.wordscore import score_documents_raw
+
+    docs = load(spark, sf_dir, "documents")
+    return score_documents_raw(docs).orderBy("doc_id")
+
+
+@register("wordscore_full_parity", tags=("text",))
+def wordscore_full_parity(spark, sf_dir):
+    """Full reference-parity scoring (stemming + duplicate-char fallback,
+    PlainTextAnalyser.computeSentiment). Not SQL-expressible (Porter stemmer)
+    → rows-only check; pinned instead by the differential test in
+    tests/test_wordscore.py."""
+    from spark_sentiment_spark.operators.wordscore import score_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return (score_documents(docs)
+            .select("doc_id", F.round("sentiment", 6).alias("sentiment"))
+            .orderBy("doc_id"))
+
+
+# --- Text analysis extension surface ---------------------------------------
+
+WORDCOUNT_SQL = """
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(n_chars), 4)                                AS avg_chars,
+       round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_words
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("text_stats_by_lang", sql=WORDCOUNT_SQL, tags=("text",))
+def text_stats_by_lang(spark, sf_dir):
+    """A1 (avg word count) generalized to per-group statistics."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg(F.size(F.split(F.col("text"), " ", -1))
+                          .cast("double")), 4).alias("avg_words"),
+        )
+        .orderBy("lang")
+    )
+
+
+TOKCOUNT_SQL = r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT)          AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                                                             AS bpe_ish_tokens,
+       CAST(length(text) AS BIGINT)                          AS n_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("token_counts", sql=TOKCOUNT_SQL, tags=("text",))
+def token_counts(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish regex token count
+    (letters runs / digit runs / single punctuation)."""
+    docs = load(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ", -1)).cast("long").alias("ws_tokens"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))
+            .cast("long").alias("bpe_ish_tokens"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_SQL = r"""
+SELECT doc_id,
+       round(CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 6)                      AS alpha_ratio,
+       round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / greatest(len(string_split(text, ' ')), 1), 6)      AS distinct_ratio,
+       CASE WHEN length(text) >= 80 AND length(text) <= 2000 THEN 1 ELSE 0 END AS len_ok
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("quality_scores", sql=QUALITY_SQL, tags=("text",))
+def quality_scores(spark, sf_dir):
+    """Document quality heuristics: alpha-character ratio, distinct-token
+    ratio (repetition detector), length gate — the standard pretraining-data
+    quality trio, all JVM-native."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    return (
+        docs.select(
+            "doc_id",
+            F.round(
+                F.length(F.regexp_replace("text", "[^a-zA-Z ]", ""))
+                .cast("double")
+                / F.greatest(F.length("text"), F.lit(1)), 6
+            ).alias("alpha_ratio"),
+            F.round(
+                F.size(F.array_distinct(toks)).cast("double")
+                / F.greatest(F.size(toks), F.lit(1)), 6
+            ).alias("distinct_ratio"),
+            F.when(F.length("text").between(80, 2000), 1).otherwise(0)
+            .cast("int").alias("len_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LANGID_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS BIGINT) AS en_hits,
+         CAST(len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS BIGINT) AS de_hits,
+         CAST(len(list_filter(string_split(text, ' '), t -> t IN ('le', 'la', 'et', 'est', 'les'))) AS BIGINT) AS fr_hits
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+            WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+            WHEN fr_hits > 0 THEN 'fr'
+            ELSE 'unknown' END AS predicted_lang
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@register("langid_stopword", sql=LANGID_SQL, tags=("text",))
+def langid_stopword(spark, sf_dir):
+    """Language ID by stop-word voting — the n-gram-heuristic family,
+    deterministic and fully native (no Python)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+
+    def hits(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+    en = hits(["the", "a", "of", "and", "is"])
+    de = hits(["der", "die", "das", "und", "ist"])
+    fr = hits(["le", "la", "et", "est", "les"])
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en > 0), "en")
+        .when((de >= fr) & (de > 0), "de")
+        .when(fr > 0, "fr")
+        .otherwise("unknown")
+    )
+    return (docs.select("doc_id", "lang", pred.alias("predicted_lang"))
+            .orderBy("doc_id"))
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(lower(trim(text)))                                 AS content_hash,
+       md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' '))
+                                                              AS bow_fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("doc_fingerprints", sql=FINGERPRINT_SQL, tags=("text", "dedup"))
+def doc_fingerprints(spark, sf_dir):
+    """Document fingerprinting: exact content hash + order-insensitive
+    bag-of-words fingerprint (sorted distinct tokens)."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    toks = F.array_sort(F.array_distinct(F.split(norm, " ", -1)))
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(norm.cast("binary")).alias("content_hash"),
+            F.md5(F.array_join(toks, " ").cast("binary")).alias("bow_fingerprint"),
+        )
+        .orderBy("doc_id")
+    )

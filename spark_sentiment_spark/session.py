@@ -26,6 +26,9 @@ _SCALE_DEFAULTS = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.sql.session.timeZone": "UTC",
+    # The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    # Spark refuses by default; read them as nano-longs and convert in load().
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
