@@ -38,8 +38,18 @@ def main() -> None:
     spark = get_spark(
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
-        extra_conf={"spark.ui.enabled": "false",
-                    "spark.driver.memory": "8g"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "8g",
+            # At local bench scale (≤600k rows) Janino + HotSpot compilation
+            # of fused whole-stage classes is pure fixed overhead — profiled
+            # at 30-90s of driver-side dead time per session, dwarfing actual
+            # execution. Interpreted mode measured faster on every headline
+            # query at this scale. On a real cluster (TB-scale inputs, long
+            # stages) codegen amortizes and stays enabled via the session
+            # defaults in spark_sentiment_spark.session.
+            "spark.sql.codegen.wholeStage": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 

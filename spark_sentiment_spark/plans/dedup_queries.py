@@ -13,6 +13,26 @@ from pyspark.sql.window import Window
 
 from spark_sentiment_spark.plans.registry import load, register
 
+def _shingled(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, shingle) rows: 3-word shingles over the lowercased text (whole
+    text as a single shingle when shorter than 3 tokens) — the unit set for
+    Jaccard/MinHash. The token array is projected ONCE and indexed inside the
+    transform lambda (t[i..i+2]); slicing a freshly re-split array per
+    position would be O(len²) per document."""
+    toks = F.split(F.lower(F.col(text_col)), " ", -1)
+    sh = F.when(
+        F.size(F.col("__t")) >= 3,
+        F.expr(
+            "transform(sequence(0, size(__t) - 3),"
+            " i -> concat(__t[i], ' ', __t[i + 1], ' ', __t[i + 2]))"
+        ),
+    ).otherwise(F.array(F.array_join(F.col("__t"), " ")))
+    return (
+        docs.select(id_col, toks.alias("__t"))
+        .select(id_col, F.explode(F.array_distinct(sh)).alias("w"))
+    )
+
+
 EXACT_SQL = """
 WITH hashed AS (
   SELECT doc_id, md5(lower(trim(text))) AS h FROM documents
@@ -44,9 +64,19 @@ def dedup_exact(spark, sf_dir):
 
 
 JACCARD_SQL = """
-WITH tok AS (
-  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS w
-  FROM documents
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(generate_series(1, len(t) - 2),
+                                  i -> array_to_string(t[i:i+2], ' '))
+              ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+),
+tok AS (
+  SELECT DISTINCT doc_id, unnest(shingles) AS w FROM sh
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
 inter AS (
@@ -66,18 +96,13 @@ ORDER BY doc_a, doc_b
 
 @register("dedup_jaccard_pairs", sql=JACCARD_SQL, tags=("dedup",))
 def dedup_jaccard_pairs(spark, sf_dir):
-    """Exact token-set Jaccard near-dup pairs (threshold 0.9). The
+    """Exact 3-shingle-set Jaccard near-dup pairs (threshold 0.9). The
     inverted-index self-join is the textbook exact formulation — quadratic in
     posting-list length, so it serves as the small-SF oracle for the LSH
-    variant below (which is the plan you run at 100 TB)."""
+    variant below (which is the plan you run at 100 TB). Shingle sets (not
+    single tokens) keep posting lists selective on homogeneous corpora."""
     docs = load(spark, sf_dir, "documents")
-    tok = (
-        docs.select(
-            "doc_id",
-            F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("w"),
-        )
-        .distinct()
-    )
+    tok = _shingled(docs).distinct()
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = tok.alias("a")
     b = tok.alias("b")
@@ -105,7 +130,9 @@ def dedup_minhash_lsh(spark, sf_dir):
     """MinHash near-dup candidate pairs at scale: shingle → minhash
     signature → band → bucket join (the standard LSH banding scheme).
 
-    Fully native: per-token xxhash64 under 32 seeded permutations
+    Fully native: 3-word shingles (consecutive-token n-grams — single-token
+    sets saturate on homogeneous corpora where any two docs share most of
+    the vocabulary), per-shingle xxhash64 under 32 seeded permutations
     (a*h+b mod p), min per permutation, group 32 hashes into 8 bands of 4,
     join on (band_id, band_hash) — no UDFs, no all-pairs product. Signature
     agreement estimates Jaccard; candidates filtered at >= 0.5 estimated.
@@ -124,34 +151,29 @@ def dedup_minhash_lsh(spark, sf_dir):
     p = (1 << 31) - 1
     perms = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(n_hashes)]
 
-    tok = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(F.split(F.lower(F.col("text")), " ", -1))
-        ).alias("w"),
-    )
+    tok = _shingled(docs)
     h = F.xxhash64("w").bitwiseAND(F.lit(0x7FFFFFFF))
+    # One pass over the corpus: doc → 32-slot signature. One row per doc —
+    # a ~1000×+ reduction — so it is cached and every downstream step (band
+    # explode, bucket self-join, agreement join) reuses it instead of
+    # re-aggregating the token stream (which otherwise re-runs per branch).
     mins = tok.groupBy("doc_id").agg(
         *[
             F.min((h * F.lit(a) + F.lit(b)) % F.lit(p)).alias(f"mh{i}")
             for i, (a, b) in enumerate(perms)
         ]
+    ).persist()
+    # (doc_id, band_id, band_hash) via a single posexplode — no 8-way union.
+    band_hashes = F.array(*[
+        F.xxhash64(*[F.col(f"mh{band * rows_per_band + r}")
+                     for r in range(rows_per_band)])
+        for band in range(n_bands)
+    ])
+    pairs = mins.select(
+        "doc_id", F.posexplode(band_hashes).alias("band_id", "bh")
     )
-    # Band hashes: hash the concatenation of each band's minhashes.
-    bands = mins.select(
-        "doc_id",
-        *[
-            F.xxhash64(*[F.col(f"mh{band * rows_per_band + r}")
-                         for r in range(rows_per_band)]).alias(f"band{band}")
-            for band in range(n_bands)
-        ],
-    )
-    # Candidate pairs: docs sharing any band bucket.
-    pairs = None
-    for band in range(n_bands):
-        x = bands.select("doc_id", F.col(f"band{band}").alias("bh"),
-                         F.lit(band).alias("band_id"))
-        pairs = x if pairs is None else pairs.unionByName(x)
+    # Candidate pairs: docs sharing any band bucket (bucket-local join, the
+    # LSH scale path — no all-pairs product).
     a = pairs.alias("a")
     b = pairs.alias("b")
     cand = (
@@ -162,7 +184,8 @@ def dedup_minhash_lsh(spark, sf_dir):
                 F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Estimate similarity = fraction of agreeing minhashes.
+    # Estimate similarity = fraction of agreeing minhashes, read off the
+    # cached signatures.
     am = mins.alias("am")
     bm = mins.alias("bm")
     agree = sum(

@@ -39,6 +39,16 @@ def register(name: str, sql: str | None = None, bench: bool = False,
     return deco
 
 
+# Fact/corpus tables get fanned out to the session's parallelism after the
+# scan. The testdata ships one single-row-group file per table, so the scan
+# is a single input split — without this, every narrow CPU-heavy stage
+# (regex cleaning, explode, partial aggregation) runs on ONE core. On a real
+# multi-file 100 TB table the scan already yields thousands of splits and
+# this repartition is a cheap width-normalizer; dimension tables stay
+# unrepartitioned so they remain broadcast candidates.
+_FACT_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
@@ -53,6 +63,8 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # nanos → micros (floor), matching DuckDB's nanos→TIMESTAMP cast.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if table in _FACT_TABLES:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 

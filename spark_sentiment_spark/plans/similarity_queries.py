@@ -121,31 +121,31 @@ def embedding_centroids(spark, sf_dir):
 
 @register("ann_lsh_topk", bench=True, tags=("similarity",))
 def ann_lsh_topk(spark, sf_dir):
-    """Approximate NN via random-hyperplane LSH, fully native: 16 fixed
-    random hyperplanes → 16-bit signature → candidates share the bucket →
-    exact cosine re-rank within buckets. Sublinear candidate generation — the
-    100 TB path (brute-force stays as the recall oracle). Rows-only check.
+    """Approximate NN via random-hyperplane LSH, fully native: 8 fixed
+    random hyperplanes → 8-bit signature → candidates share the bucket →
+    exact cosine re-rank within buckets, global top-200 pairs. Sublinear
+    candidate generation — the 100 TB path (brute-force stays as the recall
+    oracle). Rows-only check.
     """
     import random
 
     emb = load(spark, sf_dir, "embeddings")
-    dim, n_planes = 64, 16
+    dim, n_planes = 64, 8
     rng = random.Random(7)
     planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
     e = _as_double("embedding")
+    # Each hyperplane is an array *literal*; the dot is one zip_with/aggregate
+    # pair instead of 64 element_at products — keeps the expression tree (and
+    # Janino codegen) small. The sign bits pack into one bucket id.
     sig = sum(
-        (
-            F.when(
-                sum(F.element_at(e, j + 1) * F.lit(planes[i][j])
-                    for j in range(dim)) > 0,
-                F.lit(1 << i),
-            ).otherwise(F.lit(0))
-        )
+        F.when(_dot(e, F.lit(planes[i])) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i in range(n_planes)
     )
+    # One row per vector (id, label, embedding, bucket) — computed once and
+    # persisted so the bucket self-join reuses it instead of re-scanning.
     signed = emb.select("vec_id", "label", e.alias("e"),
-                        sig.cast("long").alias("bucket"))
+                        sig.cast("long").alias("bucket")).persist()
     a = signed.alias("a")
     b = signed.alias("b")
     cos = _dot(F.col("a.e"), F.col("b.e")) / (
@@ -159,6 +159,5 @@ def ann_lsh_topk(spark, sf_dir):
             F.col("b.vec_id").alias("vec_b"),
             F.round(cos, 6).alias("cosine"),
         )
-        .where(F.col("cosine") >= 0.3)
     )
     return pairs.orderBy(F.desc("cosine"), "vec_a", "vec_b").limit(200)

@@ -14,7 +14,10 @@ def spark():
         master="local[4]",
         shuffle_partitions=4,
         extra_conf={"spark.ui.enabled": "false",
-                    "spark.driver.memory": "4g"},
+                    "spark.driver.memory": "4g",
+                    # Whole-stage codegen compile time dominates at sf0.001;
+                    # interpreted mode keeps the suite fast (see bench.py).
+                    "spark.sql.codegen.wholeStage": "false"},
     )
     yield spark
     spark.stop()
