@@ -75,6 +75,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import spark_sentiment_spark.plans.events_queries  # noqa: F401
     import spark_sentiment_spark.plans.dedup_queries  # noqa: F401
     import spark_sentiment_spark.plans.similarity_queries  # noqa: F401
+    import spark_sentiment_spark.plans.multimodal_queries  # noqa: F401
 
     return {name: q.fn for name, q in REGISTRY.items()}
 

