@@ -22,5 +22,35 @@ Layout
 
 from spark_sentiment_spark.session import get_spark
 
-__all__ = ["get_spark"]
+
+def __getattr__(name):
+    # Lazy public API (keeps `import spark_sentiment_spark` light).
+    import importlib
+
+    api = {
+        "analyze": ("spark_sentiment_spark.analyze", "analyze"),
+        "load": ("spark_sentiment_spark.sources.io", "load"),
+        "save": ("spark_sentiment_spark.sources.io", "save"),
+        "detect_roles": ("spark_sentiment_spark.operators.detection",
+                         "detect_roles"),
+        "clean_source": ("spark_sentiment_spark.functions.text",
+                         "clean_source"),
+        "score_documents": ("spark_sentiment_spark.operators.wordscore",
+                            "score_documents"),
+        "train": ("spark_sentiment_spark.operators.mllib_pipeline", "train"),
+        "score_model": ("spark_sentiment_spark.operators.mllib_pipeline",
+                        "score_model"),
+        "extract_wordlists": (
+            "spark_sentiment_spark.operators.wordlist_extraction",
+            "extract_wordlists"),
+    }
+    if name in api:
+        mod, attr = api[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)
+
+
+__all__ = ["get_spark", "analyze", "load", "save", "detect_roles",
+           "clean_source", "score_documents", "train", "score_model",
+           "extract_wordlists"]
 __version__ = "0.1.0"
