@@ -23,6 +23,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
+__all__ = ["lexicon_rows", "raw_lexicon_dict", "stemmed_lexicon_dict",
+           "emoji_dict", "raw_lexicon_df", "stemmed_lexicon_df", "emoji_df",
+           "word_value"]
+
 DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
 LEXICON_CSV = os.path.join(DATA_DIR, "lexicon.csv")
 EMOJI_CSV = os.path.join(DATA_DIR, "emoji_map.csv")
@@ -74,15 +78,32 @@ _LEX_SCHEMA = StructType([
 
 
 def raw_lexicon_df(spark: SparkSession) -> DataFrame:
-    """DataFrame(word, score) with per-word mean — broadcast-join side."""
-    rows = sorted(raw_lexicon_dict().items())
-    return spark.createDataFrame(rows, _LEX_SCHEMA)
+    """DataFrame(word, score) with per-word mean — broadcast-join side.
+
+    Read as CSV + aggregated JVM-side: a ``createDataFrame`` over local rows
+    would build a pickled Python RDD whose evaluation drags Python workers
+    into otherwise pure-JVM query plans."""
+    raw = spark.read.schema(_LEX_SCHEMA).option("header", "true").csv(LEXICON_CSV)
+    return raw.groupBy("word").agg(F.avg("score").alias("score"))
 
 
 def stemmed_lexicon_df(spark: SparkSession) -> DataFrame:
-    """DataFrame(word=stem, score=mean) mirroring WordList.getAll."""
-    rows = sorted(stemmed_lexicon_dict().items())
-    return spark.createDataFrame(rows, _LEX_SCHEMA)
+    """DataFrame(word=stem, score=mean) mirroring WordList.getAll. The stems
+    are precomputed driver-side (the lexicon is ~7k words; stemming it once
+    on the driver beats shipping a stemmer UDF) and staged through a temp
+    CSV so the scan stays JVM-native."""
+    import csv as _csv
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "stemmed_lexicon.csv")
+    if not os.path.exists(d):
+        with open(d, "w", newline="", encoding="utf-8") as f:
+            w = _csv.writer(f)
+            w.writerow(["word", "score"])
+            for word, score in sorted(stemmed_lexicon_dict().items()):
+                w.writerow([word, score])
+    return spark.read.schema(_LEX_SCHEMA).option("header", "true").csv(d)
 
 
 def emoji_df(spark: SparkSession) -> DataFrame:

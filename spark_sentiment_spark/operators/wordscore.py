@@ -129,6 +129,46 @@ def score_documents(
     return out.withColumn(output_col, F.coalesce(F.col(output_col), F.lit(0.0)))
 
 
+def fuzzy_lexicon_scores(tokens: DataFrame, token_col: str = "token",
+                         max_distance: int = 3) -> DataFrame:
+    """J3: edit-distance lexicon fallback as a native theta-join
+    (reference: per-token memoized recursive Levenshtein against the whole
+    lexicon inside a UDF, SRC/utils/WordList.scala:19-33 — quadratic and
+    effectively dead, SURVEY §1.4; opt-in here with intended semantics).
+
+    For each input token: candidate lexicon words within ``max_distance``
+    (length-difference prefilter keeps the broadcast theta-join sparse),
+    score = mean score of the candidates at the *smallest* distance
+    (distance-1 matches beat distance-2 beat distance-3, mirroring the
+    reference's dx cascade WordList.scala:19-26).
+
+    Scale: tokens × 11k-lexicon broadcast nested-loop join, pruned by the
+    length band; run it on *distinct unmatched* tokens only (vocabulary-
+    sized input), never the raw corpus.
+    """
+    from pyspark.sql.window import Window
+
+    spark = tokens.sparkSession
+    lex = raw_lexicon_df(spark).where(F.col("score") != 0)
+    t = F.col(token_col)
+    w = F.col("word")
+    cand = tokens.join(
+        F.broadcast(lex),
+        (F.abs(F.length(t) - F.length(w)) <= max_distance)
+        & (F.levenshtein(t, w, max_distance) >= 0)
+        & (F.levenshtein(t, w, max_distance) <= max_distance)
+        & (t != w),
+    ).withColumn("dist", F.levenshtein(t, w, max_distance))
+    best = F.min("dist").over(Window.partitionBy(token_col))
+    return (
+        cand.withColumn("_best", best)
+        .where(F.col("dist") == F.col("_best"))
+        .groupBy(token_col)
+        .agg(F.avg("score").alias("fuzzy_score"),
+             F.min("dist").alias("distance"))
+    )
+
+
 def compute_sentiment_py(text: str) -> float:
     """Driver-side transcription of PlainTextAnalyser.computeSentiment —
     used only as a differential-test oracle (SURVEY §5.2.4)."""

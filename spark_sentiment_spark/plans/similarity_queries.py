@@ -119,6 +119,44 @@ def embedding_centroids(spark, sf_dir):
     )
 
 
+EMB_DEDUP_SQL = """
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e))
+                * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+FROM c a JOIN c b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e)
+      / (sqrt(list_dot_product(a.e, a.e))
+         * sqrt(list_dot_product(b.e, b.e))) >= 0.4
+ORDER BY vec_a, vec_b
+"""
+
+
+@register("dedup_embedding_cosine", sql=EMB_DEDUP_SQL,
+          tags=("dedup", "similarity"))
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold 0.4 — the tail of this
+    corpus's similarity distribution), exact all-pairs formulation as the
+    small-SF oracle; the LSH-bucketed query below is the same operator's
+    100 TB path. Norms are computed once per side before the join so the
+    pair loop is one dot product, not three."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = _as_double("embedding")
+    sides = emb.select("vec_id", (F.transform(
+        e, lambda x: x / _norm(e))).alias("u"))
+    a, b = sides.alias("a"), sides.alias("b")
+    cos = _dot(F.col("a.u"), F.col("b.u"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= 0.4)
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.round(cos, 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 @register("ann_lsh_topk", bench=True, tags=("similarity",))
 def ann_lsh_topk(spark, sf_dir):
     """Approximate NN via random-hyperplane LSH, fully native: 8 fixed
