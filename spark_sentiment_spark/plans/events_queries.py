@@ -120,6 +120,38 @@ def events_sessionize(spark, sf_dir):
     )
 
 
+ASOF_SQL = """
+WITH p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT e.event_id,
+       e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       round(p.value, 4)                   AS last_purchase_value
+FROM events e ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND e.ts > p.ts
+ORDER BY e.event_id
+"""
+
+
+@register("events_asof_join", sql=ASOF_SQL, tags=("events", "join"))
+def events_asof_join(spark, sf_dir):
+    """As-of join: every event picks up the value of the user's most recent
+    strictly-earlier purchase (operators.asof union-merge plan — one
+    shuffle on user_id; DuckDB's native ASOF JOIN is the oracle)."""
+    from spark_sentiment_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    joined = asof_join(ev, purchases, ["user_id"], "ts", "ts",
+                       {"value": "_lp"}, strict=True)
+    return (joined.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("_lp", 4).alias("last_purchase_value"))
+        .orderBy("event_id"))
+
+
 JSON_SQL = """
 SELECT event_type,
        count(*) AS n,

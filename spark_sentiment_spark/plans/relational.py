@@ -686,3 +686,89 @@ def scalar_math_funcs(spark, sf_dir):
         )
         .orderBy("l_linenumber")
     )
+
+
+GSETS_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+       coalesce(l_linestatus, 'ALL') AS lstatus,
+       CAST(count(*) AS BIGINT)      AS n,
+       round(sum(l_quantity), 2)     AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY rflag, lstatus
+"""
+
+
+@register("agg_grouping_sets", sql=GSETS_SQL, tags=("agg",))
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond the rollup/cube queries) — one pass,
+    partial aggregation per set expanded by Catalyst."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+               coalesce(l_linestatus, 'ALL') AS lstatus,
+               count(*)                      AS n,
+               round(sum(l_quantity), 2)     AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        ORDER BY rflag, lstatus
+    """)
+
+
+PIVOT_SQL = """
+SELECT l_returnflag,
+       round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0), 2) AS qty_F,
+       round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0), 2) AS qty_O
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_pivot", sql=PIVOT_SQL, tags=("agg",))
+def agg_pivot(spark, sf_dir):
+    """PIVOT: per-return-flag quantity split by line status into columns —
+    native pivot with an explicit value list (no extra distinct scan)."""
+    li = load(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+    )
+    return (
+        out.select(
+            "l_returnflag",
+            F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_F"),
+            F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_O"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ACD_SQL = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       CAST(count(*) AS BIGINT)                  AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_approx_distinct", tags=("agg",))
+def agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) next to the exact count —
+    rows-only check (sketch estimates are engine-specific); the relative
+    error bound (<2% at default rsd) is asserted in tests."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
