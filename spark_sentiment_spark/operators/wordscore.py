@@ -79,7 +79,66 @@ def score_documents(
     raw = sum(value(t)) / count(value(t) ≠ 0) when defined; same for the
     stemmed stream; result = mean of the defined ones, else 0.0
     (PlainTextAnalyser.computeSentiment:21-35).
+
+    Plan shape: native clean (Column expressions) → ONE Arrow pandas UDF
+    ``text → double`` with a per-worker token-value memo — a fully narrow,
+    zero-shuffle pipeline. The alternative (explode → score distinct
+    tokens → join back → re-aggregate, see ``score_documents_exploded``)
+    shuffles the corpus token stream three times; with a Zipfian token
+    distribution the memo does the same distinct-token-sized Python work
+    without any shuffle, so the narrow form wins at every scale.
     """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _score_text(texts: pd.Series) -> pd.Series:
+        from spark_sentiment_spark.functions.lexicon import word_value
+        from spark_sentiment_spark.functions.stemmer import stem
+
+        memo: dict = {}
+
+        def tok_vals(w):
+            v = memo.get(w)
+            if v is None:
+                v = (word_value(w), word_value(stem(w)))
+                memo[w] = v
+            return v
+
+        def score(t):
+            if t is None:
+                return 0.0
+            pairs = [tok_vals(w) for w in t.split(" ")]
+            raw_nz = sum(1 for v, _ in pairs if v != 0.0)
+            stm_nz = sum(1 for _, v in pairs if v != 0.0)
+            raw = (sum(v for v, _ in pairs) / raw_nz) if raw_nz else None
+            stm = (sum(v for _, v in pairs) / stm_nz) if stm_nz else None
+            if raw is not None and stm is not None:
+                return (raw + stm) / 2
+            if raw is not None:
+                return raw
+            if stm is not None:
+                return stm
+            return 0.0
+
+        return texts.map(score)
+
+    cleaned = F.when(F.col(text_col).isNotNull(),
+                     clean_text_col(text_col))
+    return docs.withColumn(
+        output_col,
+        F.coalesce(_score_text(cleaned), F.lit(0.0)))
+
+
+def score_documents_exploded(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    output_col: str = "sentiment",
+) -> DataFrame:
+    """The explode/score-vocabulary/join-back formulation of
+    ``score_documents`` — kept as a differential twin (both must agree to
+    1e-9; see tests) and as the template for cases where the per-token
+    value is NOT memoizable (e.g. context-dependent scoring)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -98,8 +157,8 @@ def score_documents(
         )
 
     toks = _tokens(docs, id_col, text_col)
-    # Score each *distinct* token once, then broadcast-join back: the Python
-    # hop runs over the vocabulary, not the corpus.
+    # Score each *distinct* token once, then join back: the Python hop runs
+    # over the vocabulary, not the corpus.
     vocab = toks.select("token").distinct()
     vocab = vocab.select(
         "token",
