@@ -518,7 +518,7 @@ RANKDENSE_SQL = """
 SELECT p_brand, p_partkey,
        CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rnk,
        CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS BIGINT)       AS drnk,
-       round(p_retailprice - avg(p_retailprice) OVER (PARTITION BY p_brand), 4)       AS price_vs_brand
+       round(p_retailprice - max(p_retailprice) OVER (PARTITION BY p_brand), 4)       AS price_vs_brand
 FROM part
 ORDER BY p_brand, p_partkey
 """
@@ -536,8 +536,11 @@ def window_rank_mix(spark, sf_dir):
             "p_brand", "p_partkey",
             F.rank().over(wr).cast("long").alias("rnk"),
             F.dense_rank().over(wd).cast("long").alias("drnk"),
+            # max, not avg: a windowed average's float-summation order is
+            # engine-specific and can flip the last rounded decimal; max
+            # returns an input value, so the difference is bit-exact.
             F.round(
-                F.col("p_retailprice") - F.avg("p_retailprice").over(wa), 4
+                F.col("p_retailprice") - F.max("p_retailprice").over(wa), 4
             ).alias("price_vs_brand"),
         )
         .orderBy("p_brand", "p_partkey")
