@@ -185,6 +185,17 @@ def _sweep(features, est, grid: dict, training_df, validation_df,
     return best_model, best_prec
 
 
+def random_sample(df: DataFrame, n: int) -> DataFrame:
+    """W4 — the reference's ``getRandom`` display sampler: bootstrap sample
+    capped at ``n`` rows (MlLibSentimentAnalyser.scala:63-67). The count()
+    is unavoidable (the reference does the same); callers cache ``df``."""
+    count = df.count()
+    if count == 0:
+        return df
+    fraction = min(1.0, float(n) / count)
+    return df.sample(withReplacement=True, fraction=fraction).limit(n)
+
+
 def score_model(df: DataFrame, model, text_col: str | None = None,
                 drop_intermediate: bool = True) -> DataFrame:
     """M12 + P3: model.transform, dropping feature intermediates before

@@ -119,6 +119,66 @@ def embedding_centroids(spark, sf_dir):
     )
 
 
+@register("ann_ivf_topk", tags=("similarity",))
+def ann_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) ANN: KMeans coarse quantizer (k=16, fixed seed)
+    partitions the corpus into cells; each query probes its 2 nearest
+    cells and exact-cosine re-ranks only those candidates — the classic
+    sublinear trade (probe 2/16 of the corpus) next to the LSH variant
+    below. Centroids and query→cell routing are driver-side (k×q is tiny);
+    the corpus-side work is one KMeans fit + a cell-filtered join.
+    Rows-only check (cluster assignments are implementation-specific).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", "label", _as_double("embedding").alias("e"),
+        array_to_vector(_as_double("embedding")).alias("features"))
+    km = KMeans(k=16, seed=42, featuresCol="features",
+                predictionCol="cell")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select("vec_id", "label", "e", "cell")
+
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    queries = assigned.where(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe")).collect()
+
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    # route each query to its 2 nearest cells (driver-side: q×k tiny)
+    probe_rows = []
+    for q in queries:
+        ranked = sorted(range(len(centroids)),
+                        key=lambda c: -cos(q["qe"], centroids[c]))
+        for cell in ranked[:2]:
+            probe_rows.append((q["qid"], q["qe"], cell))
+    probes = spark.createDataFrame(
+        probe_rows, "qid long, qe array<double>, cell int")
+
+    cand = assigned.join(F.broadcast(probes), "cell") \
+        .where(F.col("vec_id") != F.col("qid"))
+    c = _dot(F.col("qe"), F.col("e")) / (_norm(F.col("qe")) * _norm(F.col("e")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.select("qid", "vec_id",
+                    F.col("label").cast("long").alias("label"),
+                    c.alias("cos"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 10)
+        .select("qid", "vec_id", "label", F.round("cos", 6).alias("cosine"),
+                "rn")
+        .orderBy("qid", "rn")
+    )
+
+
 EMB_DEDUP_SQL = """
 WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
