@@ -254,6 +254,31 @@ def langid_stopword(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+@register("doc_rolling_hash", tags=("text", "dedup"))
+def doc_rolling_hash(spark, sf_dir):
+    """Rolling (polynomial) document fingerprint, fully native: per-token
+    xxhash64 folded left with acc = (acc * B + h) mod p over the token
+    sequence (Rabin–Karp family) — order-sensitive, so permuted documents
+    fingerprint differently (unlike the bag-of-words hash above). One
+    narrow aggregate per row via F.aggregate; no shuffle, no Python.
+    Rows-only check (xxhash64 is engine-specific); the fold semantics are
+    pinned by a Python-reference unit test."""
+    docs = load(spark, sf_dir, "documents")
+    # 31-bit modulus keeps acc*B + h < 2^52 — no bigint overflow under ANSI.
+    B, p = 1_000_003, (1 << 31) - 1
+    toks = F.split(F.lower(F.col("text")), " ", -1)
+    fold = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(
+            acc * F.lit(B)
+            + F.pmod(F.xxhash64(t), F.lit(p)), F.lit(p)),
+    )
+    return (docs.select("doc_id", fold.alias("rolling_hash"),
+                        F.size(toks).cast("long").alias("n_tokens"))
+            .orderBy("doc_id"))
+
+
 FINGERPRINT_SQL = """
 SELECT doc_id,
        md5(lower(trim(text)))                                 AS content_hash,
