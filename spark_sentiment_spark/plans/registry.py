@@ -53,6 +53,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    # The harness runs these queries on ITS OWN SparkSession, which may not
+    # carry our session defaults. Timestamp rendering/parsing must agree
+    # with the (timezone-naive) DuckDB oracle, so pin UTC here — a runtime-
+    # settable SQL conf, idempotent.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     except Exception:
