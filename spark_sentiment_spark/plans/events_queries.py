@@ -180,6 +180,78 @@ def events_json_extract(spark, sf_dir):
     )
 
 
+RANGE_SQL = """
+WITH err AS (
+  SELECT user_id, ts AS w_start, ts + INTERVAL 1 HOUR AS w_end
+  FROM events WHERE event_type = 'error'
+)
+SELECT e.user_id,
+       count(*)                                  AS n_in_error_windows,
+       CAST(count(DISTINCT e.event_id) AS BIGINT) AS n_distinct_events
+FROM events e JOIN err r
+  ON e.user_id = r.user_id AND e.ts >= r.w_start AND e.ts < r.w_end
+GROUP BY e.user_id
+ORDER BY e.user_id
+"""
+
+
+@register("events_range_join", sql=RANGE_SQL, tags=("events", "join"))
+def events_range_join(spark, sf_dir):
+    """Range join: events falling inside any 1-hour window opened by an
+    error event of the same user — bucketized equi-join + exact refine
+    (operators.rangejoin), never a theta-join. Oracle is DuckDB's plain
+    inequality join."""
+    from spark_sentiment_spark.operators.rangejoin import (
+        point_in_interval_join)
+
+    ev = load(spark, sf_dir, "events")
+    err = (ev.where(F.col("event_type") == "error")
+           .select("user_id", F.col("ts").alias("w_start"),
+                   (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end")))
+    joined = point_in_interval_join(
+        ev.select("user_id", "event_id", "ts"), err,
+        ["user_id"], "ts", "w_start", "w_end", bucket_seconds=3600)
+    return (joined.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_in_error_windows"),
+                 F.countDistinct("event_id").alias("n_distinct_events"))
+            .orderBy("user_id"))
+
+
+DAILY_ROLLUP_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       count(*)                  AS n,
+       round(sum(value), 4)      AS total_value,
+       round(max(value), 4)      AS max_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
+@register("events_daily_rollup", sql=DAILY_ROLLUP_SQL, tags=("events",))
+def events_daily_rollup(spark, sf_dir):
+    """Hypertable-style hierarchical rollup: the daily aggregate is
+    RE-AGGREGATED from the hourly aggregate (count→sum, sum→sum, max→max),
+    not from raw events — the continuous-aggregate pattern where each
+    coarser tier reads the tier below (at 100 TB the hourly tier is ~5
+    orders of magnitude smaller than raw). The oracle aggregates raw
+    events directly, proving the two-tier result identical."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                         "event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("value").alias("sv"),
+                   F.max("value").alias("mv")))
+    return (hourly.groupBy(
+        F.date_format(F.date_trunc("day", "hour"), "yyyy-MM-dd").alias("day"),
+        "event_type")
+        .agg(F.sum("n").alias("n"),
+             F.round(F.sum("sv"), 4).alias("total_value"),
+             F.round(F.max("mv"), 4).alias("max_value"))
+        .orderBy("day", "event_type"))
+
+
 RATE_SQL = """
 SELECT user_id,
        count(*) AS n_events,
