@@ -775,3 +775,71 @@ def agg_approx_distinct(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+Q17_SQL = """
+WITH pa AS (
+  SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT count(*)                                          AS n_small,
+       round(sum(l_extendedprice) / 7.0, 2)              AS avg_yearly
+FROM lineitem JOIN pa ON l_partkey = pk
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
+@register("q17_small_qty_revenue", sql=Q17_SQL, tags=("join", "agg"))
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 pattern: correlated scalar subquery (per-part average
+    quantity) decorrelated into an aggregate + equi-join back on the key.
+    At scale both sides shuffle on l_partkey once; AQE turns the per-part
+    aggregate (|parts| rows, far smaller than lineitem) into a broadcast
+    when it fits. This is the canonical Spark rewrite — never a per-row
+    subquery."""
+    li = load(spark, sf_dir, "lineitem")
+    per_part = (li.groupBy(F.col("l_partkey").alias("pk"))
+                .agg(F.avg("l_quantity").alias("avg_qty")))
+    return (li.join(per_part, F.col("l_partkey") == F.col("pk"))
+            .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+            .agg(F.count(F.lit(1)).alias("n_small"),
+                 F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")))
+
+
+Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey AS ok, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 260
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(o_totalprice, 2)            AS totalprice,
+       total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN big    ON o_orderkey = ok
+ORDER BY totalprice DESC, o_orderkey
+"""
+
+
+@register("q18_large_orders", sql=Q18_SQL, tags=("join", "agg"))
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 pattern: HAVING-filtered aggregate used as a join filter.
+    The per-order aggregate runs first (map-side partial sum, then one
+    shuffle on l_orderkey); its survivors (~1% of orders at threshold 260)
+    join orders on the same key, then the customer dimension joins —
+    broadcast-sized at any SF where customers ≪ orders."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (li.groupBy(F.col("l_orderkey").alias("ok"))
+           .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+           .where(F.col("total_qty") > 260))
+    return (orders.join(big, F.col("o_orderkey") == F.col("ok"))
+            .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+            .select("c_name", "c_custkey", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                    F.round("o_totalprice", 2).alias("totalprice"),
+                    "total_qty")
+            .orderBy(F.col("totalprice").desc(), "o_orderkey"))
