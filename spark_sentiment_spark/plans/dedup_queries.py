@@ -239,3 +239,66 @@ def dedup_simhash(spark, sf_dir):
         *[F.shiftrightunsigned(F.col("simhash"), b * 16)
           .bitwiseAND(F.lit(0xFFFF)).alias(f"band{b}") for b in range(4)],
     ).orderBy("doc_id")
+
+
+CLUSTERS_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(generate_series(1, len(t) - 2),
+                                  i -> array_to_string(t[i:i+2], ' '))
+              ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+),
+tok AS (
+  SELECT DISTINCT doc_id, unnest(shingles) AS w FROM sh
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.9
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach AS (
+  SELECT s AS node, d AS r FROM edges
+  UNION
+  SELECT reach.node, e.d FROM reach JOIN edges e ON reach.r = e.s
+)
+SELECT node AS doc_id, least(node, min(r)) AS component
+FROM reach
+GROUP BY node
+ORDER BY doc_id
+"""
+
+
+@register("dedup_clusters", sql=CLUSTERS_SQL, tags=("dedup",))
+def dedup_clusters(spark, sf_dir):
+    """Duplicate GROUPS, not just pairs: connected components of the
+    >= 0.9-Jaccard near-dup graph, each doc labeled with the smallest
+    doc_id in its component (the canonical survivor a dedup pipeline
+    would keep). Iterative min-label propagation
+    (operators/components.py) — the fixpoint is not one SQL statement in
+    Spark; the DuckDB oracle expresses it as a recursive-CTE transitive
+    closure over the identical pair graph."""
+    from spark_sentiment_spark.operators.components import (
+        connected_components)
+
+    pairs = dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    return (comp.select(F.col("node").alias("doc_id"),
+                        F.col("comp").alias("component"))
+            .orderBy("doc_id"))

@@ -1,0 +1,31 @@
+"""connected_components: fixpoint correctness on hand-built graphs."""
+
+from spark_sentiment_spark.operators.components import connected_components
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, ["s", "d"])
+    rows = connected_components(df, "s", "d").collect()
+    return {r["node"]: r["comp"] for r in rows}
+
+
+def test_chain_triangle_and_pair(spark):
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, isolated pair 20-21
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4),
+                      (10, 11), (11, 12), (10, 12),
+                      (20, 21)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
+def test_direction_and_duplicates_irrelevant(spark):
+    # reversed edges, self-loop, duplicate edges — same components
+    got = _cc(spark, [(5, 3), (3, 5), (5, 5), (7, 5), (7, 5)])
+    assert got == {3: 3, 5: 3, 7: 3}
+
+
+def test_long_chain_converges(spark):
+    n = 12  # diameter 11 — exercises many propagation rounds
+    got = _cc(spark, [(i, i + 1) for i in range(n)])
+    assert set(got.values()) == {0}
