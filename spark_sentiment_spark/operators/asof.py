@@ -48,3 +48,55 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
                          F.last(f"_v_{src}", ignorenulls=True).over(w))
     return (u.where(F.col("_side") == l_tag)
             .drop("_t", "_side", *[f"_v_{src}" for src in value_cols]))
+
+
+def asof_join_cogrouped(left: DataFrame, right: DataFrame, on: list[str],
+                        left_time: str, right_time: str,
+                        value_cols: dict[str, str],
+                        strict: bool = False) -> DataFrame:
+    """Cogrouped-``applyInPandas`` twin of :func:`asof_join`: both sides
+    shuffle once on ``on``, each key's partitions meet as two Arrow
+    batches, and ``pandas.merge_asof`` does the per-key backward merge.
+
+    Same semantics and same single-shuffle cost as the native union-merge
+    plan; the per-group merge is O(n log n) pandas instead of a JVM window.
+    Exists as the engine's cogroup surface (SURVEY §2.8 extension) and as
+    the pattern to follow when per-key logic outgrows window expressions
+    (interpolation, ffill with recalibration, model-per-key scoring).
+    Requires each key group to fit in one worker's memory — at 100 TB that
+    bounds key cardinality skew, exactly like any applyInPandas operator.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    out_schema = StructType(list(left.schema.fields)
+                            + [StructField(out, right.schema[src].dataType)
+                               for src, out in value_cols.items()])
+    rhs = right.select(
+        *on, F.col(right_time).alias("_rt"),
+        *[F.col(src).alias(out) for src, out in value_cols.items()])
+    left_cols = [f.name for f in left.schema.fields]
+    outs = list(value_cols.values())
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty:
+            return pd.DataFrame(columns=left_cols + outs)
+        if r.empty:
+            out = l.copy()
+            for o in outs:
+                out[o] = None
+            return out
+        # sort right by (time, values): merge_asof takes the LAST matching
+        # row, so equal-timestamp ties resolve to the max value — the same
+        # deterministic tie-break as the native window plan
+        r = r.sort_values(["_rt"] + outs, kind="stable")
+        out = pd.merge_asof(
+            l.sort_values(left_time, kind="stable"),
+            r[["_rt"] + outs],
+            left_on=left_time, right_on="_rt",
+            direction="backward", allow_exact_matches=not strict)
+        return out[left_cols + outs]
+
+    return (left.groupBy(*on)
+            .cogroup(rhs.groupBy(*on))
+            .applyInPandas(merge, out_schema))

@@ -152,6 +152,25 @@ def events_asof_join(spark, sf_dir):
         .orderBy("event_id"))
 
 
+@register("events_asof_cogroup", sql=ASOF_SQL, tags=("events", "join"))
+def events_asof_cogroup(spark, sf_dir):
+    """Same as-of semantics via the cogrouped-applyInPandas surface
+    (operators.asof.asof_join_cogrouped, pandas merge_asof per user) —
+    differential twin of events_asof_join against the identical DuckDB
+    ASOF JOIN oracle."""
+    from spark_sentiment_spark.operators.asof import asof_join_cogrouped
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    joined = asof_join_cogrouped(ev, purchases, ["user_id"], "ts", "ts",
+                                 {"value": "_lp"}, strict=True)
+    return (joined.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("_lp", 4).alias("last_purchase_value"))
+        .orderBy("event_id"))
+
+
 JSON_SQL = """
 SELECT event_type,
        count(*) AS n,

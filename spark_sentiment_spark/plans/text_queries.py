@@ -304,3 +304,28 @@ def doc_fingerprints(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+CHUNKS_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       array_to_string(t[i*32+1 : i*32+32], ' ') AS chunk_text,
+       CAST(least(len(t) - i*32, 32) AS INT) AS n_tokens
+FROM toks, LATERAL (
+  SELECT unnest(generate_series(0, CAST(ceil(len(t)/32.0) AS BIGINT) - 1)) AS i)
+ORDER BY doc_id, chunk_id
+"""
+
+
+@register("doc_chunks", sql=CHUNKS_SQL, tags=("text",))
+def doc_chunks(spark, sf_dir):
+    """Fixed-size training-chunk extraction via the Python-UDTF +
+    lateralJoin surface (functions/chunker.py): one row per 32-token
+    window of each document. The oracle builds the same chunks with
+    DuckDB list slicing."""
+    from spark_sentiment_spark.functions.chunker import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return (chunk_documents(docs.select("doc_id", "text"), "text", 32)
+            .select("doc_id", "chunk_id", "chunk_text", "n_tokens")
+            .orderBy("doc_id", "chunk_id"))
