@@ -329,3 +329,47 @@ def doc_chunks(spark, sf_dir):
     return (chunk_documents(docs.select("doc_id", "text"), "text", 32)
             .select("doc_id", "chunk_id", "chunk_text", "n_tokens")
             .orderBy("doc_id", "chunk_id"))
+
+
+ZSCORE_SQL = """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       round((n_tokens - avg(n_tokens) OVER (PARTITION BY lang))
+             / NULLIF(stddev_samp(n_tokens) OVER (PARTITION BY lang), 0),
+             4) AS z
+FROM t
+ORDER BY doc_id
+"""
+
+
+@register("quality_zscore_by_lang", sql=ZSCORE_SQL, tags=("text",))
+def quality_zscore_by_lang(spark, sf_dir):
+    """Per-language token-count z-score via plain grouped applyInPandas —
+    the remaining cell of the pandas-API matrix (mapInPandas: multimodal;
+    cogrouped: as-of twin; withState: streaming). Within-group
+    normalization is the canonical use: each language's docs meet as one
+    Arrow batch, pandas normalizes against the group's own mean/std
+    (sample std, ddof=1 — matches stddev_samp). A native window twin
+    exists trivially; grouped applyInPandas is the pattern once per-group
+    logic needs real pandas/numpy (robust scalers, per-group model
+    scoring). One shuffle on the group key, groups must fit per-worker."""
+    import pandas as pd
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["n_tokens"].std(ddof=1)
+        mean = pdf["n_tokens"].mean()
+        z = (pdf["n_tokens"] - mean) / std if std and std > 0 else None
+        return pdf.assign(z=(z.round(4) if z is not None else None))
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"))
+    return (toks.groupBy("lang")
+            .applyInPandas(zscore,
+                           "doc_id long, lang string, n_tokens long, z double")
+            .orderBy("doc_id"))
