@@ -76,6 +76,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Import registration modules for their side effects.
     import spark_sentiment_spark.plans.relational  # noqa: F401
+    import spark_sentiment_spark.plans.tpch_shapes  # noqa: F401
     import spark_sentiment_spark.plans.text_queries  # noqa: F401
     import spark_sentiment_spark.plans.events_queries  # noqa: F401
     import spark_sentiment_spark.plans.dedup_queries  # noqa: F401
