@@ -302,3 +302,71 @@ def events_user_rates(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+GAP_FILL_SQL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         round(avg(value), 6) AS avg_value
+  FROM events
+  WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+  GROUP BY 1, 2),
+bounds AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM hourly),
+grid AS (
+  SELECT u.user_id, g.hour
+  FROM (SELECT DISTINCT user_id FROM hourly) u
+  CROSS JOIN bounds
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour) g)
+SELECT grid.user_id,
+       strftime(grid.hour, '%Y-%m-%d %H:%M:%S') AS hour_str,
+       round(last_value(hourly.avg_value IGNORE NULLS) OVER (
+         PARTITION BY grid.user_id ORDER BY grid.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled_value
+FROM grid LEFT JOIN hourly
+  ON grid.user_id = hourly.user_id AND grid.hour = hourly.hour
+ORDER BY grid.user_id, hour_str
+"""
+
+
+@register("events_gap_fill", sql=GAP_FILL_SQL, tags=("events", "window"))
+def events_gap_fill(spark, sf_dir):
+    """Hypertable-style gap filling: densify each user's hourly series over
+    the observed range (sequence + explode builds the grid distributed, no
+    driver loop), then forward-fill with last(ignoreNulls) over an ordered
+    per-user window. At 100 TB the grid explode is embarrassingly parallel
+    per user and the single shuffle is the window partition on user_id; the
+    bounds row crosses the cluster as a broadcast, never a collect."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
+    )
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+    bounds = hourly.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    grid = (
+        hourly.select("user_id").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour_str"),
+            F.round(F.last("avg_value", ignorenulls=True).over(w), 6)
+            .alias("filled_value"),
+        )
+        .orderBy("user_id", "hour_str")
+    )

@@ -843,3 +843,40 @@ def q18_large_orders(spark, sf_dir):
                     F.round("o_totalprice", 2).alias("totalprice"),
                     "total_qty")
             .orderBy(F.col("totalprice").desc(), "o_orderkey"))
+
+
+PERCENTILES_SQL = """
+SELECT l_returnflag,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 6)
+         AS p50_price,
+       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 6)
+         AS p90_price,
+       round(percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice), 6)
+         AS p99_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_percentiles", sql=PERCENTILES_SQL, tags=("agg", "percentile"))
+def agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (percentile_cont semantics) per group.
+    Spark's native `percentile` aggregate runs as a partial+final hash agg —
+    each task keeps a per-group digest, so the shuffle carries one digest per
+    (group, partition), not the raw column. The approx_percentile twin
+    (`agg_approx_distinct` family) is the 100 TB path when groups are huge;
+    this exact form is the oracle-checkable baseline."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6)
+            .alias("p50_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6)
+            .alias("p90_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6)
+            .alias("p99_price"),
+        )
+        .orderBy("l_returnflag")
+    )
