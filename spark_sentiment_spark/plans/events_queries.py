@@ -370,3 +370,56 @@ def events_gap_fill(spark, sf_dir):
         )
         .orderBy("user_id", "hour_str")
     )
+
+
+FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+SELECT (SELECT count(*) FROM s1) AS n_signup,
+       (SELECT count(*) FROM s2) AS n_click_after,
+       (SELECT count(*) FROM s3) AS n_purchase_after
+"""
+
+
+@register("events_funnel", sql=FUNNEL_SQL, tags=("events", "funnel"))
+def events_funnel(spark, sf_dir):
+    """Ordered 3-step funnel (signup → click → purchase): each step keeps
+    the earliest qualifying timestamp per user, constrained to fall after
+    the previous step. Every stage joins and aggregates on user_id, so at
+    100 TB the same hash partitioning is reused across all three shuffles
+    (no re-partitioning between steps); step outputs are one row per
+    surviving user, shrinking monotonically."""
+    ev = load(spark, sf_dir, "events")
+
+    def first_after(prev, etype, prev_ts, out_ts):
+        step = ev.where(F.col("event_type") == etype)
+        cond = (step["user_id"] == prev["user_id"]) & (
+            step["ts"] > prev[prev_ts]
+        )
+        return (
+            step.join(prev, cond)
+            .groupBy(step["user_id"])
+            .agg(F.min(step["ts"]).alias(out_ts))
+        )
+
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = first_after(s1, "click", "t1", "t2")
+    s3 = first_after(s2, "purchase", "t2", "t3")
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )

@@ -5,6 +5,7 @@ over the ``documents`` table."""
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from spark_sentiment_spark.functions.lexicon import LEXICON_CSV
 from spark_sentiment_spark.functions.text import clean_text_col, clean_text_sql
@@ -373,3 +374,60 @@ def quality_zscore_by_lang(spark, sf_dir):
             .applyInPandas(zscore,
                            "doc_id long, lang string, n_tokens long, z double")
             .orderBy("doc_id"))
+
+
+TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents WHERE text IS NOT NULL),
+toks_clean AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks_clean GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks_clean GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n)
+SELECT doc_id, term, tfidf
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored)
+WHERE rn <= 3
+ORDER BY doc_id, tfidf DESC, term
+"""
+
+
+@register("text_tfidf_topk", sql=TFIDF_SQL, tags=("text", "tfidf", "window"))
+def text_tfidf_topk(spark, sf_dir):
+    """Top-3 TF-IDF terms per document, fully native: explode → two hash
+    aggs (term-frequency and doc-frequency) → broadcast of the corpus-size
+    scalar → per-doc top-k window. The doc-frequency side aggregates to
+    |vocabulary| rows, so at 100 TB it broadcasts (vocab << corpus); the
+    only big shuffles are the two partial+final aggs on (doc_id, term) and
+    the window partition on doc_id."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+        .orderBy("doc_id", F.desc("tfidf"), F.asc("term"))
+    )
