@@ -143,3 +143,65 @@ def run_to_memory(stream_df: DataFrame, name: str,
          .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes it, so state size is O(events per watermark window),
+    not O(stream history) — the property that makes streaming ingest dedup
+    viable at 100 TB/day. Twin of the batch ``dedup_exact`` operator."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+
+def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream–static join: enrich the event stream with a dimension table
+    (here customer segment keyed by user_id) and aggregate per segment.
+    The static side is planned as a broadcast per micro-batch — no stream
+    state is needed for the join itself, only for the aggregation."""
+    seg = dim.select(F.col("c_custkey").alias("user_id"),
+                     F.col("c_mktsegment").alias("segment"))
+    return (
+        events.withWatermark("ts", "2 hours")
+        .join(F.broadcast(seg), "user_id")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+def stream_stream_conversions(events: DataFrame,
+                              horizon: str = "1 hour") -> DataFrame:
+    """Stream–stream time-interval join: purchases within ``horizon`` after
+    a signup by the same user. Both sides carry watermarks and the join
+    condition bounds the event-time range, so Spark can expire buffered
+    rows once the watermark passes ``signup.ts + horizon`` — bounded state,
+    the streaming analogue of the batch as-of/range joins."""
+    signups = (
+        events.where(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("s_user"),
+                F.col("ts").alias("s_ts"))
+        .withWatermark("s_ts", "2 hours")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("value").alias("p_value"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    cond = (
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return (
+        signups.join(purchases, cond)
+        .select(F.col("s_user").alias("user_id"),
+                F.date_format("s_ts", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+                F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+                F.col("p_value").alias("purchase_value"))
+    )

@@ -100,3 +100,71 @@ def test_watermark_in_plan(events_stream):
 
     plan = tumbling_hourly(events_stream)._jdf.queryExecution().analyzed().toString()
     assert "watermark" in plan.lower()
+
+
+def test_dedup_stream_drops_duplicated_source(spark, events_batch, tmp_path):
+    """Feed the same events file twice through the stream: the watermarked
+    dedup must emit each event_id exactly once."""
+    import os
+    import shutil
+
+    from spark_sentiment_spark.streaming.streams import (dedup_stream,
+                                                         run_to_memory)
+
+    src = f"{SF_DIR}/events.parquet"
+    d = tmp_path / "dup_events"
+    os.makedirs(d, exist_ok=True)
+    shutil.copy2(src, d / "a.parquet")
+    shutil.copy2(src, d / "b.parquet")
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(str(d))
+    if dict(static.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    got = run_to_memory(dedup_stream(stream), "t_dedup",
+                        output_mode="append")
+    assert got.count() == events_batch.count()
+    assert got.select("event_id").distinct().count() == got.count()
+
+
+def test_stream_static_enrich_equals_batch(spark, events_stream, events_batch):
+    from spark_sentiment_spark.plans.registry import load
+    from spark_sentiment_spark.streaming.streams import (run_to_memory,
+                                                         stream_static_enrich)
+
+    dim = load(spark, SF_DIR, "customer")
+    got = run_to_memory(stream_static_enrich(events_stream, dim), "t_enrich")
+    seg = dim.select(F.col("c_custkey").alias("user_id"),
+                     F.col("c_mktsegment").alias("segment"))
+    want = (events_batch.join(seg, "user_id").groupBy("segment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 4).alias("total_value")))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_stream_stream_conversions_equals_batch(spark, events_stream,
+                                                events_batch):
+    from spark_sentiment_spark.streaming.streams import (
+        run_to_memory, stream_stream_conversions)
+
+    got = run_to_memory(stream_stream_conversions(events_stream), "t_ssj",
+                        output_mode="append")
+    s = (events_batch.where(F.col("event_type") == "signup")
+         .select(F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts")))
+    p = (events_batch.where(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+                 F.col("value").alias("p_value")))
+    cond = ((F.col("s_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 hour")))
+    want = (s.join(p, cond)
+            .select(F.col("s_user").alias("user_id"),
+                    F.date_format("s_ts", "yyyy-MM-dd HH:mm:ss")
+                    .alias("signup_ts"),
+                    F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss")
+                    .alias("purchase_ts"),
+                    F.col("p_value").alias("purchase_value")))
+    assert got.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
