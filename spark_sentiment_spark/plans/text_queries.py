@@ -431,3 +431,51 @@ def text_tfidf_topk(spark, sf_dir):
         .drop("rn")
         .orderBy("doc_id", F.desc("tfidf"), F.asc("term"))
     )
+
+
+OUTLIER_TRIM_SQL = """
+WITH b AS (
+  SELECT lang,
+         percentile_cont(0.05) WITHIN GROUP (ORDER BY n_chars) AS lo,
+         percentile_cont(0.95) WITHIN GROUP (ORDER BY n_chars) AS hi
+  FROM documents GROUP BY lang)
+SELECT doc_id, d.lang, n_chars
+FROM documents d JOIN b ON d.lang = b.lang
+WHERE n_chars BETWEEN lo AND hi
+ORDER BY doc_id
+"""
+
+
+@register("quality_outlier_trim", sql=OUTLIER_TRIM_SQL,
+          tags=("text", "quality", "percentile"))
+def quality_outlier_trim(spark, sf_dir):
+    """Length-outlier filtering for training corpora: keep documents within
+    the per-language [p05, p95] band of n_chars. The percentile bounds
+    aggregate to |languages| rows and broadcast back onto the corpus, so at
+    100 TB this is one partial+final digest agg plus a map-side filter —
+    the corpus itself never shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    bounds = docs.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(bounds), "lang")
+        .where(F.col("n_chars").between(F.col("lo"), F.col("hi")))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register("sample_stratified", tags=("text", "sampling"))
+def sample_stratified(spark, sf_dir):
+    """Seeded stratified sampling (`sampleBy`) — class-balanced corpus
+    draws without a shuffle: Bernoulli per row against the stratum's
+    fraction, executed map-side during the scan. Rows-only check (sampling
+    is engine-specific); tests/test_sampling.py pins determinism and
+    per-stratum rates."""
+    docs = load(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.25}
+    return docs.sampleBy("lang", fractions, seed=42).select(
+        "doc_id", "lang", "n_chars"
+    )

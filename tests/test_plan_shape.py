@@ -52,3 +52,33 @@ def test_native_text_queries_have_no_python(spark):
 def test_knn_broadcasts_queries_not_corpus(spark):
     plan = _plan(spark, "knn_cosine_topk")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize("name", ["q7_volume_shipping", "q9_product_profit",
+                                  "q16_supplier_variety"])
+def test_new_tpch_shapes_broadcast_and_push(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_q4_semi_join_physical(spark):
+    plan = _plan(spark, "q4_priority_exists")
+    assert "LeftSemi" in plan
+    m = re.search(r"PushedFilters: \[[^\n]*o_orderdate", plan)
+    assert m, "orderdate filter not pushed to the orders scan"
+
+
+def test_tfidf_topk_native_with_broadcasts(spark):
+    plan = _plan(spark, "text_tfidf_topk")
+    assert "Python" not in plan            # explode/agg/window all JVM-side
+    assert "BroadcastHashJoin" in plan     # df side broadcasts
+    assert "Window" in plan
+
+
+def test_gap_fill_single_window_shuffle(spark):
+    plan = _plan(spark, "events_gap_fill")
+    assert "Python" not in plan
+    assert plan.count("Window") >= 1
+    # forward-fill must be a running frame, not a re-sort per row
+    assert "unboundedpreceding" in plan.lower()
