@@ -31,7 +31,8 @@ DELIMITER_CANDIDATES = (",", "|", ":", "\t", ";")
 #: Extension fragment → canonical filetype (IO.scala:53-59; `.par` matches
 #: both `.par` and `.parquet`).
 _EXTENSION_DISPATCH = ((".json", "json"), (".txt", "txt"),
-                       (".csv", "csv"), (".par", "parquet"))
+                       (".csv", "csv"), (".par", "parquet"),
+                       (".orc", "orc"))
 
 
 def _first_two_lines(spark: SparkSession, path: str) -> list[str]:
@@ -148,8 +149,10 @@ def load(spark: SparkSession, path: str,
         return spark.read.text(path), "txt"
     if ftype in ("parquet", "par"):
         return spark.read.parquet(path), "parquet"
+    if ftype == "orc":
+        return spark.read.orc(path), "orc"
     raise ValueError(f"cannot determine filetype for {path!r}; "
-                     f"pass filetype= one of json/csv/txt/parquet")
+                     f"pass filetype= one of json/csv/txt/parquet/orc")
 
 
 def save(df: DataFrame, path: str, filetype: str = "parquet",
@@ -168,5 +171,7 @@ def save(df: DataFrame, path: str, filetype: str = "parquet",
         writer.text(path)
     elif filetype in ("parquet", "par"):
         writer.parquet(path)
+    elif filetype == "orc":
+        writer.orc(path)
     else:
         raise ValueError(f"unsupported sink filetype {filetype!r}")

@@ -160,3 +160,15 @@ def test_convert_categorical(spark):
     # integer column passes through untouched
     out2, col2 = convert_categorical_column(df, "id")
     assert col2 == "id" and out2 is df
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from spark_sentiment_spark.sources.io import load, save
+
+    df = spark.range(100).withColumnRenamed("id", "v")
+    dest = str(tmp_path / "data.orc")
+    save(df, dest, filetype="orc")
+    back, ftype = load(spark, dest)        # extension dispatch
+    assert ftype == "orc"
+    assert back.count() == 100
+    assert sorted(r.v for r in back.collect()) == list(range(100))
