@@ -397,7 +397,8 @@ ORDER BY doc_id, tfidf DESC, term
 """
 
 
-@register("text_tfidf_topk", sql=TFIDF_SQL, tags=("text", "tfidf", "window"))
+@register("text_tfidf_topk", sql=TFIDF_SQL, bench=True,
+          tags=("text", "tfidf", "window"))
 def text_tfidf_topk(spark, sf_dir):
     """Top-3 TF-IDF terms per document, fully native: explode → two hash
     aggs (term-frequency and doc-frequency) → broadcast of the corpus-size
@@ -410,10 +411,12 @@ def text_tfidf_topk(spark, sf_dir):
         "doc_id",
         F.explode(F.split(F.lower("text"), r"\s+")).alias("term"),
     ).where(F.col("term") != "")
+    # The corpus is exploded exactly once: tf holds distinct (doc, term)
+    # rows, so doc-frequency is a plain count over tf — no second pass over
+    # the token stream and no two-phase countDistinct.
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    tf.persist()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
