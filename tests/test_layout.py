@@ -1,0 +1,62 @@
+"""Layout writers must actually enable pruning: partition filters in the
+scan for hive partitioning, near-disjoint per-file footer ranges for
+range clustering."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    from spark_sentiment_spark.sources.layout import write_partitioned
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    dest = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, dest, ["lang"])
+
+    langs = [r[0] for r in docs.select("lang").distinct().collect()]
+    assert all(os.path.isdir(os.path.join(dest, f"lang={l}")) for l in langs)
+
+    back = spark.read.parquet(dest).where(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split(
+        "PartitionFilters")[1].split("]")[0]
+    # correctness: partition column round-trips
+    want = docs.where(F.col("lang") == "en").count()
+    assert back.count() == want
+
+
+def test_clustered_write_tightens_file_ranges(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from spark_sentiment_spark.sources.layout import write_clustered
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    dest = str(tmp_path / "lineitem_by_orderkey")
+    write_clustered(li, dest, ["l_orderkey"], num_files=8)
+
+    files = sorted(glob.glob(f"{dest}/part-*.parquet"))
+    assert len(files) >= 4
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(i for i in range(md.num_columns)
+                       if md.row_group(0).column(i).path_in_schema
+                       == "l_orderkey")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    # each file covers a tight range: consecutive files may touch at the
+    # boundary but must not substantially overlap
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert lo2 >= hi1 - 1, (ranges,)
+
+    # row count survives the re-layout
+    assert spark.read.parquet(dest).count() == li.count()
