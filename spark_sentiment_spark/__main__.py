@@ -1,0 +1,143 @@
+"""CLI mirroring the reference's scopt flag surface (SRC/Sentiment.scala:
+199-210; SURVEY.md §3) so a user of the reference can run the same three
+entry paths against this engine:
+
+    # entry point A — analyze/predict
+    python -m spark_sentiment_spark --input data.csv --method word-score \
+        --output scored/
+    python -m spark_sentiment_spark --input data.csv --method mlib \
+        --model models/nb --output scored/
+
+    # entry point B — train an MLlib model
+    python -m spark_sentiment_spark --input labeled.csv --train \
+        --method mlib --classifier naivebayes --model models/nb
+
+    # entry point C — train word-score lists
+    python -m spark_sentiment_spark --input labeled.csv --train \
+        --method word-score --output wordlists/
+
+Differences from the reference (documented in quirks.md): fixed CSV
+sniffing semantics, string labels supported via StringIndexer, and
+``--method nlp`` covers both our-nlp and databricks-nlp (same contract,
+pluggable scorer).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="spark_sentiment_spark",
+        description="PySpark-native sentiment/analytics engine "
+                    "(capabilities of witlox/spark_sentiment)")
+    p.add_argument("--input", action="append", required=True,
+                   help="input file (repeatable; first is used for "
+                        "training, each is scored in analyze mode)")
+    p.add_argument("--output", help="output path (analyze: scored table; "
+                                    "word-score training: word-list dirs)")
+    p.add_argument("--column", help="text column (default: auto-detect)")
+    p.add_argument("--label-column", help="label column for training "
+                                          "(default: auto-detect)")
+    p.add_argument("--method", default="word-score",
+                   choices=["word-score", "mlib", "nlp"])
+    p.add_argument("--classifier", default="all",
+                   choices=["logistic", "naivebayes", "maxentropy", "all"])
+    p.add_argument("--model", help="PipelineModel path (load for scoring, "
+                                   "save target for training)")
+    p.add_argument("--train", action="store_true")
+    p.add_argument("--filetype", choices=["json", "csv", "txt", "parquet",
+                                          "orc"])
+    p.add_argument("--limit", type=int, default=100,
+                   help="detection sample size (reference default 100)")
+    p.add_argument("--output-type", default="parquet",
+                   choices=["json", "csv", "txt", "parquet", "orc"])
+    p.add_argument("--stem", action="store_true",
+                   help="stem during cleaning (reference order quirk kept)")
+    p.add_argument("--master", help="Spark master (default local[CPUS])")
+    p.add_argument("--show", type=int, default=0, metavar="N",
+                   help="print N scored rows to stdout")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from spark_sentiment_spark.session import get_spark
+
+    spark = get_spark(master=args.master)
+    try:
+        if args.train:
+            return _train(spark, args)
+        return _analyze(spark, args)
+    finally:
+        spark.stop()
+
+
+def _analyze(spark, args) -> int:
+    from spark_sentiment_spark.analyze import analyze
+
+    if args.method == "mlib" and not args.model:
+        print("--method mlib needs --model", file=sys.stderr)
+        return 2
+    for path in args.input:
+        scored = analyze(spark, path, method=args.method,
+                         column=args.column, filetype=args.filetype,
+                         model_path=args.model, stem=args.stem,
+                         limit=args.limit, output=args.output,
+                         output_type=args.output_type)
+        if args.show:
+            scored.show(args.show, truncate=60)
+    return 0
+
+
+def _train(spark, args) -> int:
+    from spark_sentiment_spark.analyze import CLEANED_COL
+    from spark_sentiment_spark.functions.text import clean_source
+    from spark_sentiment_spark.operators.detection import detect_text_column
+    from spark_sentiment_spark.sources.io import load
+
+    path = args.input[0]  # single-source training (quirks.md #3)
+    df, _ = load(spark, path, filetype=args.filetype)
+    text_col = args.column or detect_text_column(df, args.limit)
+    if text_col is None:
+        print(f"no text column detected in {path!r}", file=sys.stderr)
+        return 2
+    cleaned = clean_source(df, text_col, CLEANED_COL,
+                           stem=(args.method == "word-score") or args.stem)
+
+    if args.method == "word-score":
+        from spark_sentiment_spark.operators.detection import \
+            detect_categorical_column
+        from spark_sentiment_spark.operators.wordlist_extraction import \
+            save_wordlists
+
+        if not args.output:
+            print("word-score training needs --output", file=sys.stderr)
+            return 2
+        label = args.label_column or detect_categorical_column(
+            cleaned, args.limit)
+        if label is None:
+            print("no label column detected; pass --label-column",
+                  file=sys.stderr)
+            return 2
+        save_wordlists(cleaned, CLEANED_COL, label, args.output)
+        print(f"word lists written to {args.output}")
+        return 0
+
+    from spark_sentiment_spark.operators.mllib_pipeline import train
+
+    if not args.model:
+        print("mlib training needs --model (save path)", file=sys.stderr)
+        return 2
+    result = train(cleaned, CLEANED_COL, classifier=args.classifier,
+                   limit=args.limit)
+    result.save(args.model)
+    print(f"{result.classifier} model saved to {args.model} "
+          f"(validation accuracy {result.precision:.3f})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
