@@ -12,10 +12,9 @@ Layout
 ------
 - ``sources``   — IO: format dispatch, CSV dialect sniffing, readers/writers
 - ``functions`` — scalar/text functions: cleaning, stemmer, tokenizer, lexicon
-- ``operators`` — engine operators: detection, word-score, dedup, similarity,
-                  text stats, multimodal plumbing
-- ``ml``        — MLlib pipeline (tokenize→TF→IDF→classifier), sweeps, wordlist
-                  extraction
+- ``operators`` — engine operators: detection, word-score, the MLlib pipeline
+                  (tokenize→TF→IDF→classifier + sweeps), wordlist extraction,
+                  as-of/range joins, dedup clustering, multimodal plumbing
 - ``streaming`` — Structured Streaming windows/sessionization over event data
 - ``plans``     — the query catalog exposed to the correctness/bench harness
 """
