@@ -168,3 +168,70 @@ def test_stream_stream_conversions_equals_batch(spark, events_stream,
     assert got.count() > 0
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): batch 1 advances the
+    watermark past an old hour; batch 2's late event for that hour must be
+    dropped from the append-mode windowed aggregate."""
+    import os
+
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType, TimestampType)
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    d = tmp_path / "late_src"
+    os.makedirs(d, exist_ok=True)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(str(tmp_path / f"_stage_{name}"))
+        import glob
+        import shutil
+        part = glob.glob(str(tmp_path / f"_stage_{name}" / "part-*.parquet"))[0]
+        shutil.copy2(part, d / f"{name}.parquet")
+
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1, 0, 30)
+    # batch 1: events at 00:30 and 12:30 → watermark advances to 12:30-1h
+    write_batch("b1", [(1, base, 1, "click", 1.0),
+                       (2, base + dt.timedelta(hours=12), 1, "click", 1.0)])
+
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    agg = (stream.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    sink = str(tmp_path / "late_out")
+    # run 1 processes b1 and checkpoints the advanced watermark (memory
+    # sink cannot recover from a checkpoint; parquet sink can)
+    q = (agg.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    # batch 2 arrives later: one on-time event and one late event for the
+    # long-closed 00:00 window
+    write_batch("b2", [(3, base + dt.timedelta(hours=12, minutes=5), 1,
+                        "click", 1.0),
+                       (4, base + dt.timedelta(minutes=5), 1, "click", 1.0)])
+    # run 2 resumes from the checkpoint: only b2 is new, and the restored
+    # watermark (12:30 - 1h) drops its late row
+    q2 = (agg.writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination()
+
+    out = spark.read.parquet(sink).select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("w0"), "n")
+    rows = {r["w0"]: r["n"] for r in out.collect()}
+    # the 00:00 window closed in batch 1 with exactly 1 event; the late
+    # event (id 4) must NOT re-open it or appear anywhere
+    assert rows.get("2024-01-01 00:00") == 1
+    assert sum(rows.values()) <= 3
