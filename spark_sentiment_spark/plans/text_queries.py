@@ -482,3 +482,50 @@ def sample_stratified(spark, sf_dir):
     return docs.sampleBy("lang", fractions, seed=42).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+BOILERPLATE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+  FROM documents WHERE text IS NOT NULL),
+sh AS (
+  SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS ngram
+  FROM toks
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(ts) - 4)) AS i) g)
+SELECT ngram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+FROM sh
+GROUP BY ngram
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n DESC, ngram
+LIMIT 20
+"""
+
+
+@register("boilerplate_ngrams", sql=BOILERPLATE_SQL,
+          tags=("text", "dedup", "heavy-hitters"))
+def boilerplate_ngrams(spark, sf_dir):
+    """Corpus-level heavy hitters: the 20 most frequent 5-gram phrases
+    appearing in >= 2 distinct documents — the detector for boilerplate
+    (headers, licenses, templates) that exact/near dedup misses because the
+    *documents* differ while the *phrase* repeats. One explode + one
+    two-measure hash agg + a global top-k (TakeOrderedAndProject, no full
+    sort); index-transform shingling is O(len) per doc."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = F.split(F.lower("text"), r"\s+")
+    ngrams = F.when(
+        F.size(F.col("__t")) >= 5,
+        F.expr("transform(sequence(0, size(__t) - 5), i -> "
+               "concat_ws(' ', __t[i], __t[i+1], __t[i+2], __t[i+3],"
+               " __t[i+4]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", toks.alias("__t"))
+        .select("doc_id", F.explode(ngrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n"), F.asc("ngram"))
+        .limit(20)
+    )
