@@ -423,3 +423,43 @@ def events_funnel(spark, sf_dir):
         .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_click_after")))
         .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase_after")))
     )
+
+
+PROPS_MAP_SQL = """
+SELECT k AS key,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.' || k) AS BIGINT))
+            AS BIGINT) AS total,
+       CAST(min(CAST(json_extract_string(props, '$.' || k) AS BIGINT))
+            AS BIGINT) AS min_v,
+       CAST(max(CAST(json_extract_string(props, '$.' || k) AS BIGINT))
+            AS BIGINT) AS max_v
+FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+GROUP BY k
+ORDER BY k
+"""
+
+
+@register("events_props_map", sql=PROPS_MAP_SQL, tags=("events", "map"))
+def events_props_map(spark, sf_dir):
+    """Typed map-column operators: parse the JSON props payload into a
+    native map<string,bigint> once (`from_json`), explode its entries, and
+    aggregate per key. Unlike per-path `get_json_object` probing
+    (events_json_extract), the single parse scales with payload size, not
+    with the number of extracted paths — the right shape when property
+    bags are wide. Map explode + hash agg are both whole-stage codegen."""
+    ev = load(spark, sf_dir, "events")
+    entries = ev.select(
+        F.explode(F.from_json("props", "map<string,bigint>"))
+        .alias("key", "value")
+    )
+    return (
+        entries.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").cast("long").alias("total"),
+            F.min("value").cast("long").alias("min_v"),
+            F.max("value").cast("long").alias("max_v"),
+        )
+        .orderBy("key")
+    )
