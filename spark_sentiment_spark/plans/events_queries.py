@@ -463,3 +463,39 @@ def events_props_map(spark, sf_dir):
         )
         .orderBy("key")
     )
+
+
+ROLLING_SQL = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       round(avg(value) OVER w, 6) AS avg_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+@register("events_rolling_1h", sql=ROLLING_SQL, tags=("events", "window"))
+def events_rolling_1h(spark, sf_dir):
+    """Trailing 1-hour rolling stats per user — a RANGE frame keyed on
+    event time (every row's frame is [ts-1h, ts], irregular row counts),
+    not a ROWS frame. One shuffle on user_id + one sort; at 100 TB the
+    frame evaluation is streaming within each sorted partition, state
+    bounded by the hour of data per user."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id", "user_id",
+            F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+            F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+        )
+        .orderBy("event_id")
+    )
