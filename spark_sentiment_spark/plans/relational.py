@@ -880,3 +880,36 @@ def agg_percentiles(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+HISTOGRAM_SQL = """
+SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+       count(*) AS n,
+       round(min(l_extendedprice), 2) AS lo,
+       round(max(l_extendedprice), 2) AS hi
+FROM lineitem
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register("agg_histogram", sql=HISTOGRAM_SQL, tags=("agg", "histogram"))
+def agg_histogram(spark, sf_dir):
+    """Fixed-width histogram: bucket = floor(x / width) computed map-side,
+    then one hash agg on the bucket id — the distribution-profiling shape
+    (data-quality dashboards, skew detection before choosing join
+    strategies). Bucket count is bounded by the value range, so the
+    aggregate output is tiny regardless of input scale."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / 5000).cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
