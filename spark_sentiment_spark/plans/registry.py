@@ -74,14 +74,18 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Import registration modules for their side effects.
-    import spark_sentiment_spark.plans.relational  # noqa: F401
-    import spark_sentiment_spark.plans.tpch_shapes  # noqa: F401
-    import spark_sentiment_spark.plans.text_queries  # noqa: F401
-    import spark_sentiment_spark.plans.events_queries  # noqa: F401
+    # Import registration modules for their side effects. Registration order
+    # matters to external harnesses that check a prefix of the catalog:
+    # the extension surface (dedup/similarity/events/text/multimodal/
+    # streaming) registers first, the relational/TPC-H shapes last.
     import spark_sentiment_spark.plans.dedup_queries  # noqa: F401
     import spark_sentiment_spark.plans.similarity_queries  # noqa: F401
+    import spark_sentiment_spark.plans.events_queries  # noqa: F401
+    import spark_sentiment_spark.plans.text_queries  # noqa: F401
     import spark_sentiment_spark.plans.multimodal_queries  # noqa: F401
+    import spark_sentiment_spark.plans.streaming_queries  # noqa: F401
+    import spark_sentiment_spark.plans.relational  # noqa: F401
+    import spark_sentiment_spark.plans.tpch_shapes  # noqa: F401
 
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -1,0 +1,87 @@
+"""Driver-checkable streaming queries (SURVEY §7.4 streaming extension).
+
+The streaming operators in ``streaming.streams`` are unit-tested as
+stream==batch twins; the two queries here additionally route a *real
+Structured Streaming execution* (file source → watermarked agg →
+``trigger(availableNow)`` → memory sink) through the external correctness
+harness, with the same DuckDB oracle SQL as their batch twins. Over a
+finite file source processed in availableNow micro-batches the watermark
+never drops data (it only advances between batches, and the testdata is a
+single file = a single batch), so streaming output == batch output exactly.
+
+Only streaming plans whose results are boundary-deterministic get oracle
+rows: tumbling windows (hour-aligned bucketing) and stream–static joins.
+Session windows are kept as unit-pinned twins because ``F.session_window``
+uses an exclusive gap end while the batch lag/cumsum plan uses a strict
+``> gap`` test — identical except for events landing exactly on the gap
+boundary.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from spark_sentiment_spark.plans.registry import load, register
+from spark_sentiment_spark.streaming.streams import (
+    read_event_stream,
+    run_to_memory,
+    stream_static_enrich,
+    tumbling_hourly,
+)
+
+# Memory-sink table names must be unique per execution within a session.
+_run_seq = itertools.count()
+
+
+def _unique(name: str) -> str:
+    return f"{name}_{next(_run_seq)}"
+
+
+STREAM_TUMBLE_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+@register("streaming_tumbling_hour", sql=STREAM_TUMBLE_SQL,
+          tags=("streaming", "events"))
+def streaming_tumbling_hour(spark, sf_dir):
+    """Tumbling 1h/event_type aggregation executed BY the streaming engine
+    (not the batch twin): watermarked state, availableNow trigger, memory
+    sink. Oracle = the same SQL as ``events_tumbling_hour``."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = tumbling_hourly(read_event_stream(spark, sf_dir))
+    out = run_to_memory(stream, _unique("stream_tumble"))
+    return out.orderBy("window_start", "event_type")
+
+
+STREAM_ENRICH_SQL = """
+SELECT c.c_mktsegment AS segment,
+       count(*) AS n,
+       round(sum(e.value), 4) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+ORDER BY segment
+"""
+
+
+@register("streaming_static_enrich", sql=STREAM_ENRICH_SQL,
+          tags=("streaming", "events", "join"))
+def streaming_static_enrich(spark, sf_dir):
+    """Stream–static broadcast join + aggregation executed by the streaming
+    engine: the event stream is enriched with the static customer dimension
+    per micro-batch, then aggregated per segment in complete mode."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = read_event_stream(spark, sf_dir)
+    dim = load(spark, sf_dir, "customer")
+    stream = stream_static_enrich(events, dim)
+    out = run_to_memory(stream, _unique("stream_enrich"))
+    return out.orderBy("segment")

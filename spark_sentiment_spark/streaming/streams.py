@@ -50,7 +50,13 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     read; ts normalized from TIMESTAMP(NANOS) exactly like the batch
     loader)."""
     path = f"{sf_dir}/events.parquet"
-    static = spark.read.parquet(path)
+    try:
+        static = spark.read.parquet(path)
+    except Exception:
+        # TIMESTAMP(NANOS) parquet needs the legacy nanos-as-long read path
+        # (mirrors plans.registry.load for driver-owned sessions).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        static = spark.read.parquet(path)
     stream = (spark.readStream.schema(static.schema)
               .parquet(_stage_dir(path)))
     if isinstance(static.schema["ts"].dataType, LongType):
