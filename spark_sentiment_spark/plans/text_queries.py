@@ -91,7 +91,7 @@ tf AS (SELECT category, doc, word, count(*) AS tf
        FROM tokens GROUP BY 1, 2, 3),
 vocab AS (
   SELECT category, word, count(*) AS doc_freq, sum(tf) AS total_tf
-  FROM tf WHERE tf >= 2 GROUP BY 1, 2 HAVING count(*) >= 5
+  FROM tf GROUP BY 1, 2 HAVING count(*) >= 5
 ),
 overlap AS (SELECT word FROM vocab GROUP BY word HAVING count(*) > 2)
 SELECT category, word, CAST(doc_freq AS BIGINT) AS doc_freq,
@@ -103,14 +103,58 @@ ORDER BY category, word
 
 @register("wordlist_extraction", sql=WORDLIST_SQL, tags=("text", "train"))
 def wordlist_extraction(spark, sf_dir):
-    """M16: per-category vocabulary (minTF=2, minDF=5) minus words in >2
-    category vocabularies — CreateScoreList.score as one DataFrame plan
+    """M16: per-category vocabulary (minDF=5; minTF accepted-but-unused,
+    matching CountVectorizer.fit) minus words in >2 category vocabularies —
+    CreateScoreList.score as one DataFrame plan
     (operators.wordlist_extraction), keyed here on documents.lang."""
     from spark_sentiment_spark.operators.wordlist_extraction import (
         extract_wordlists)
 
     docs = load(spark, sf_dir, "documents")
     return (extract_wordlists(docs, "text", "lang")
+            .select("category", "word",
+                    F.col("doc_freq").cast("long").alias("doc_freq"),
+                    F.col("total_tf").cast("long").alias("total_tf"))
+            .orderBy("category", "word"))
+
+
+WORDLIST_SCALED_SQL = """
+WITH docs AS (
+  SELECT lang AS category, row_number() OVER () AS doc,
+         string_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+tokens AS (SELECT category, doc, unnest(toks) AS word FROM docs),
+tf AS (SELECT category, doc, word, count(*) AS tf
+       FROM tokens GROUP BY 1, 2, 3),
+vocab AS (
+  SELECT category, word, count(*) AS doc_freq, sum(tf) AS total_tf
+  FROM tf GROUP BY 1, 2 HAVING count(*) >= 2
+),
+overlap AS (SELECT word FROM vocab GROUP BY word HAVING count(*) > 5)
+SELECT category, word, CAST(doc_freq AS BIGINT) AS doc_freq,
+       CAST(total_tf AS BIGINT) AS total_tf
+FROM vocab WHERE word NOT IN (SELECT word FROM overlap)
+ORDER BY category, word
+"""
+
+
+@register("wordlist_extraction_scaled", sql=WORDLIST_SCALED_SQL,
+          tags=("text", "train"))
+def wordlist_extraction_scaled(spark, sf_dir):
+    """M16 with fixture-scaled thresholds (minDF=2, overlap_limit=5): the
+    reference-parity constants (minDF=5, overlap>2) retain only 2 rows at
+    sf0.01 — the synthetic corpus shares its vocabulary across all 5 langs,
+    so every dense word trips the overlap filter. This variant disables the
+    overlap cut (limit = category count) to hash a dense vocabulary through
+    the same tf/df aggregation plan; the reference-parity constants stay on
+    the primary ``wordlist_extraction`` query and the operator API."""
+    from spark_sentiment_spark.operators.wordlist_extraction import (
+        extract_wordlists)
+
+    docs = load(spark, sf_dir, "documents")
+    return (extract_wordlists(docs, "text", "lang", min_df=2,
+                              overlap_limit=5)
             .select("category", "word",
                     F.col("doc_freq").cast("long").alias("doc_freq"),
                     F.col("total_tf").cast("long").alias("total_tf"))
