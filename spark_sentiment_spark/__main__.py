@@ -25,6 +25,7 @@ pluggable scorer).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -54,8 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="detection sample size (reference default 100)")
     p.add_argument("--output-type", default="parquet",
                    choices=["json", "csv", "txt", "parquet", "orc"])
-    p.add_argument("--stem", action="store_true",
-                   help="stem during cleaning (reference order quirk kept)")
+    p.add_argument("--stem", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="stem during cleaning; on by default like the "
+                        "reference's --no-stem opt-out (Sentiment.scala:"
+                        "27,208) — disable with --no-stem")
     p.add_argument("--master", help="Spark master (default local[CPUS])")
     p.add_argument("--show", type=int, default=0, metavar="N",
                    help="print N scored rows to stdout")
@@ -81,15 +85,35 @@ def _analyze(spark, args) -> int:
     if args.method == "mlib" and not args.model:
         print("--method mlib needs --model", file=sys.stderr)
         return 2
-    for path in args.input:
+    outs = _per_input_outputs(args.input, args.output)
+    for path, out in zip(args.input, outs):
         scored = analyze(spark, path, method=args.method,
                          column=args.column, filetype=args.filetype,
                          model_path=args.model, stem=args.stem,
-                         limit=args.limit, output=args.output,
+                         limit=args.limit, output=out,
                          output_type=args.output_type)
         if args.show:
             scored.show(args.show, truncate=60)
     return 0
+
+
+def _per_input_outputs(inputs: list[str], output: str | None) -> list[str | None]:
+    """With several inputs and one --output, each analyze() would
+    save(mode='overwrite') onto the same path and only the last input's
+    scored table would survive — write each input to its own subpath
+    instead (basename-keyed, index-suffixed on collision)."""
+    if output is None or len(inputs) == 1:
+        return [output] * len(inputs)
+    root = output.rstrip("/")
+    seen: dict[str, int] = {}
+    outs = []
+    for i, path in enumerate(inputs):
+        base = os.path.splitext(os.path.basename(path.rstrip("/")))[0] \
+            or f"input_{i}"
+        n = seen.get(base, 0)
+        seen[base] = n + 1
+        outs.append(f"{root}/{base}_{n}" if n else f"{root}/{base}")
+    return outs
 
 
 def _train(spark, args) -> int:

@@ -91,19 +91,42 @@ def stemmed_lexicon_df(spark: SparkSession) -> DataFrame:
     """DataFrame(word=stem, score=mean) mirroring WordList.getAll. The stems
     are precomputed driver-side (the lexicon is ~7k words; stemming it once
     on the driver beats shipping a stemmer UDF) and staged through a temp
-    CSV so the scan stays JVM-native."""
+    CSV so the scan stays JVM-native.
+
+    The staging path is keyed by a content hash of the stemmed lexicon and
+    the writing user, and written atomically (mkstemp + rename): a stale
+    file from an older lexicon/stemmer version misses the key, concurrent
+    processes each rename a complete file, and other users on a shared
+    host cannot pre-create the path we read."""
     import csv as _csv
+    import hashlib
+    import io
     import os
     import tempfile
 
-    d = os.path.join(tempfile.gettempdir(), "stemmed_lexicon.csv")
-    if not os.path.exists(d):
-        with open(d, "w", newline="", encoding="utf-8") as f:
-            w = _csv.writer(f)
-            w.writerow(["word", "score"])
-            for word, score in sorted(stemmed_lexicon_dict().items()):
-                w.writerow([word, score])
-    return spark.read.schema(_LEX_SCHEMA).option("header", "true").csv(d)
+    items = sorted(stemmed_lexicon_dict().items())
+    buf = io.StringIO()
+    w = _csv.writer(buf)
+    w.writerow(["word", "score"])
+    for word, score in items:
+        w.writerow([word, score])
+    content = buf.getvalue()
+    key = hashlib.sha256(content.encode("utf-8")).hexdigest()[:16]
+    uid = getattr(os, "getuid", lambda: "na")()
+    path = os.path.join(tempfile.gettempdir(),
+                        f"stemmed_lexicon_{uid}_{key}.csv")
+    if not os.path.exists(path):
+        fd, tmp = tempfile.mkstemp(dir=tempfile.gettempdir(),
+                                   prefix="stemmed_lexicon_")
+        try:
+            with os.fdopen(fd, "w", newline="", encoding="utf-8") as f:
+                f.write(content)
+            os.replace(tmp, path)  # atomic on POSIX
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+    return spark.read.schema(_LEX_SCHEMA).option("header", "true").csv(path)
 
 
 def emoji_df(spark: SparkSession) -> DataFrame:

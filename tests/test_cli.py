@@ -68,3 +68,36 @@ def test_cli_missing_model_errors(keep_session_alive, tweets_csv):
 
     rc = main(["--input", tweets_csv, "--method", "mlib"])
     assert rc == 2
+
+
+def test_cli_stem_defaults_on_with_no_stem_optout():
+    """Reference parity: stem=true by default, --no-stem opts out
+    (Sentiment.scala:27,208)."""
+    from spark_sentiment_spark.__main__ import build_parser
+
+    p = build_parser()
+    assert p.parse_args(["--input", "x"]).stem is True
+    assert p.parse_args(["--input", "x", "--no-stem"]).stem is False
+    assert p.parse_args(["--input", "x", "--stem"]).stem is True
+
+
+def test_cli_multi_input_gets_per_input_outputs(keep_session_alive,
+                                                tweets_csv, tmp_path):
+    """Two inputs + one --output must not clobber each other: each input
+    lands in its own subpath (index-suffixed on basename collision)."""
+    from spark_sentiment_spark.__main__ import _per_input_outputs, main
+
+    assert _per_input_outputs(["a/t.csv", "b/t.csv", "c/u.csv"], "out") == \
+        ["out/t", "out/t_1", "out/u"]
+    assert _per_input_outputs(["a/t.csv"], "out") == ["out"]
+    assert _per_input_outputs(["a/t.csv", "b/u.csv"], None) == [None, None]
+
+    out = str(tmp_path / "scored")
+    rc = main(["--input", tweets_csv, "--input", tweets_csv,
+               "--method", "word-score", "--output", out])
+    assert rc == 0
+    spark = keep_session_alive
+    base = "tweets"
+    first = spark.read.parquet(f"{out}/{base}")
+    second = spark.read.parquet(f"{out}/{base}_1")
+    assert first.count() == 100 and second.count() == 100
