@@ -11,7 +11,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_sentiment_spark.plans.registry import load, register
+from spark_sentiment_spark.plans.registry import (load, register,
+                                                  track_persist)
 
 def _shingled(docs, id_col: str = "doc_id", text_col: str = "text"):
     """(id, shingle) rows: 3-word shingles over the lowercased text (whole
@@ -162,7 +163,8 @@ def dedup_minhash_lsh(spark, sf_dir):
             F.min((h * F.lit(a) + F.lit(b)) % F.lit(p)).alias(f"mh{i}")
             for i, (a, b) in enumerate(perms)
         ]
-    ).persist()
+    )
+    mins = track_persist(mins)
     # (doc_id, band_id, band_hash) via a single posexplode — no 8-way union.
     band_hashes = F.array(*[
         F.xxhash64(*[F.col(f"mh{band * rows_per_band + r}")

@@ -30,6 +30,35 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+# Plans that persist() an intermediate (minhash signatures, LSH buckets,
+# tf counts) register it here: the cache must outlive the *returned lazy
+# DataFrame's* consumption, so the query function cannot unpersist it
+# itself. One-shot harnesses may ignore this (executor teardown frees the
+# blocks); long-lived sessions call release_caches() after consuming a
+# query's result to avoid accumulating cached RDDs.
+_PERSISTED: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """persist() a plan intermediate and track it for release_caches()."""
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate cached by catalog queries so far.
+    Returns the number released. Safe to call at any time AFTER the
+    consuming action (collect/write) of the queries that cached them."""
+    n = 0
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to free
+    return n
+
 
 def register(name: str, sql: str | None = None, bench: bool = False,
              tags: tuple = ()):

@@ -10,7 +10,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_sentiment_spark.plans.registry import load, register
+from spark_sentiment_spark.plans.registry import (load, register,
+                                                  track_persist)
 
 
 def _as_double(col):
@@ -242,8 +243,9 @@ def ann_lsh_topk(spark, sf_dir):
     )
     # One row per vector (id, label, embedding, bucket) — computed once and
     # persisted so the bucket self-join reuses it instead of re-scanning.
-    signed = emb.select("vec_id", "label", e.alias("e"),
-                        sig.cast("long").alias("bucket")).persist()
+    signed = track_persist(
+        emb.select("vec_id", "label", e.alias("e"),
+                   sig.cast("long").alias("bucket")))
     a = signed.alias("a")
     b = signed.alias("b")
     cos = _dot(F.col("a.e"), F.col("b.e")) / (

@@ -9,7 +9,8 @@ from pyspark.sql.window import Window
 
 from spark_sentiment_spark.functions.lexicon import LEXICON_CSV
 from spark_sentiment_spark.functions.text import clean_text_col, clean_text_sql
-from spark_sentiment_spark.plans.registry import load, register
+from spark_sentiment_spark.plans.registry import (load, register,
+                                                  track_persist)
 
 # --- Cleaning (native regexp chain, F4-F7 / U1) -----------------------------
 
@@ -459,7 +460,7 @@ def text_tfidf_topk(spark, sf_dir):
     # rows, so doc-frequency is a plain count over tf — no second pass over
     # the token stream and no two-phase countDistinct.
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    tf.persist()
+    tf = track_persist(tf)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))

@@ -3,7 +3,8 @@ with an oracle must match DuckDB on row count, schema names, and values."""
 
 import pytest
 
-from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
+from spark_sentiment_spark.plans.registry import (REGISTRY, all_queries,
+                                                  release_caches)
 from tests.conftest import SF_DIR
 from tests.oracle_utils import compare, duck_connection
 
@@ -23,6 +24,7 @@ def duck():
 def test_oracle_match(spark, duck, name):
     q = REGISTRY[name]
     ok, msg = compare(q.fn(spark, SF_DIR), duck, q.sql, name)
+    release_caches()  # full-catalog run in ONE session must not accumulate
     assert ok, msg
 
 
@@ -30,5 +32,18 @@ def test_oracle_match(spark, duck, name):
 def test_rows_only_runs(spark, name):
     q = REGISTRY[name]
     df = q.fn(spark, SF_DIR)
-    assert df.count() >= 0
+    n = df.count()
+    release_caches()
+    assert n >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_release_caches_leaves_nothing_cached(spark):
+    """After a consuming action + release_caches(), no RDD blocks linger —
+    the long-lived-session contract for plans that persist intermediates."""
+    from spark_sentiment_spark.plans.registry import REGISTRY
+
+    REGISTRY["dedup_minhash_lsh"].fn(spark, SF_DIR).count()
+    assert release_caches() >= 1
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0
