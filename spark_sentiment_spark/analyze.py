@@ -5,9 +5,11 @@ dispatch (entry point A, SRC/Sentiment.scala:104-197, SURVEY.md §3.1):
     drop intermediates → optionally save.
 
 Methods: ``word-score`` (lexicon plan, M13), ``mlib`` (persisted
-PipelineModel, M12), ``nlp`` (sentence-sentiment UDF, M14/M15 — subsumes
-the reference's our-nlp and databricks-nlp, which differ only in which JVM
-NLP library backs the same text→class contract).
+PipelineModel, M12), ``nlp``/``our-nlp``/``databricks-nlp``
+(sentence-sentiment UDF, M14/M15 — same text→class 0..4 contract as the
+reference's CoreNLP paths; ``our-nlp`` defaults to the shipped trained
+model artifact in ``operators.nlp_model``, the others to the lexicon
+scorer, and any backend can be swapped via ``sentence_scorer_factory=``).
 
 Everything stays one lazy DataFrame plan per input: no collect, no
 driver-side loops; cleaning is native Column expressions; the only Python
@@ -86,8 +88,16 @@ def _dispatch(df: DataFrame, method: str, model_path: str | None,
     if method in ("nlp", "our-nlp", "databricks-nlp"):
         from spark_sentiment_spark.operators.nlp_sentiment import score_nlp
 
-        return score_nlp(df, CLEANED_COL, SCORE_COL,
-                         sentence_scorer_factory)
+        factory = sentence_scorer_factory
+        if factory is None and method == "our-nlp":
+            # "our-nlp" in the reference is the *trained* CoreNLP RNN;
+            # default its analogue here to the shipped trained model
+            # artifact rather than the lexicon heuristic.
+            from spark_sentiment_spark.operators.nlp_model import (
+                model_scorer_factory)
+
+            factory = model_scorer_factory
+        return score_nlp(df, CLEANED_COL, SCORE_COL, factory)
     raise ValueError(f"unknown method {method!r}; "
                      "use word-score | mlib | nlp")
 

@@ -68,8 +68,16 @@ def _lexicon_sentence_scorer():
     return extract
 
 
-# per-worker lazy singleton (the reference's @transient wrapper pattern)
-_WORKER_SCORER: list = []
+# per-worker lazy scorers, keyed by factory (the reference's @transient
+# wrapper pattern). Keyed — not a singleton — so lexicon- and model-backed
+# UDFs in the same session don't serve each other's scorer.
+_WORKER_SCORERS: dict = {}
+
+
+def _worker_scorer(factory):
+    if factory not in _WORKER_SCORERS:
+        _WORKER_SCORERS[factory] = factory()
+    return _WORKER_SCORERS[factory]
 
 
 def compute_sentiment(text: str, extract=None) -> int:
@@ -88,9 +96,7 @@ def sentiment_udf(sentence_scorer_factory: Callable | None = None) -> Column:
 
     @pandas_udf("int")
     def _score(texts: pd.Series) -> pd.Series:
-        if not _WORKER_SCORER:            # lazy init, once per worker
-            _WORKER_SCORER.append(factory())
-        extract = _WORKER_SCORER[0]
+        extract = _worker_scorer(factory)  # lazy init, once per worker
         return texts.map(
             lambda t: compute_sentiment(t, extract) if t else NEUTRAL)
 
@@ -114,9 +120,7 @@ def sentence_sentiments(df: DataFrame, text_col: str,
 
     @pandas_udf("array<struct<sentence:string,cls:int>>")
     def _extract(texts: pd.Series) -> pd.Series:
-        if not _WORKER_SCORER:
-            _WORKER_SCORER.append(_lexicon_sentence_scorer())
-        extract = _WORKER_SCORER[0]
+        extract = _worker_scorer(_lexicon_sentence_scorer)
         return texts.map(lambda t: [
             {"sentence": s, "cls": c} for s, c in (extract(t) if t else [])
         ])
