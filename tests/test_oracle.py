@@ -39,11 +39,16 @@ def test_rows_only_runs(spark, name):
 
 
 def test_release_caches_leaves_nothing_cached(spark):
-    """After a consuming action + release_caches(), no RDD blocks linger —
-    the long-lived-session contract for plans that persist intermediates."""
+    """After a consuming action + release_caches(), the query's cached
+    RDDs are gone — the long-lived-session contract for plans that persist
+    intermediates. Asserted relative to the session's pre-existing cache
+    count (other components, e.g. MLlib fits, cache outside the tracker)."""
     from spark_sentiment_spark.plans.registry import REGISTRY
 
-    REGISTRY["dedup_minhash_lsh"].fn(spark, SF_DIR).count()
-    assert release_caches() >= 1
+    release_caches()  # drain anything tracked by earlier tests
     jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() == 0
+    before = jsc.getPersistentRDDs().size()
+    REGISTRY["dedup_minhash_lsh"].fn(spark, SF_DIR).count()
+    assert jsc.getPersistentRDDs().size() > before
+    assert release_caches() >= 1
+    assert jsc.getPersistentRDDs().size() == before
