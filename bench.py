@@ -62,6 +62,13 @@ def main() -> None:
     # warm-up noise.
     first = next(iter(qs.values()))
     _force(first(spark, sf_dir))
+    # Also warm the Python worker pool: the first pandas UDF in a session
+    # forks one worker per core (~2s at local[32]) — pay it here, not in
+    # the first Arrow-batched query's timing.
+    from pyspark.sql.functions import col, pandas_udf
+
+    _warm = pandas_udf(lambda s: s, "double")
+    spark.range(cpus * 4).select(_warm(col("id").cast("double"))).collect()
 
     # Two timed runs per query, report the min: steady-state cost, robust
     # to host noise (this box runs other tenants; medians of 2 == means,

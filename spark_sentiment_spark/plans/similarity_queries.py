@@ -235,7 +235,7 @@ ANN_LSH_PLANES = 6
 
 @register("ann_lsh_topk", bench=True, tags=("similarity",))
 def ann_lsh_topk(spark, sf_dir, n_tables: int = ANN_LSH_TABLES,
-                 n_planes: int = ANN_LSH_PLANES):
+                 n_planes: int | None = None):
     """Approximate NN via multi-table random-hyperplane LSH, fully native:
     T independent P-plane tables → T bucket ids per vector → candidate
     pairs share any table's bucket (posexplode + bucket-local self-join,
@@ -247,6 +247,16 @@ def ann_lsh_topk(spark, sf_dir, n_tables: int = ANN_LSH_TABLES,
 
     emb = load(spark, sf_dir, "embeddings")
     dim = 64
+    if n_planes is None:
+        # The scale rule made executable: candidate pairs grow as n²/2^P
+        # per table, so P tracks log2(n / bucket_target) and per-bucket
+        # occupancy — hence the in-bucket join — stays bounded as the
+        # corpus grows. The count is a parquet metadata read, not a scan.
+        import math
+
+        n = emb.count()
+        n_planes = max(ANN_LSH_PLANES,
+                       math.ceil(math.log2(max(n, 1) / 16 or 1)))
     rng = random.Random(7)
 
     e = _as_double("embedding")
@@ -282,7 +292,10 @@ def ann_lsh_topk(spark, sf_dir, n_tables: int = ANN_LSH_TABLES,
     # signatures instead of re-evaluating the T×P dot products.
     sigs = track_persist(emb.select(
         "vec_id", F.posexplode(buckets).alias("t", "bucket")))
-    vecs = track_persist(emb.select("vec_id", e.alias("e")))
+    # Vectors are L2-normalized ONCE here (2 norm passes per candidate
+    # pair → 1 per vector): the re-rank cosine is then a bare dot product.
+    unit = F.transform(e, lambda x: x / _norm(e))
+    vecs = track_persist(emb.select("vec_id", unit.alias("e")))
 
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
@@ -294,9 +307,7 @@ def ann_lsh_topk(spark, sf_dir, n_tables: int = ANN_LSH_TABLES,
         .distinct()  # a close pair collides in several tables
     )
     va, vb = vecs.alias("va"), vecs.alias("vb")
-    cos = _dot(F.col("va.e"), F.col("vb.e")) / (
-        _norm(F.col("va.e")) * _norm(F.col("vb.e"))
-    )
+    cos = _dot(F.col("va.e"), F.col("vb.e"))
     pairs = (
         cand.join(va, F.col("vec_a") == F.col("va.vec_id"))
         .join(vb, F.col("vec_b") == F.col("vb.vec_id"))
