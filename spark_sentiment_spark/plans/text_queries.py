@@ -164,6 +164,105 @@ def wordlist_extraction_scaled(spark, sf_dir):
 
 # --- Text analysis extension surface ---------------------------------------
 
+def _word_ngrams(w, n: int):
+    """array<string> of space-joined word n-grams from a token array —
+    native transform/slice, no UDF. Caller guards size(w) >= n."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
+    )
+
+
+REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM toks, LATERAL unnest(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT)          AS n_grams,
+       CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+       round(1 - count(DISTINCT g)::DOUBLE / count(*), 6) AS rep_ratio
+FROM grams
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("quality_repetition", sql=REPETITION_SQL, tags=("text", "quality"))
+def quality_repetition(spark, sf_dir):
+    """Within-document repetition score (the Gopher-rules quality signal):
+    fraction of duplicate word 3-grams per doc. One explode + one hash
+    aggregation on doc_id — linear, single shuffle; countDistinct is
+    partial-aggregated, so the wire carries (doc, gram) groups, not the
+    token stream."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ", -1)
+    grams = (
+        docs.where(F.col("text").isNotNull() & (F.size(w) >= 3))
+        .select("doc_id", F.explode(_word_ngrams(w, 3)).alias("g"))
+    )
+    return (
+        grams.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             F.countDistinct("g").alias("n_distinct"))
+        .select(
+            "doc_id", "n_grams", "n_distinct",
+            F.round(1 - F.col("n_distinct") / F.col("n_grams"), 6)
+            .alias("rep_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM toks, LATERAL unnest(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5)
+SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_hits
+FROM grams
+WHERE doc_id >= 5 AND g IN (SELECT g FROM bench)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("decontaminate_ngram", sql=DECONTAMINATE_SQL,
+          tags=("text", "dedup"))
+def decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any word
+    3-gram with a benchmark set (stand-in here: the n-grams of doc_id < 5;
+    in production, the eval-suite's n-grams). The benchmark side is tiny
+    and broadcast; the corpus explodes once and aggregates on doc_id — one
+    shuffle, no benchmark-side scan of the corpus. Returns (doc_id,
+    n_hits) per contaminated document."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ", -1)
+    grams = (
+        docs.where(F.col("text").isNotNull() & (F.size(w) >= 3))
+        .select("doc_id", F.explode(_word_ngrams(w, 3)).alias("g"))
+    )
+    bench = (grams.where(F.col("doc_id") < 5)
+             .select("g").distinct())
+    return (
+        grams.where(F.col("doc_id") >= 5)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
 WORDCOUNT_SQL = """
 SELECT lang,
        count(*) AS n_docs,
