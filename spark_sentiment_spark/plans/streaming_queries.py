@@ -27,6 +27,8 @@ from spark_sentiment_spark.plans.registry import load, register
 from spark_sentiment_spark.streaming.streams import (
     read_event_stream,
     run_to_memory,
+    session_windows,
+    stateful_user_counts,
     stream_static_enrich,
     tumbling_hourly,
 )
@@ -85,3 +87,53 @@ def streaming_static_enrich(spark, sf_dir):
     stream = stream_static_enrich(events, dim)
     out = run_to_memory(stream, _unique("stream_enrich"))
     return out.orderBy("segment")
+
+
+STREAM_STATEFUL_SQL = """
+SELECT user_id,
+       count(*) AS n_events,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("streaming_stateful_counts", sql=STREAM_STATEFUL_SQL,
+          tags=("streaming", "events", "stateful"))
+def streaming_stateful_counts(spark, sf_dir):
+    """Custom stateful operator through the harness: per-user running
+    count + last-seen timestamp via ``applyInPandasWithState`` (update
+    mode). Over the finite source the final state per user equals the
+    batch groupBy — the oracle. last_ts is re-formatted Spark-side to a
+    fixed 6-digit-microsecond form so both engines render identically."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = stateful_user_counts(read_event_stream(spark, sf_dir))
+    out = run_to_memory(stream, _unique("stream_state"), output_mode="update")
+    # update mode emits one row per user per micro-batch; keep the final
+    # state per user (single batch here, but be order-proof anyway).
+    latest = out.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "last_ts")).alias("s"))
+    return (
+        latest.select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.date_format(F.to_timestamp("s.last_ts"),
+                          "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register("streaming_sessionize", tags=("streaming", "events"))
+def streaming_sessionize(spark, sf_dir):
+    """Native incremental session windows (``F.session_window``, 1h gap)
+    through the harness. Rows-only by design: the gap boundary is
+    exclusive here but strict-greater in the batch lag/cumsum twin, so
+    events landing exactly on the boundary may split differently — the
+    stream==batch equality modulo that boundary is pinned in
+    tests/test_streaming.py."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = session_windows(read_event_stream(spark, sf_dir))
+    out = run_to_memory(stream, _unique("stream_sessions"))
+    return out.orderBy("user_id", "session_start")
