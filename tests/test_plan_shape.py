@@ -82,3 +82,37 @@ def test_gap_fill_single_window_shuffle(spark):
     assert plan.count("Window") >= 1
     # forward-fill must be a running frame, not a re-sort per row
     assert "unboundedpreceding" in plan.lower()
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    plan = _plan(spark, "decontaminate_ngram")
+    assert "Python" not in plan            # n-grams are native transform/slice
+    assert "BroadcastHashJoin" in plan     # benchmark grams broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_repetition_is_native_single_agg(spark):
+    plan = _plan(spark, "quality_repetition")
+    assert "Python" not in plan
+    # countDistinct expands to a two-phase agg on (doc_id, g) then doc_id;
+    # both must be partial+final hash aggs, no sort-based fallback
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+
+
+def test_ann_lsh_python_confined_to_signature_stage(spark):
+    """The pandas-UDF matmul is the ONLY Python in the LSH plan: the
+    bucket self-join, dedup, and re-rank must stay JVM-side."""
+    from spark_sentiment_spark.plans.registry import (REGISTRY, all_queries,
+                                                      release_caches)
+
+    all_queries()
+    df = REGISTRY["ann_lsh_topk"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    release_caches()
+    # the persisted signature stage prints once under each self-join branch
+    # in the pre-materialization plan — 2 nodes, 1 actual evaluation
+    assert plan.count("ArrowEvalPython") <= 2
+    assert "BatchEvalPython" not in plan   # no row-at-a-time Python
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan \
+        or "SortMergeJoin" in plan         # re-rank joins are JVM joins
