@@ -565,3 +565,125 @@ def q22_dormant_customers(spark, sf_dir):
         )
         .orderBy("cntrycode")
     )
+
+
+# --- Q2 (adapted): correlated-min subquery over a multi-dim join ------------
+# The testdata has no partsupp/ps_supplycost, so the classic "min-cost
+# supplier per part" becomes "min-acctbal supplier among those who shipped
+# the part" — the same physical shape: dim joins + per-group min + filter
+# back to the rows achieving it.
+
+Q2_SQL = """
+WITH shipped AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+cand AS (
+  SELECT p.p_partkey, p.p_type, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM shipped sh
+  JOIN part p     ON p.p_partkey = sh.l_partkey
+  JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  WHERE p.p_size = 4
+),
+best AS (
+  SELECT p_partkey, min(s_acctbal) AS min_bal FROM cand GROUP BY p_partkey
+)
+SELECT c.p_partkey, c.p_type, c.s_name, c.n_name,
+       round(c.s_acctbal, 2) AS acctbal
+FROM cand c JOIN best b
+  ON c.p_partkey = b.p_partkey AND c.s_acctbal = b.min_bal
+ORDER BY acctbal DESC, c.p_partkey, c.s_name
+"""
+
+
+@register("q2_min_cost_supplier", sql=Q2_SQL,
+          tags=("join", "scalar-subquery", "agg"))
+def q2_min_cost_supplier(spark, sf_dir):
+    """Q2's shape on the reduced schema: per-part minimum over a joined
+    candidate set, keeping the achieving rows. The per-group min is a
+    window over p_partkey — one shuffle on the group key, no join-back —
+    and every dimension join broadcasts."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey") \
+        .distinct()
+    part = load(spark, sf_dir, "part").where(F.col("p_size") == 4)
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    cand = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("p_partkey", "p_type", "s_name", "n_name", "s_acctbal")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .where(F.col("s_acctbal") == F.col("min_bal"))
+        .select("p_partkey", "p_type", "s_name", "n_name",
+                F.round("s_acctbal", 2).alias("acctbal"))
+        .orderBy(F.desc("acctbal"), "p_partkey", "s_name")
+    )
+
+
+# --- Q21 (adapted): suppliers solely responsible for late orders ------------
+# No l_receiptdate/l_commitdate in the reduced schema; "late" is a ship
+# lag > 90 days after the order date. The correlated EXISTS / NOT EXISTS
+# pair is reformulated as two aggregations (distinct suppliers per order;
+# distinct LATE suppliers per order), which is the plan you want at scale:
+# no per-row correlated probes, just hash aggs + semi joins on l_orderkey.
+
+Q21_SQL = """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+),
+multi AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) >= 2
+),
+sole AS (
+  SELECT l_orderkey FROM late
+  GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) = 1
+)
+SELECT s.s_name, count(*) AS numwait
+FROM late l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE l.l_orderkey IN (SELECT l_orderkey FROM multi)
+  AND l.l_orderkey IN (SELECT l_orderkey FROM sole)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+"""
+
+
+@register("q21_waiting_suppliers", sql=Q21_SQL,
+          tags=("join", "semi", "agg"))
+def q21_waiting_suppliers(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F")
+    supp = load(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate")
+               > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    multi = (li.groupBy("l_orderkey")
+             .agg(F.countDistinct("l_suppkey").alias("ns"))
+             .where(F.col("ns") >= 2).select("l_orderkey"))
+    sole = (late.groupBy("l_orderkey")
+            .agg(F.countDistinct("l_suppkey").alias("nl"))
+            .where(F.col("nl") == 1).select("l_orderkey"))
+    return (
+        late.join(multi, "l_orderkey", "left_semi")
+        .join(sole, "l_orderkey", "left_semi")
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
