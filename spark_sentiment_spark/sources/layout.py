@@ -44,3 +44,46 @@ def write_clustered(df: DataFrame, path: str, sort_cols: list[str],
     out = (df.repartitionByRange(num_files, *sort_cols) if num_files
            else df.repartitionByRange(*sort_cols))
     out.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def file_stats(spark, path: str):
+    """Per-file rows/bytes for a parquet dataset — the small-files
+    detector. Footer metadata only (no data read), computed driver-side
+    over the file listing; at 100 TB the listing is thousands of entries,
+    not billions — this is an ops utility, not a data-path operator."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for f in sorted(glob.glob(os.path.join(path, "part-*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        rows.append((os.path.basename(f), md.num_rows,
+                     os.path.getsize(f), md.num_row_groups))
+    return spark.createDataFrame(
+        rows, "file string, n_rows long, n_bytes long, n_row_groups long")
+
+
+def compact(spark, src: str, dest: str,
+            target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ``ceil(total_bytes / target_file_bytes)`` evenly-sized files.
+    Returns the output file count.
+
+    Streaming ingest and over-parallel writes leave datasets as thousands
+    of KB-scale files; every downstream scan then pays per-file open/
+    footer costs and the driver pays listing time. Compaction to
+    ~128 MB files is the standard maintenance pass. A full repartition
+    (not coalesce) is used so output files are even-sized — coalesce
+    would merge adjacent partitions and inherit their skew."""
+    import glob
+    import math
+    import os
+
+    total = sum(os.path.getsize(f)
+                for f in glob.glob(os.path.join(src, "part-*.parquet")))
+    n = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src).repartition(n).write.mode("overwrite") \
+        .parquet(dest)
+    return n

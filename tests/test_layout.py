@@ -60,3 +60,24 @@ def test_clustered_write_tightens_file_ranges(spark, tmp_path):
 
     # row count survives the re-layout
     assert spark.read.parquet(dest).count() == li.count()
+
+
+def test_compaction_merges_small_files(spark, tmp_path):
+    from spark_sentiment_spark.sources.layout import compact, file_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fragmented = str(tmp_path / "fragmented")
+    docs.repartition(32).write.parquet(fragmented)
+    stats = file_stats(spark, fragmented)
+    assert stats.count() == 32
+
+    compacted = str(tmp_path / "compacted")
+    n = compact(spark, fragmented, compacted, target_file_bytes=1 << 30)
+    assert n == 1
+    out_stats = file_stats(spark, compacted).collect()
+    assert len(out_stats) == 1
+    # correctness: nothing lost or duplicated
+    back = spark.read.parquet(compacted)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == \
+        docs.select("doc_id").distinct().count()
