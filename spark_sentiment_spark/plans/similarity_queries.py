@@ -314,3 +314,50 @@ def ann_lsh_topk(spark, sf_dir, n_tables: int = ANN_LSH_TABLES,
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
     )
     return pairs.orderBy(F.desc("cosine"), "vec_a", "vec_b").limit(200)
+
+
+# --- int8 scalar quantization (embedding storage compression) ---------------
+
+QUANTIZE_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS mx
+  FROM e
+),
+deq AS (
+  SELECT vec_id, v, mx,
+         list_transform(v, x -> round(x * 127.0 / mx) * mx / 127.0) AS d
+  FROM scaled
+)
+SELECT vec_id,
+       round(mx, 6) AS scale,
+       round(1 - list_dot_product(v, d)
+                 / (sqrt(list_dot_product(v, v))
+                    * sqrt(list_dot_product(d, d))), 9) AS cos_err
+FROM deq
+ORDER BY vec_id
+"""
+
+
+@register("embedding_quantize", sql=QUANTIZE_SQL, tags=("similarity",))
+def embedding_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 scalar quantization — the 4× storage
+    compression step of a 100 TB embedding store. Reports per-vector scale
+    and the cosine reconstruction error, all native higher-order
+    expressions (one pass, no shuffle, no Python); the quantized KNN
+    recall floor is pinned in tests/test_similarity_recall.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = _as_double("embedding")
+    mx = F.array_max(F.transform(v, F.abs))
+    deq = F.transform(v, lambda x: F.round(x * 127.0 / mx) * mx / 127.0)
+    e = emb.select("vec_id", v.alias("v"), mx.alias("mx"), deq.alias("d"))
+    cos = _dot(F.col("v"), F.col("d")) / (
+        _norm(F.col("v")) * _norm(F.col("d")))
+    return (
+        e.select("vec_id", F.round("mx", 6).alias("scale"),
+                 F.round(1 - cos, 9).alias("cos_err"))
+        .orderBy("vec_id")
+    )

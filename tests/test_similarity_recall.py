@@ -57,3 +57,31 @@ def test_ann_ivf_recall_floor(spark):
     ]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.5, f"IVF recall@10 degraded to {mean_recall:.3f}"
+
+
+def test_quantized_knn_recall_and_error(spark):
+    """int8 quantization quality pinned: reconstruction cosine error tiny,
+    and brute-force top-10 neighbors computed on dequantized vectors agree
+    with float top-10 at recall >= 0.9 (averaged over 5 queries)."""
+    rows = REGISTRY["embedding_quantize"].fn(spark, SF_DIR).collect()
+    release_caches()
+    assert all(r.cos_err < 5e-4 for r in rows)
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.array(t["vec_id"].to_pylist())
+    mx = np.abs(V).max(axis=1, keepdims=True)
+    D = np.round(V * 127.0 / mx) * mx / 127.0
+
+    def topk(M, k=10):
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = Mn @ Mn.T
+        np.fill_diagonal(S, -np.inf)
+        out = {}
+        for qi in np.where(ids < 5)[0]:
+            out[ids[qi]] = set(ids[np.argsort(-S[qi])[:k]])
+        return out
+
+    exact, quant = topk(V), topk(D)
+    recalls = [len(exact[q] & quant[q]) / 10 for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.9
