@@ -499,3 +499,47 @@ def events_rolling_1h(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+RETENTION_SQL = """
+WITH firsts AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+),
+joined AS (
+  SELECT e.user_id,
+         strftime(date_trunc('day', f.first_ts), '%Y-%m-%d') AS cohort_day,
+         CAST(floor(epoch_us(e.ts - f.first_ts) / 86400000000) AS BIGINT)
+           AS day_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_day, day_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+FROM joined
+GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+"""
+
+
+@register("events_retention_cohorts", sql=RETENTION_SQL, tags=("events",))
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users grouped by first-event day, activity counted
+    per whole-day offset from each user's own first event (microsecond-
+    exact arithmetic, so offsets agree bit-for-bit with the oracle). Two
+    shuffles — first-event agg on user_id, then the cohort/offset agg with
+    partial countDistinct; the firsts side joins on the same user_id key,
+    so AQE plans it shuffle- or broadcast-side by its actual size (user
+    cardinality is unbounded at scale — no broadcast hint)."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    joined = ev.join(firsts, "user_id").select(
+        "user_id",
+        F.date_format(F.date_trunc("day", "first_ts"), "yyyy-MM-dd")
+        .alias("cohort_day"),
+        F.floor((F.unix_micros("ts") - F.unix_micros("first_ts"))
+                / 86_400_000_000).alias("day_offset"),
+    )
+    return (
+        joined.groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
