@@ -8,6 +8,8 @@ quadratic by nature, and excluded from the bench set."""
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -131,39 +133,67 @@ def dedup_minhash_lsh(spark, sf_dir):
     """MinHash near-dup candidate pairs at scale: shingle → minhash
     signature → band → bucket join (the standard LSH banding scheme).
 
-    Fully native: 3-word shingles (consecutive-token n-grams — single-token
-    sets saturate on homogeneous corpora where any two docs share most of
-    the vocabulary), per-shingle xxhash64 under 32 seeded permutations
-    (a*h+b mod p), min per permutation, group 32 hashes into 8 bands of 4,
-    join on (band_id, band_hash) — no UDFs, no all-pairs product. Signature
-    agreement estimates Jaccard; candidates filtered at >= 0.5 estimated.
-    Rows-only check (hash functions are engine-specific); the exact Jaccard
-    query above is its semantic oracle.
+    3-word shingles (consecutive-token n-grams — single-token sets saturate
+    on homogeneous corpora where any two docs share most of the
+    vocabulary); 32 seeded permutations (a*h+b mod p) of 31-bit shingle
+    hashes, min per permutation; 32 hashes grouped into 8 bands of 4,
+    joined on (band_id, band_hash) — no all-pairs product.
+
+    The signature stage is ``mapInPandas``: each document's shingle set and
+    32 mins are computed LOCALLY inside its Arrow batch (one k×32 numpy
+    outer-product min per doc), so the token stream is never materialized
+    as rows and — unlike the explode → groupBy(doc_id) formulation — never
+    SHUFFLED. At 100 TB the token-stream shuffle is the dominant cost of
+    the aggregation form; the per-doc form is embarrassingly parallel and
+    emits one 33-column row per document straight into the banding step.
+    Banding, bucket join, and Jaccard-agreement estimation stay native.
+    Rows-only check (hash functions are engine-specific); the exact
+    Jaccard query above is its semantic oracle, and
+    tests/test_dedup_recall.py pins candidate recall against it.
     """
+    import random
+    import zlib
+
+    import numpy as np
+
     docs = load(spark, sf_dir, "documents")
     n_hashes, n_bands = 32, 8
     rows_per_band = n_hashes // n_bands
-    # Deterministic permutation parameters (fixed seed — stable across runs).
-    # 31-bit hash space with the Mersenne prime 2^31-1 keeps a*h+b < 2^62,
-    # safe under ANSI overflow checking.
-    import random
-
+    # Deterministic permutation parameters (fixed seed — stable across
+    # runs). 31-bit hash space with the Mersenne prime 2^31-1 keeps
+    # a*h+b < 2^62, safe in int64.
     rng = random.Random(42)
     p = (1 << 31) - 1
     perms = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(n_hashes)]
+    A = np.array([a for a, _ in perms], dtype=np.int64)
+    B = np.array([b for _, b in perms], dtype=np.int64)
 
-    tok = _shingled(docs)
-    h = F.xxhash64("w").bitwiseAND(F.lit(0x7FFFFFFF))
-    # One pass over the corpus: doc → 32-slot signature. One row per doc —
-    # a ~1000×+ reduction — so it is cached and every downstream step (band
-    # explode, bucket self-join, agreement join) reuses it instead of
-    # re-aggregating the token stream (which otherwise re-runs per branch).
-    mins = tok.groupBy("doc_id").agg(
-        *[
-            F.min((h * F.lit(a) + F.lit(b)) % F.lit(p)).alias(f"mh{i}")
-            for i, (a, b) in enumerate(perms)
-        ]
-    )
+    sig_schema = "doc_id long, " + ", ".join(
+        f"mh{i} long" for i in range(n_hashes))
+
+    def _signatures(batches):
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = text.lower().split(" ")
+                if len(toks) >= 3:
+                    sh = {" ".join(toks[i:i + 3])
+                          for i in range(len(toks) - 2)}
+                else:
+                    sh = {" ".join(toks)}
+                h = np.fromiter(
+                    (zlib.crc32(s.encode()) & 0x7FFFFFFF for s in sh),
+                    dtype=np.int64, count=len(sh))
+                sigs.append(((h[:, None] * A + B) % p).min(axis=0))
+                ids.append(doc_id)
+            S = np.vstack(sigs) if sigs else np.empty((0, n_hashes), np.int64)
+            yield pd.DataFrame(
+                {"doc_id": ids,
+                 **{f"mh{i}": S[:, i] for i in range(n_hashes)}})
+
+    mins = docs.select("doc_id", "text").mapInPandas(_signatures, sig_schema)
     mins = track_persist(mins)
     # (doc_id, band_id, band_hash) via a single posexplode — no 8-way union.
     band_hashes = F.array(*[

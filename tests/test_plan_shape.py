@@ -44,9 +44,25 @@ def test_wordscore_raw_is_pure_jvm(spark):
 
 def test_native_text_queries_have_no_python(spark):
     for name in ["clean_text", "quality_scores", "langid_stopword",
-                 "doc_fingerprints", "dedup_exact", "dedup_minhash_lsh"]:
+                 "doc_fingerprints", "dedup_exact"]:
         plan = _plan(spark, name)
         assert "Python" not in plan, f"{name} plan fell back to Python"
+
+
+def test_minhash_python_confined_to_signature_stage(spark):
+    """The mapInPandas signature stage is the ONLY Python in the minhash
+    plan (it exists precisely to avoid shuffling the token stream);
+    banding, bucket join, and agreement stay JVM-side."""
+    from spark_sentiment_spark.plans.registry import release_caches
+
+    plan = _plan(spark, "dedup_minhash_lsh")
+    release_caches()
+    # ONE persisted signature stage, printed under each of its four
+    # consumer branches (bucket self-join a/b, agreement join am/bm) in
+    # the pre-materialization plan
+    assert plan.count("MapInPandas") <= 4
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" in plan              # the banding join still shuffles
 
 
 def test_knn_broadcasts_queries_not_corpus(spark):
