@@ -1,0 +1,189 @@
+"""Training-data pipeline queries: sequence packing, deterministic splits,
+per-source caps, and vocabulary coverage over the ``documents`` table.
+
+These are the dataset-preparation steps a large-scale LLM training pipeline
+runs downstream of dedup/quality filtering (SURVEY.md §7.4). Each is a pure
+DataFrame plan with a DuckDB oracle twin; none touches Python row-at-a-time.
+
+Scale posture (100 TB): every query partitions by a bounded key (``source``)
+or aggregates to vocabulary size before any global ordering. The only global
+windows run over top-k-bounded inputs (≤100 rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_sentiment_spark.plans.registry import load, register
+
+# Whitespace tokenization shared by both sides. Spark `split` and DuckDB
+# `string_split_regex` agree on '\\s+' for trimmed, non-empty text.
+_TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+
+def _n_tokens_col():
+    return F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+
+
+# --- Sequence packing (GPT-style concat-and-chunk window assignment) --------
+
+PACK_BUDGET = 256
+
+PACK_SQL = f"""
+SELECT doc_id,
+       source,
+       n_tokens,
+       CAST(floor((cum - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS window_id
+FROM (
+  SELECT doc_id, source,
+         CAST(length({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+         sum(CAST(length({_TOKENS_SQL}) AS BIGINT)) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
+  WHERE text IS NOT NULL
+)
+ORDER BY source, doc_id
+"""
+
+
+@register("pack_sequences", sql=PACK_SQL, tags=("pipeline",))
+def pack_sequences(spark, sf_dir):
+    """Assign each document the context-window index where its first token
+    lands when the corpus is concatenated shard-by-shard and chunked into
+    fixed token budgets (the standard LLM pretraining packing layout).
+
+    Packing is per ``source`` shard, so the running sum parallelizes across
+    shards: one shuffle on the bounded shard key, no global ordering. At
+    100 TB the per-shard window is the scalable formulation — a single
+    global running sum would serialize the corpus through one task.
+    """
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    n_tok = _n_tokens_col()
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (docs
+            .select("doc_id", "source", n_tok.alias("n_tokens"))
+            .withColumn("cum", F.sum("n_tokens").over(w))
+            .select(
+                "doc_id", "source", "n_tokens",
+                F.floor((F.col("cum") - F.col("n_tokens")) / PACK_BUDGET)
+                 .cast("bigint").alias("window_id"))
+            .orderBy("source", "doc_id"))
+
+
+# --- Deterministic hash split (train/holdout) -------------------------------
+
+SPLIT_SQL = """
+SELECT doc_id,
+       substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f0'
+            THEN 'train' ELSE 'holdout' END AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("split_by_hash", sql=SPLIT_SQL, tags=("pipeline",))
+def split_by_hash(spark, sf_dir):
+    """Stable train/holdout assignment from the first md5 byte of the doc id
+    (240/256 ≈ 93.75% train). Content-addressed splits survive reshuffles,
+    re-ingestion, and incremental appends — unlike randomSplit, the same
+    document lands in the same split on every run and every engine (md5 is
+    engine-independent, unlike Spark's Murmur3 `hash`).
+
+    Narrow (no shuffle): a scan + projection, fully pushed down.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (docs.select(
+                "doc_id",
+                bucket.alias("bucket"),
+                F.when(bucket < "f0", "train").otherwise("holdout")
+                 .alias("split"))
+            .orderBy("doc_id"))
+
+
+# --- Per-source document cap (C4/RefinedWeb-style domain balancing) ---------
+
+CAP_PER_SOURCE = 10
+
+CAP_SQL = f"""
+SELECT doc_id, source, rank_in_source
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id)
+           AS rank_in_source
+  FROM documents
+)
+WHERE rank_in_source <= {CAP_PER_SOURCE}
+ORDER BY source, doc_id
+"""
+
+
+@register("cap_per_source", sql=CAP_SQL, tags=("pipeline",))
+def cap_per_source(spark, sf_dir):
+    """Keep at most N documents per source — the domain-balancing step that
+    stops a handful of giant crawl domains from dominating the training mix.
+
+    One shuffle on ``source``; rank + filter happens inside the window
+    partition, so the dropped tail never crosses the network again. With a
+    skewed domain distribution, AQE's skew-join split handles the hot
+    partitions (see operators/skew.py for the salted variant).
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (docs
+            .select("doc_id", "source",
+                    F.row_number().over(w).alias("rank_in_source"))
+            .where(F.col("rank_in_source") <= CAP_PER_SOURCE)
+            .orderBy("source", "doc_id"))
+
+
+# --- Vocabulary coverage profile (top-k cumulative token mass) --------------
+
+VOCAB_TOPK = 100
+
+VOCAB_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_TOKENS_SQL}) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM counts),
+top AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT {VOCAB_TOPK})
+SELECT token, cnt,
+       round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / (SELECT total FROM tot), 6) AS cum_frac
+FROM top
+ORDER BY cnt DESC, token
+"""
+
+
+@register("vocab_coverage", sql=VOCAB_SQL, tags=("pipeline",))
+def vocab_coverage(spark, sf_dir):
+    """Top-k tokens with cumulative corpus coverage — the Zipf profile used
+    to size tokenizer vocabularies and spot boilerplate-dominated corpora.
+
+    The corpus explodes once into a partial+final count (map-side combine
+    collapses each partition to its local vocabulary before the shuffle).
+    The global window runs only over the top-k rows (≤{VOCAB_TOPK}), and the
+    corpus total is a 1-row broadcast scalar, so nothing vocabulary-sized or
+    corpus-sized ever passes through a single partition.
+    """
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    counts = (docs
+              .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+              .groupBy("token").agg(F.count("*").alias("cnt")))
+    total = counts.agg(F.sum("cnt").cast("double").alias("total"))
+    top = counts.orderBy(F.desc("cnt"), "token").limit(VOCAB_TOPK)
+    w = (Window.orderBy(F.desc("cnt"), "token")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (top.crossJoin(F.broadcast(total))
+            .select(
+                "token", "cnt",
+                F.round(F.sum("cnt").over(w).cast("double") / F.col("total"), 6)
+                 .alias("cum_frac"))
+            .orderBy(F.desc("cnt"), "token"))

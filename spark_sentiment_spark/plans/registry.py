@@ -115,6 +115,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import spark_sentiment_spark.plans.streaming_queries  # noqa: F401
     import spark_sentiment_spark.plans.relational  # noqa: F401
     import spark_sentiment_spark.plans.tpch_shapes  # noqa: F401
+    import spark_sentiment_spark.plans.pipeline_queries  # noqa: F401
 
     return {name: q.fn for name, q in REGISTRY.items()}
 
