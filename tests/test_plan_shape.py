@@ -132,3 +132,23 @@ def test_ann_lsh_python_confined_to_signature_stage(spark):
     assert "BatchEvalPython" not in plan   # no row-at-a-time Python
     assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan \
         or "SortMergeJoin" in plan         # re-rank joins are JVM joins
+
+
+def test_pipeline_queries_native_and_bounded_shuffles(spark):
+    """The pipeline-prep family is pure JVM and stays within its shuffle
+    budget: packing/cap shuffle once on the shard key (+ the width
+    normalizer + output sort), split/mixture are narrow projections."""
+    budgets = {"pack_sequences": 3, "cap_per_source": 3,
+               "split_by_hash": 2, "mixture_sample": 2,
+               "dedup_prefix": 3, "vocab_coverage": 6}
+    for name, budget in budgets.items():
+        plan = _plan(spark, name)
+        assert "Python" not in plan, f"{name} fell back to Python"
+        n = plan.count("Exchange")
+        assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
+
+
+def test_dedup_incremental_anti_join_no_python(spark):
+    plan = _plan(spark, "dedup_incremental")
+    assert "Python" not in plan
+    assert "LeftAnti" in plan, "corpus-index dedup must be an anti-join"
