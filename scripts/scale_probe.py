@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Empirical scaling probe: replicate the sf0.1 inputs ×K (K = 1, 2, 4, 8)
+with distinct keys, rerun headline operators, and report wall time + rows/s.
+
+The point is to measure the *slope* of each operator as data grows with
+fixed parallelism — the local[32] stand-in for "add 10× data to a fixed
+cluster". Linear (or better) slope + flat rows/s means the plan has no
+super-linear term waiting at 100 TB; a blow-up here means a quadratic or a
+single-partition bottleneck. Writes SCALING.md.
+
+Usage: python scripts/scale_probe.py  (≈4 min; uses .scaletmp/, removed after)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+BASE_SF = "/root/testdata/sf0.1"
+TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   ".scaletmp")
+FACTORS = [1, 2, 4, 8]
+
+#: query → (tables it reads, key columns to re-key per replica). Re-keying
+#: keeps ids distinct across replicas so dedup/groupBy cardinality scales
+#: with the data instead of collapsing onto the originals.
+PROBES = {
+    "q1_pricing_summary": {"lineitem": ["l_orderkey"]},
+    "wordscore_sentiment": {"documents": ["doc_id"]},
+    "dedup_minhash_lsh": {"documents": ["doc_id"]},
+    "pack_sequences": {"documents": ["doc_id"]},
+    "events_sessionize": {"events": ["user_id"]},
+    "dedup_exact": {"documents": ["doc_id"]},
+}
+
+
+def replicate(spark, table: str, keys: list[str], k: int, out_dir: str):
+    df = spark.read.parquet(f"{BASE_SF}/{table}.parquet")
+    if k > 1:
+        reps = spark.range(k).withColumnRenamed("id", "__rep")
+        df = df.crossJoin(F.broadcast(reps))
+        for key in keys:
+            df = df.withColumn(key, F.col(key) * k + F.col("__rep"))
+        df = df.drop("__rep")
+    df.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+    return df.count()
+
+
+def main() -> None:
+    from spark_sentiment_spark import get_spark
+    from spark_sentiment_spark.plans.registry import (REGISTRY, all_queries,
+                                                      release_caches)
+
+    all_queries()
+    spark = get_spark(master="local[32]", shuffle_partitions=32,
+                      extra_conf={"spark.ui.enabled": "false",
+                                  "spark.driver.memory": "8g",
+                                  "spark.sql.codegen.wholeStage": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, dict[int, dict]] = {q: {} for q in PROBES}
+    try:
+        for k in FACTORS:
+            out_dir = f"{TMP}/x{k}"
+            tables = {t for spec in PROBES.values() for t in spec}
+            rows = {t: replicate(spark, t, next(
+                spec[t] for spec in PROBES.values() if t in spec), k, out_dir)
+                for t in sorted(tables)}
+            for name, spec in PROBES.items():
+                fn = REGISTRY[name].fn
+                fn(spark, out_dir).write.format("noop").mode("overwrite").save()
+                release_caches()  # warm (scan cache, codegen) — untimed
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(spark, out_dir).write.format("noop") \
+                        .mode("overwrite").save()
+                    best = min(best, time.perf_counter() - t0)
+                    release_caches()
+                in_rows = sum(rows[t] for t in spec)
+                results[name][k] = {"sec": round(best, 3),
+                                    "rows": in_rows,
+                                    "krows_s": round(in_rows / best / 1e3, 1)}
+                print(f"x{k} {name}: {best:.2f}s "
+                      f"({in_rows / best / 1e3:.0f} krows/s)", flush=True)
+    finally:
+        shutil.rmtree(TMP, ignore_errors=True)
+        spark.stop()
+
+    lines = [
+        "# SCALING — measured data-volume slopes (local[32], sf0.1 × K)",
+        "",
+        "Inputs replicated ×K with re-keyed ids (cardinality scales with the",
+        "data); per-query best-of-2 after an untimed warm run; `noop` sink",
+        "(full execution, no driver collect). The question each row answers:",
+        "as data grows with parallelism fixed, does wall time stay ~linear",
+        "and throughput ~flat? A super-linear slope would flag a quadratic",
+        "term or single-partition bottleneck before it matters at 100 TB.",
+        "",
+        "| query | ×1 | ×2 | ×4 | ×8 | ×8/×1 time ratio | krows/s ×1→×8 |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, by_k in results.items():
+        cells = [f"{by_k[k]['sec']}s" for k in FACTORS]
+        ratio = round(by_k[8]["sec"] / by_k[1]["sec"], 1)
+        thr = f"{by_k[1]['krows_s']} → {by_k[8]['krows_s']}"
+        lines.append(
+            f"| {name} | " + " | ".join(cells) + f" | {ratio}× | {thr} |")
+    lines += [
+        "",
+        "Reading: a ×8 time ratio at or below 8× (with rows/s flat or",
+        "rising, as fixed overhead amortizes) is linear scaling. The LSH",
+        "ratio includes signature recompute + bigger bucket joins — its",
+        "banded design keeps candidate pairs ~linear in n at fixed",
+        "similarity structure.",
+        "",
+        "Raw: `" + json.dumps(results) + "`",
+    ]
+    with open(os.path.join(os.path.dirname(TMP), "SCALING.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote SCALING.md")
+
+
+if __name__ == "__main__":
+    main()
