@@ -41,7 +41,7 @@ def multimodal_decode_features(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     mm = attach_binary_content(docs)
     return (decode_features(mm)
-            .select("doc_id", "n_bytes",
+            .select("doc_id", "n_bytes", "container",
                     F.round("mean_byte", 4).alias("mean_byte"),
                     F.round("entropy_bits", 4).alias("entropy_bits"),
                     "width", "height")

@@ -48,7 +48,7 @@ ORDER BY source, doc_id
 """
 
 
-@register("pack_sequences", sql=PACK_SQL, tags=("pipeline",))
+@register("pack_sequences", bench=True, sql=PACK_SQL, tags=("pipeline",))
 def pack_sequences(spark, sf_dir):
     """Assign each document the context-window index where its first token
     lands when the corpus is concatenated shard-by-shard and chunked into
@@ -162,7 +162,7 @@ ORDER BY cnt DESC, token
 """
 
 
-@register("vocab_coverage", sql=VOCAB_SQL, tags=("pipeline",))
+@register("vocab_coverage", bench=True, sql=VOCAB_SQL, tags=("pipeline",))
 def vocab_coverage(spark, sf_dir):
     """Top-k tokens with cumulative corpus coverage — the Zipf profile used
     to size tokenizer vocabularies and spot boilerplate-dominated corpora.
@@ -266,7 +266,7 @@ ORDER BY doc_id
 """
 
 
-@register("dedup_incremental", sql=INCREMENTAL_SQL, tags=("dedup", "pipeline",))
+@register("dedup_incremental", bench=True, sql=INCREMENTAL_SQL, tags=("dedup", "pipeline",))
 def dedup_incremental(spark, sf_dir):
     """Production dedup shape: an incoming batch (here the doc_id%5==4
     slice) is deduped within itself (keep-first) and anti-joined against

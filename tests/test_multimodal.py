@@ -62,8 +62,9 @@ def test_decode_features_shape(mm):
 
     feats = decode_features(mm)
     assert dict(feats.dtypes) == {
-        "doc_id": "bigint", "n_bytes": "bigint", "mean_byte": "double",
-        "entropy_bits": "double", "width": "int", "height": "int"}
+        "doc_id": "bigint", "n_bytes": "bigint", "container": "string",
+        "mean_byte": "double", "entropy_bits": "double",
+        "width": "int", "height": "int"}
     row = feats.orderBy("doc_id").first()
     assert 0 <= row["mean_byte"] <= 255
     assert 0 <= row["entropy_bits"] <= 8
@@ -88,3 +89,127 @@ def test_frame_sample_stub(mm):
     assert out.count() == mm.count() * 4
     idx = {r[0] for r in out.select("frame_idx").distinct().collect()}
     assert idx == {0, 1, 2, 3}
+
+
+# --- Real container-header parsing (native + Arrow twins) -------------------
+
+def _png(w, h):
+    return (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + b"\x08\x06\x00\x00\x00" + b"\x00" * 8)
+
+
+def _gif(w, h):
+    return (b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + b"\xf7\x00\x00" + b"\x00" * 16)
+
+
+def _bmp(w, h):
+    return (b"BM" + (26).to_bytes(4, "little") + b"\x00" * 4
+            + (26).to_bytes(4, "little") + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+            + b"\x00" * 8)
+
+
+def _wav(channels, rate):
+    fmt = ((1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+           + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+           + (4).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    return (b"RIFF" + (36).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little") + fmt
+            + b"data" + (0).to_bytes(4, "little"))
+
+
+def _jpeg(w, h):
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    dqt = b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" * 65
+    sof0 = (b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03"
+            + b"\x00" * 9)
+    return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+
+
+HEADER_CASES = [
+    (0, _png(640, 480), "png", 640, 480, None, None),
+    (1, _gif(320, 200), "gif", 320, 200, None, None),
+    (2, _bmp(1024, 768), "bmp", 1024, 768, None, None),
+    (3, _wav(2, 44100), "wav", None, None, 2, 44100),
+    (4, _jpeg(800, 600), "jpeg", None, None, None, None),  # native: scan n/a
+    (5, b"just some text bytes", None, None, None, None, None),
+]
+
+
+def _binary_df(spark):
+    return spark.createDataFrame(
+        [(i, bytearray(b)) for i, b, *_ in HEADER_CASES],
+        "doc_id long, content binary")
+
+
+def test_header_metadata_native(spark):
+    from spark_sentiment_spark.operators.multimodal import header_metadata
+
+    out = {r["doc_id"]: r
+           for r in header_metadata(_binary_df(spark)).collect()}
+    for i, _, container, w, h, ch, rate in HEADER_CASES:
+        r = out[i]
+        assert r["container"] == container, (i, r)
+        assert r["width"] == w and r["height"] == h, (i, r)
+        assert r["channels"] == ch and r["sample_rate"] == rate, (i, r)
+
+
+def test_header_metadata_is_pure_jvm(spark):
+    from spark_sentiment_spark.operators.multimodal import header_metadata
+
+    plan = (header_metadata(_binary_df(spark))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_parse_container_header_python_twin():
+    from spark_sentiment_spark.operators.multimodal import \
+        parse_container_header
+
+    assert parse_container_header(_png(7, 9)) == {
+        "container": "png", "width": 7, "height": 9}
+    assert parse_container_header(_gif(3, 4)) == {
+        "container": "gif", "width": 3, "height": 4}
+    assert parse_container_header(_bmp(5, 6)) == {
+        "container": "bmp", "width": 5, "height": 6}
+    assert parse_container_header(_wav(1, 8000)) == {
+        "container": "wav", "channels": 1, "sample_rate": 8000}
+    # JPEG: the marker scan reaches SOF0 behind APP0+DQT segments
+    assert parse_container_header(_jpeg(800, 600)) == {
+        "container": "jpeg", "width": 800, "height": 600}
+    assert parse_container_header(b"nope") is None
+
+
+def test_wav_chunk_walk_non_canonical_order():
+    """A LIST chunk before fmt — the walk must skip it (the fixed-offset
+    native path correctly nulls out here, the Python twin still parses)."""
+    from spark_sentiment_spark.operators.multimodal import \
+        parse_container_header
+
+    lst = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    fmt = ((1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+           + (48000).to_bytes(4, "little") + b"\x00" * 8)
+    b = (b"RIFF" + (48).to_bytes(4, "little") + b"WAVE" + lst
+         + b"fmt " + (16).to_bytes(4, "little") + fmt)
+    assert parse_container_header(b) == {
+        "container": "wav", "channels": 2, "sample_rate": 48000}
+
+
+def test_decode_features_uses_real_headers(spark):
+    """The Arrow decode path reports REAL dimensions for recognized
+    containers (including JPEG via marker scan) and falls back to the
+    labeled fake geometry only for unrecognized payloads."""
+    from spark_sentiment_spark.operators.multimodal import decode_features
+
+    out = {r["doc_id"]: r
+           for r in decode_features(_binary_df(spark)).collect()}
+    assert (out[0]["width"], out[0]["height"]) == (640, 480)
+    assert (out[2]["width"], out[2]["height"]) == (1024, 768)
+    assert (out[4]["width"], out[4]["height"]) == (800, 600)  # JPEG scan
+    assert out[4]["container"] == "jpeg"
+    assert out[5]["container"] is None
+    n = len(b"just some text bytes")
+    assert out[5]["width"] == 1 + (n % 640)  # fake geometry fallback
