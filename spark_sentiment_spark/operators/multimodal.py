@@ -206,11 +206,12 @@ def header_metadata(df: DataFrame, content_col: str = "content",
     is_bmp = _prefix_is(c, 1, b"BM")
     is_wav = _prefix_is(c, 1, b"RIFF") & _prefix_is(c, 9, b"WAVE")
     is_jpeg = _prefix_is(c, 1, b"\xff\xd8\xff")
+    is_mp4 = _prefix_is(c, 5, b"ftyp")  # ISO BMFF: ftyp box at offset 4
     canonical_fmt = _prefix_is(c, 13, b"fmt ")
 
     container = (F.when(is_png, "png").when(is_gif, "gif")
                  .when(is_bmp, "bmp").when(is_wav, "wav")
-                 .when(is_jpeg, "jpeg"))
+                 .when(is_jpeg, "jpeg").when(is_mp4, "mp4"))
     width = (F.when(is_png, _be(c, 17, 4))
              .when(is_gif, _le(c, 7, 2))
              .when(is_bmp, _le(c, 19, 4)))
@@ -281,4 +282,68 @@ def parse_container_header(b: bytes):
                 break
             off += seg
         return {"container": "jpeg"}
+    if len(b) >= 8 and b[4:8] == b"ftyp":  # ISO BMFF (mp4/mov/heic family)
+        return {"container": "mp4"}
     return None
+
+
+# --- Native media construction (round-trip twin for header_metadata) --------
+
+
+def _int_be(col, nbytes: int):
+    """Int column → fixed-width big-endian bytes, JVM-native."""
+    return F.unhex(F.lpad(F.hex(col.cast("bigint")), nbytes * 2, "0"))
+
+
+def _int_le(col, nbytes: int):
+    """Int column → fixed-width little-endian bytes (per-byte concat)."""
+    b = col.cast("bigint")
+    return F.concat(*[
+        F.unhex(F.lpad(F.hex(F.shiftright(b, 8 * i).bitwiseAND(255)), 2, "0"))
+        for i in range(nbytes)])
+
+
+def attach_media_content(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Wrap each document's bytes in a REAL media container header —
+    PNG / canonical WAV / ISO-BMFF(mp4) round-robin by id — with
+    deterministic geometry derived from the id:
+
+    - png (id%3==0): width = 64 + id%512, height = 48 + id%256
+    - wav (id%3==1): channels = 1 + id%2, sample_rate = 8000 + (id%5)*8000
+    - mp4 (id%3==2): ftyp box only (no fixed-offset dimensions in BMFF)
+
+    Everything is native byte arithmetic (hex/unhex/shiftright/concat), so
+    synthesizing a 100 TB multimodal table is a scan-speed projection. The
+    point: `header_metadata` must parse back exactly the values constructed
+    here — checked arithmetically by the `multimodal_headers` oracle."""
+    id_c = F.col(id_col)
+    payload = F.encode(F.col(text_col), "UTF-8")
+    n = F.length(payload)
+    w = 64 + id_c % 512
+    h = 48 + id_c % 256
+    ch = 1 + id_c % 2
+    rate = 8000 + (id_c % 5) * 8000
+
+    png = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n"), F.lit((13).to_bytes(4, "big")),
+        F.lit(b"IHDR"), _int_be(w, 4), _int_be(h, 4),
+        F.lit(b"\x08\x06\x00\x00\x00"), payload)
+    wav = F.concat(
+        F.lit(b"RIFF"), _int_le(n + 36, 4), F.lit(b"WAVE"),
+        F.lit(b"fmt "), _int_le(F.lit(16), 4),
+        _int_le(F.lit(1), 2), _int_le(ch, 2), _int_le(rate, 4),
+        _int_le(rate * ch * 2, 4), _int_le(ch * 2, 2), _int_le(F.lit(16), 2),
+        F.lit(b"data"), _int_le(n, 4), payload)
+    mp4 = F.concat(
+        F.lit((24).to_bytes(4, "big")), F.lit(b"ftypisom"),
+        F.lit(b"\x00\x00\x02\x00isomiso2avc1mp41"), payload)
+
+    content = (F.when(id_c % 3 == 0, png)
+               .when(id_c % 3 == 1, wav)
+               .otherwise(mp4))
+    modality = (F.when(id_c % 3 == 0, "image")
+                .when(id_c % 3 == 1, "audio")
+                .otherwise("video"))
+    return df.select(id_c, modality.alias("modality"),
+                     content.alias("content"))

@@ -331,3 +331,36 @@ def mixture_sample(spark, sf_dir):
             .where(F.col("b") < thresh)
             .select("doc_id", "lang")
             .orderBy("doc_id"))
+
+
+# --- Multimodal header round-trip (construct natively, parse natively) ------
+
+HEADERS_SQL = """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INTEGER)
+            WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS container,
+       CASE WHEN doc_id % 3 = 0 THEN 64 + doc_id % 512 END AS width,
+       CASE WHEN doc_id % 3 = 0 THEN 48 + doc_id % 256 END AS height,
+       CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2 END AS channels,
+       CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 5) * 8000 END
+         AS sample_rate
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_headers", sql=HEADERS_SQL,
+          tags=("multimodal", "pipeline",))
+def multimodal_headers(spark, sf_dir):
+    """Round-trip proof that the multimodal binary path is real end-to-end:
+    `attach_media_content` synthesizes PNG/WAV/mp4 containers with
+    id-derived geometry as native byte arithmetic, `header_metadata`
+    parses the bytes back — and the oracle recomputes the expected values
+    purely arithmetically, so any construction/parsing bug on either side
+    breaks the hash match. Scan-speed projection, no shuffle, no Python."""
+    from spark_sentiment_spark.operators.multimodal import (
+        attach_media_content, header_metadata)
+
+    docs = load(spark, sf_dir, "documents")
+    return (header_metadata(attach_media_content(docs))
+            .orderBy("doc_id"))

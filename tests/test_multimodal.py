@@ -213,3 +213,30 @@ def test_decode_features_uses_real_headers(spark):
     assert out[5]["container"] is None
     n = len(b"just some text bytes")
     assert out[5]["width"] == 1 + (n % 640)  # fake geometry fallback
+
+
+def test_attach_media_content_roundtrip(spark):
+    """Natively-constructed containers parse back identically through BOTH
+    the native header_metadata path and the Python/Arrow parser twin."""
+    from spark_sentiment_spark.operators.multimodal import (
+        attach_media_content, header_metadata, parse_container_header)
+
+    docs = spark.createDataFrame(
+        [(i, f"payload {i}") for i in range(12)], "doc_id long, text string")
+    media = attach_media_content(docs)
+    native = {r["doc_id"]: r for r in header_metadata(media).collect()}
+    raw = {r["doc_id"]: bytes(r["content"]) for r in media.collect()}
+    for i in range(12):
+        py = parse_container_header(raw[i]) or {}
+        r = native[i]
+        assert r["container"] == py.get("container")
+        if i % 3 == 0:
+            assert r["container"] == "png"
+            assert r["width"] == py["width"] == 64 + i % 512
+            assert r["height"] == py["height"] == 48 + i % 256
+        elif i % 3 == 1:
+            assert r["container"] == "wav"
+            assert r["channels"] == py["channels"] == 1 + i % 2
+            assert r["sample_rate"] == py["sample_rate"] == 8000 + (i % 5) * 8000
+        else:
+            assert r["container"] == "mp4"
