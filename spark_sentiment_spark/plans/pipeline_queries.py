@@ -364,3 +364,41 @@ def multimodal_headers(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return (header_metadata(attach_media_content(docs))
             .orderBy("doc_id"))
+
+
+# --- Salted aggregation (skew-safe groupBy, driver-checked) -----------------
+
+SALTED_AGG_SQL = """
+SELECT lang,
+       count(*)                              AS n_docs,
+       CAST(sum(n_chars) AS BIGINT)          AS total_chars,
+       CAST(min(n_chars) AS BIGINT)          AS min_chars,
+       CAST(max(n_chars) AS BIGINT)          AS max_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("skew_salted_agg", sql=SALTED_AGG_SQL, tags=("pipeline", "skew"))
+def skew_salted_agg(spark, sf_dir):
+    """The salted two-phase aggregation (operators/skew.py) routed through
+    the driver gate: phase 1 aggregates on (lang, salt) spreading any hot
+    language over 16 reducers, phase 2 merges partials on lang. The oracle
+    is the PLAIN group-by — proving salting is semantically invisible.
+    'en' is 44% of this corpus, exactly the hot-key shape salting exists
+    for at 100 TB."""
+    from spark_sentiment_spark.operators.skew import salted_agg
+
+    docs = load(spark, sf_dir, "documents")
+    out = salted_agg(
+        docs, ["lang"],
+        {"n_docs": F.count(F.lit(1)),
+         "total_chars": F.sum("n_chars"),
+         "min_chars": F.min("n_chars"),
+         "max_chars": F.max("n_chars")})
+    return (out.select("lang", "n_docs",
+                       F.col("total_chars").cast("bigint").alias("total_chars"),
+                       F.col("min_chars").cast("bigint").alias("min_chars"),
+                       F.col("max_chars").cast("bigint").alias("max_chars"))
+            .orderBy("lang"))
