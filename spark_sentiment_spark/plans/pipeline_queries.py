@@ -402,3 +402,100 @@ def skew_salted_agg(spark, sf_dir):
                        F.col("min_chars").cast("bigint").alias("min_chars"),
                        F.col("max_chars").cast("bigint").alias("max_chars"))
             .orderBy("lang"))
+
+
+# --- Deterministic global shuffle (reproducible training order) -------------
+
+N_SHARDS = 8
+
+SHUFFLE_SQL = f"""
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+            AS BIGINT) AS pos
+FROM (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST(floor((strpos('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                    / 2.0) AS BIGINT) AS shard
+  FROM documents
+)
+ORDER BY shard, pos
+"""
+
+
+@register("shuffle_shards", sql=SHUFFLE_SQL, tags=("pipeline",))
+def shuffle_shards(spark, sf_dir):
+    """Reproducible global shuffle for training order: shard = first md5
+    nibble / 2 ({N_SHARDS} shards), position = rank of the md5 within the
+    shard. The ordering is content-addressed — identical on every run and
+    engine — which is what resumable, audit-able training ingestion needs
+    (a `rand()`-based orderBy gives a different epoch order per retry).
+
+    One shuffle on the bounded shard key; the per-shard sort parallelizes
+    across shards exactly like a writer's `repartitionByRange`.
+    """
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    # floor() on BOTH sides: DuckDB's CAST(double AS BIGINT) rounds while
+    # Spark's truncates — an explicit floor keeps the twins identical.
+    shard = F.floor(
+        (F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1) / 2
+    ).cast("bigint")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (docs.select("doc_id", h.alias("h"), shard.alias("shard"))
+            .withColumn("pos", F.row_number().over(w).cast("bigint"))
+            .select("doc_id", "shard", "pos")
+            .orderBy("shard", "pos"))
+
+
+# --- Composite quality gate (Gopher/C4-style filter with reasons) -----------
+
+GATE_SQL = r"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1)                    AS alpha_ratio,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / greatest(len(string_split(text, ' ')), 1)    AS distinct_ratio,
+         len(string_split(text, ' '))                     AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(n_tokens >= 16 AND n_tokens <= 4096
+            AND alpha_ratio >= 0.6 AND distinct_ratio >= 0.3
+            AS BOOLEAN)                                   AS keep,
+       CASE WHEN n_tokens < 16 THEN 'too_short'
+            WHEN n_tokens > 4096 THEN 'too_long'
+            WHEN alpha_ratio < 0.6 THEN 'low_alpha'
+            WHEN distinct_ratio < 0.3 THEN 'repetitive'
+            ELSE 'ok' END                                 AS reason
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@register("quality_gate", sql=GATE_SQL, tags=("pipeline", "quality"))
+def quality_gate(spark, sf_dir):
+    """The composite keep/drop gate a pretraining pipeline actually runs:
+    length bounds, alpha-character ratio, and repetition (distinct-token
+    ratio) folded into one verdict with a first-failing-rule reason label
+    for filter-rate dashboards. Single scan-speed projection — each
+    heuristic is computed once and reused by both the verdict and the
+    reason (Catalyst CSE), no shuffle except the output sort."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = F.split(F.col("text"), " ", -1)
+    alpha = (F.length(F.regexp_replace("text", "[^a-zA-Z ]", ""))
+             .cast("double") / F.greatest(F.length("text"), F.lit(1)))
+    distinct = (F.size(F.array_distinct(toks)).cast("double")
+                / F.greatest(F.size(toks), F.lit(1)))
+    n_tok = F.size(toks)
+    keep = ((n_tok >= 16) & (n_tok <= 4096)
+            & (alpha >= 0.6) & (distinct >= 0.3))
+    reason = (F.when(n_tok < 16, "too_short")
+              .when(n_tok > 4096, "too_long")
+              .when(alpha < 0.6, "low_alpha")
+              .when(distinct < 0.3, "repetitive")
+              .otherwise("ok"))
+    return (docs.select("doc_id", keep.alias("keep"), reason.alias("reason"))
+            .orderBy("doc_id"))
