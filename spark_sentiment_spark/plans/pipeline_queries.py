@@ -499,3 +499,86 @@ def quality_gate(spark, sf_dir):
               .otherwise("ok"))
     return (docs.select("doc_id", keep.alias("keep"), reason.alias("reason"))
             .orderBy("doc_id"))
+
+
+# --- Snapshot merge / upsert (SCD-1 "MERGE INTO" as a plain plan) -----------
+
+MERGE_SQL = """
+WITH base AS (
+  SELECT doc_id, lang, 'v1' AS version FROM documents
+),
+updates AS (
+  SELECT doc_id, upper(lang) AS lang, 'v2' AS version
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, lang, 'v2' AS version
+  FROM documents WHERE doc_id % 11 = 0
+)
+SELECT coalesce(u.doc_id, b.doc_id) AS doc_id,
+       coalesce(u.lang, b.lang)     AS lang,
+       coalesce(u.version, b.version) AS version
+FROM base b FULL OUTER JOIN updates u ON b.doc_id = u.doc_id
+ORDER BY doc_id
+"""
+
+
+@register("merge_upsert", sql=MERGE_SQL, tags=("pipeline",))
+def merge_upsert(spark, sf_dir):
+    """MERGE INTO without a table format: a full-outer join on the key
+    with update-wins coalesce — updates overwrite matched rows, unmatched
+    updates insert, unmatched base rows carry through (SCD type 1). The
+    update side here modifies every 7th doc and inserts new keys for
+    every 11th, so all three MERGE branches fire.
+
+    One shuffle per side on the key; with both sides bucketed on the key
+    (sources/bucketing.py) the nightly upsert is shuffle-free, which is
+    the 100 TB snapshot-maintenance pattern."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "lang", F.lit("v1").alias("version"))
+    updates = (docs.where(F.col("doc_id") % 7 == 0)
+               .select("doc_id", F.upper("lang").alias("lang"),
+                       F.lit("v2").alias("version"))
+               .unionByName(
+                   docs.where(F.col("doc_id") % 11 == 0)
+                   .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                           "lang", F.lit("v2").alias("version"))))
+    b, u = base.alias("b"), updates.alias("u")
+    return (b.join(u, F.col("b.doc_id") == F.col("u.doc_id"), "full_outer")
+            .select(
+                F.coalesce(F.col("u.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+                F.coalesce(F.col("u.lang"), F.col("b.lang")).alias("lang"),
+                F.coalesce(F.col("u.version"), F.col("b.version"))
+                 .alias("version"))
+            .orderBy("doc_id"))
+
+
+# --- Latest-wins event dedup (SCD-style compaction over the event log) ------
+
+LATEST_SQL = """
+SELECT user_id, event_type, round(value, 4) AS value
+FROM (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_type, value) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+@register("events_dedup_latest", sql=LATEST_SQL, tags=("pipeline", "events"))
+def events_dedup_latest(spark, sf_dir):
+    """Latest-state compaction of an event log: keep each user's most
+    recent event (ties broken deterministically) — the read-side half of
+    changelog → snapshot materialization. One shuffle on user_id; at
+    100 TB this is the same single-window shape as `dedup_exact`."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), "event_type", "value")
+    return (events
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_type",
+                    F.round("value", 4).alias("value"))
+            .orderBy("user_id"))
