@@ -90,3 +90,65 @@ def test_components_match_union_find(spark, edges):
         roots.setdefault(find(n), []).append(n)
     want = {n: min(ns) for ns in roots.values() for n in ns}
     assert got == want
+
+
+docs_strategy = st.lists(
+    st.tuples(st.integers(0, 60),                     # doc_id (may repeat)
+              st.text(alphabet="ab c", min_size=0, max_size=30),
+              st.sampled_from(["s0", "s1", "s2"])),   # source
+    min_size=0, max_size=25,
+    unique_by=lambda t: t[0])
+
+
+@PROP
+@given(rows=docs_strategy, budget=st.sampled_from([1, 4, 16]))
+def test_pack_sequences_invariants(spark, rows, budget):
+    """Window ids per shard start at 0, never decrease, never skip more
+    than one doc's span, and each doc's window equals its start-offset
+    divided by the budget — checked against a sequential Python packer."""
+    import spark_sentiment_spark.plans.pipeline_queries as pq
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    n_tok = pq._n_tokens_col()
+    from pyspark.sql.window import Window as W
+    w = (W.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    out = (df.where(F.col("text").isNotNull())
+           .select("doc_id", "source", n_tok.alias("n_tokens"))
+           .withColumn("cum", F.sum("n_tokens").over(w))
+           .select("doc_id", "source", "n_tokens",
+                   F.floor((F.col("cum") - F.col("n_tokens")) / budget)
+                    .cast("bigint").alias("window_id"))
+           .orderBy("source", "doc_id").collect())
+    # sequential reference packer, same per-shard order
+    by_src = {}
+    for r in sorted(rows, key=lambda t: (t[2], t[0])):
+        if r[1] is None:
+            continue
+        toks = len(r[1].strip().split()) if r[1].strip() else 1
+        # Spark size(split(trim(x),'\s+')) counts '' as 1 token
+        start = by_src.get(r[2], 0)
+        by_src[r[2]] = start + toks
+        expected = start // budget
+        got = next(o for o in out if o["doc_id"] == r[0])
+        assert got["window_id"] == expected, (r, got, expected)
+
+
+@PROP
+@given(ids=st.lists(st.integers(0, 10**9), min_size=0, max_size=30,
+                    unique=True))
+def test_split_by_hash_is_stable_and_partition(spark, ids):
+    """Same id → same split on every evaluation; every id lands in exactly
+    one of train/holdout; assignment matches the Python md5 reference."""
+    import hashlib
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    out = {r["doc_id"]: r["split"] for r in df.select(
+        "doc_id",
+        F.when(bucket < "f0", "train").otherwise("holdout").alias("split")
+    ).collect()}
+    for i in ids:
+        expect = ("train" if hashlib.md5(str(i).encode()).hexdigest()[:2] < "f0"
+                  else "holdout")
+        assert out[i] == expect
