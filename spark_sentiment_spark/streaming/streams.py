@@ -211,3 +211,28 @@ def stream_stream_conversions(events: DataFrame,
                 F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
                 F.col("p_value").alias("purchase_value"))
     )
+
+
+def write_exactly_once(stream_df: DataFrame, out_dir: str,
+                       checkpoint_dir: str):
+    """Exactly-once file sink via ``foreachBatch``: each micro-batch lands
+    in its own ``batch_id=<n>`` partition directory with ``overwrite``
+    mode, so a batch replayed after a crash-restart overwrites its own
+    previous (possibly partial) output instead of appending duplicates —
+    idempotent writes + the checkpointed offset log = end-to-end
+    exactly-once for any sink Spark can overwrite atomically-enough
+    (object stores, HDFS, JDBC upserts with the batch id as key).
+
+    Returns the started query; callers ``awaitTermination()``. Reading the
+    result is a plain ``spark.read.parquet(out_dir)`` (the batch_id
+    partition column is pruned like any other)."""
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}")
+
+    return (stream_df.writeStream
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
