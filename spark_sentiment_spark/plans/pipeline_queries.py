@@ -582,3 +582,55 @@ def events_dedup_latest(spark, sf_dir):
             .select("user_id", "event_type",
                     F.round("value", 4).alias("value"))
             .orderBy("user_id"))
+
+
+# --- Filter-rate dashboard (quality gate rates per source) ------------------
+
+GATE_RATES_SQL = r"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1)                    AS alpha_ratio,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / greatest(len(string_split(text, ' ')), 1)    AS distinct_ratio,
+         len(string_split(text, ' '))                     AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT source,
+       count(*)                                           AS n_docs,
+       CAST(sum(CASE WHEN n_tokens >= 16 AND n_tokens <= 4096
+                      AND alpha_ratio >= 0.6 AND distinct_ratio >= 0.3
+                     THEN 1 ELSE 0 END) AS BIGINT)        AS n_kept,
+       round(CAST(sum(CASE WHEN n_tokens >= 16 AND n_tokens <= 4096
+                            AND alpha_ratio >= 0.6 AND distinct_ratio >= 0.3
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6)                               AS keep_rate
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("quality_gate_rates", sql=GATE_RATES_SQL,
+          tags=("pipeline", "quality"))
+def quality_gate_rates(spark, sf_dir):
+    """Per-source keep rates of the composite quality gate — the filter
+    dashboard a data team watches to spot a crawl source going bad. Same
+    scan-speed heuristics as `quality_gate`, one partial+final agg on the
+    bounded source key."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = F.split(F.col("text"), " ", -1)
+    alpha = (F.length(F.regexp_replace("text", "[^a-zA-Z ]", ""))
+             .cast("double") / F.greatest(F.length("text"), F.lit(1)))
+    distinct = (F.size(F.array_distinct(toks)).cast("double")
+                / F.greatest(F.size(toks), F.lit(1)))
+    n_tok = F.size(toks)
+    keep = ((n_tok >= 16) & (n_tok <= 4096)
+            & (alpha >= 0.6) & (distinct >= 0.3)).cast("int")
+    return (docs.select("source", keep.alias("keep"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("keep").cast("bigint").alias("n_kept"),
+                 F.round(F.sum("keep").cast("double") / F.count(F.lit(1)), 6)
+                  .alias("keep_rate"))
+            .orderBy("source"))

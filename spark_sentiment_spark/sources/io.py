@@ -133,14 +133,22 @@ def infer_filetype(path: str) -> str | None:
 
 
 def load(spark: SparkSession, path: str,
-         filetype: str | None = None, **csv_opts) -> tuple[DataFrame, str]:
+         filetype: str | None = None, merge_schema: bool = False,
+         **csv_opts) -> tuple[DataFrame, str]:
     """S1/S2/S6/S7 + S8: load by explicit filetype or extension dispatch.
 
     Returns ``(df, filetype)`` like ``IO.loadFile`` (IO.scala:61-64).
     Raises ``ValueError`` for undetectable/unsupported types instead of the
     reference's silent ``None``.
+
+    ``merge_schema=True`` unions the schemas of all parquet/ORC footers
+    under ``path`` (columns added over a table's lifetime come back as
+    nulls for old files) — the schema-evolution read a long-lived 100 TB
+    table needs; off by default because footer-merging costs a pass over
+    file metadata.
     """
     ftype = (filetype or infer_filetype(path) or "").lower()
+    ms = str(bool(merge_schema)).lower()
     if ftype == "json":
         return spark.read.json(path), "json"
     if ftype == "csv":
@@ -148,9 +156,9 @@ def load(spark: SparkSession, path: str,
     if ftype == "txt":
         return spark.read.text(path), "txt"
     if ftype in ("parquet", "par"):
-        return spark.read.parquet(path), "parquet"
+        return spark.read.option("mergeSchema", ms).parquet(path), "parquet"
     if ftype == "orc":
-        return spark.read.orc(path), "orc"
+        return spark.read.option("mergeSchema", ms).orc(path), "orc"
     raise ValueError(f"cannot determine filetype for {path!r}; "
                      f"pass filetype= one of json/csv/txt/parquet/orc")
 

@@ -172,3 +172,22 @@ def test_orc_roundtrip(spark, tmp_path):
     assert ftype == "orc"
     assert back.count() == 100
     assert sorted(r.v for r in back.collect()) == list(range(100))
+
+
+def test_merge_schema_reads_evolved_table(spark, tmp_path):
+    """Schema evolution: files written before a column existed read back
+    with nulls when merge_schema=True; the default (off) serves the
+    first-footer schema."""
+    from spark_sentiment_spark.sources.io import load
+
+    d = str(tmp_path / "evolved")
+    spark.createDataFrame([(1, "a")], "id long, s string") \
+        .write.parquet(d)
+    spark.createDataFrame([(2, "b", 9.5)], "id long, s string, score double") \
+        .write.mode("append").parquet(d)
+
+    df, ftype = load(spark, d, filetype="parquet", merge_schema=True)
+    assert ftype == "parquet"
+    assert set(df.columns) == {"id", "s", "score"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
