@@ -634,3 +634,52 @@ def quality_gate_rates(spark, sf_dir):
                  F.round(F.sum("keep").cast("double") / F.count(F.lit(1)), 6)
                   .alias("keep_rate"))
             .orderBy("source"))
+
+
+# --- Classifier evaluation (confusion matrix over langid predictions) -------
+
+CONFUSION_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN ('the', 'a', 'of', 'and', 'is')))
+              AS BIGINT) AS en_hits,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN ('der', 'die', 'das', 'und', 'ist')))
+              AS BIGINT) AS de_hits,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN ('le', 'la', 'et', 'est', 'les')))
+              AS BIGINT) AS fr_hits
+  FROM documents
+),
+pred AS (
+  SELECT lang,
+         CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0
+                THEN 'en'
+              WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+              WHEN fr_hits > 0 THEN 'fr'
+              ELSE 'unknown' END AS predicted_lang
+  FROM scored
+)
+SELECT lang, predicted_lang, count(*) AS n
+FROM pred
+GROUP BY lang, predicted_lang
+ORDER BY lang, predicted_lang
+"""
+
+
+@register("langid_confusion", sql=CONFUSION_SQL,
+          tags=("pipeline", "text", "eval"))
+def langid_confusion(spark, sf_dir):
+    """Confusion matrix of the stop-word language classifier against the
+    labeled lang column — the evaluation aggregate every classifier in
+    the pipeline (langid, quality, topic) reports. Long format (truth,
+    predicted, n): pivoting to a wide matrix is presentation, and wide
+    schemas depend on the label set. One partial+final agg on a bounded
+    (|langs|²) key space — scan-speed at any corpus size."""
+    from spark_sentiment_spark.plans.text_queries import langid_stopword
+
+    pred = langid_stopword(spark, sf_dir)
+    return (pred.groupBy("lang", "predicted_lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("lang", "predicted_lang"))
