@@ -683,3 +683,53 @@ def langid_confusion(spark, sf_dir):
     return (pred.groupBy("lang", "predicted_lang")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy("lang", "predicted_lang"))
+
+
+# --- Event-volume anomaly detection (z-score over hourly counts) ------------
+
+ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+         count(*) AS n
+  FROM events
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, hour_start, n,
+         avg(n)         OVER (PARTITION BY event_type) AS mu,
+         stddev_samp(n) OVER (PARTITION BY event_type) AS sigma
+  FROM hourly
+)
+SELECT event_type, hour_start, n,
+       round((n - mu) / sigma, 4) AS z
+FROM stats
+WHERE sigma > 0 AND abs((n - mu) / sigma) >= 2.0
+ORDER BY event_type, hour_start
+"""
+
+
+@register("events_volume_anomaly", sql=ANOMALY_SQL,
+          tags=("pipeline", "events"))
+def events_volume_anomaly(spark, sf_dir):
+    """Hourly-volume anomaly flags per event type: bucket to hours, then
+    z-score each bucket against its type's distribution and keep |z| >= 2
+    — the ingest-monitoring query that catches a source going dark or a
+    bot spike. Two aggregations over bounded keys (hours × types, then
+    types); the event stream itself is touched once."""
+    events = load(spark, sf_dir, "events")
+    hourly = (events
+              .groupBy("event_type",
+                       F.date_format(F.date_trunc("hour", "ts"),
+                                     "yyyy-MM-dd HH:mm:ss")
+                       .alias("hour_start"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("event_type")
+    zraw = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (hourly
+            .withColumn("mu", F.avg("n").over(w))
+            .withColumn("sigma", F.stddev_samp("n").over(w))
+            .where((F.col("sigma") > 0) & (F.abs(zraw) >= 2.0))
+            .select("event_type", "hour_start", "n",
+                    F.round(zraw, 4).alias("z"))
+            .orderBy("event_type", "hour_start"))
