@@ -87,3 +87,51 @@ def compact(spark, src: str, dest: str,
     spark.read.parquet(src).repartition(n).write.mode("overwrite") \
         .parquet(dest)
     return n
+
+
+def write_zordered(df: DataFrame, path: str, cols: list[str],
+                   num_files: int, bits: int = 8,
+                   mode: str = "overwrite") -> None:
+    """Z-order (Morton-curve) clustered write on two or more numeric
+    columns: bucket each column to ``2**bits`` equal-width cells from its
+    global [min,max], interleave the bucket bits into one Morton key, then
+    range-partition + sort on that key. Each output file then covers a
+    small hyper-rectangle of the key space, so footer min/max statistics
+    prune range predicates on ANY of the clustered columns — the
+    multi-dimensional generalization of ``write_clustered``, which keeps
+    only its first sort column selective (Delta/Iceberg's OPTIMIZE ZORDER
+    does exactly this at 100 TB).
+
+    All native: one tiny min/max agg drives the bucketing literals; the
+    interleave is an unrolled shift-and-mask expression; the only shuffle
+    is the range partitioning the write needs anyway."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    b = df.agg(*aggs).collect()[0]
+
+    n_cells = 1 << bits
+    buckets = []
+    for c in cols:
+        mn, mx = float(b[f"mn_{c}"]), float(b[f"mx_{c}"])
+        if mx == mn:
+            buckets.append(F.lit(0).cast("long"))
+            continue
+        cell = F.floor((F.col(c).cast("double") - mn)
+                       * (n_cells / (mx - mn))).cast("long")
+        buckets.append(F.least(cell, F.lit(n_cells - 1)))
+
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, bc in enumerate(buckets):
+            bit = F.shiftright(bc, i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * k + j)
+
+    (df.withColumn("__z", z)
+       .repartitionByRange(num_files, "__z")
+       .sortWithinPartitions("__z")
+       .drop("__z")
+       .write.mode(mode).parquet(path))

@@ -81,3 +81,42 @@ def test_compaction_merges_small_files(spark, tmp_path):
     assert back.count() == docs.count()
     assert back.select("doc_id").distinct().count() == \
         docs.select("doc_id").distinct().count()
+
+
+def test_zordered_write_tightens_ranges_on_both_dims(spark, tmp_path):
+    """Z-ordering on (l_orderkey, l_partkey) must leave BOTH columns'
+    per-file footer ranges well below the global range — 1-D clustering
+    can only do that for its first sort column — while losing no rows."""
+    import pyarrow.parquet as pq
+
+    from spark_sentiment_spark.sources.layout import write_zordered
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    dest = str(tmp_path / "lineitem_zorder")
+    write_zordered(li, dest, ["l_orderkey", "l_partkey"], num_files=16)
+
+    files = sorted(glob.glob(f"{dest}/part-*.parquet"))
+    assert len(files) >= 8
+
+    def file_ranges(col):
+        spans = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = next(i for i in range(md.num_columns)
+                       if md.row_group(0).column(i).path_in_schema == col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans.append(max(maxs) - min(mins))
+        return spans
+
+    for col in ("l_orderkey", "l_partkey"):
+        mn, mx = li.agg(F.min(col), F.max(col)).first()
+        global_span = mx - mn
+        spans = file_ranges(col)
+        mean_span = sum(spans) / len(spans)
+        assert mean_span <= 0.6 * global_span, (col, mean_span, global_span)
+
+    assert spark.read.parquet(dest).count() == li.count()
