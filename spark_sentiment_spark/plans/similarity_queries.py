@@ -478,60 +478,3 @@ def ann_pq_topk(spark, sf_dir, topk: int = 10, rerank: int = 100):
             .select("qid", "vec_id", F.round("cos", 6).alias("cosine"), "rn")
             .orderBy("qid", "rn"))
 
-
-# --- Semantic dedup (SemDeDup-style cluster-scoped near-dup removal) --------
-
-SEMDEDUP_K = 16
-SEMDEDUP_TAU = 0.4
-
-
-@register("dedup_semantic", tags=("dedup", "similarity"))
-def dedup_semantic(spark, sf_dir, k: int = SEMDEDUP_K,
-                   tau: float = SEMDEDUP_TAU):
-    """Semantic dedup à la SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
-    coarse KMeans partitioning scopes the quadratic pair search to within
-    clusters, then a deterministic greedy keep-policy drops any vector
-    with a smaller-id within-cluster neighbor at cosine >= tau.
-
-    Emits (vec_id, cluster, kept) for every vector. Invariant (pinned in
-    tests/test_dedup_recall.py): no two KEPT vectors in the same cluster
-    are within tau of each other. Cross-cluster near-dup pairs are the
-    accepted miss — the recall fraction vs the exact all-pairs oracle
-    (`dedup_embedding_cosine`) is measured and pinned there too.
-
-    Scale posture (100 TB): the only quadratic work is inside a cluster,
-    so grow k with corpus size to bound cluster occupancy (the paper runs
-    k ~ n/100k); everything else is one KMeans fit plus one shuffle on the
-    cluster key. Rows-only driver check (cluster ids are KMeans-
-    implementation-specific)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    emb = load(spark, sf_dir, "embeddings")
-    e = _as_double("embedding")
-    unit = F.transform(e, lambda x: x / _norm(e))
-    vecs = track_persist(
-        emb.select("vec_id", unit.alias("e"),
-                   array_to_vector(unit).alias("features")))
-    km = KMeans(k=k, seed=42, featuresCol="features",
-                predictionCol="cluster")
-    assigned = track_persist(
-        km.fit(vecs).transform(vecs).select("vec_id", "cluster", "e"))
-
-    a, b = assigned.alias("a"), assigned.alias("b")
-    cos = _dot(F.col("a.e"), F.col("b.e"))
-    # b has a smaller-id near-dup in its cluster -> b is dropped
-    dropped = (
-        a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .where(cos >= tau)
-        .select(F.col("b.vec_id").alias("vec_id"))
-        .distinct()
-    )
-    return (
-        assigned.join(dropped.withColumn("is_dropped", F.lit(True)),
-                      "vec_id", "left")
-        .select("vec_id", F.col("cluster").cast("long").alias("cluster"),
-                F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("kept"))
-        .orderBy("vec_id")
-    )

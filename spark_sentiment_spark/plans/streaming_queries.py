@@ -137,3 +137,79 @@ def streaming_sessionize(spark, sf_dir):
     stream = session_windows(read_event_stream(spark, sf_dir))
     out = run_to_memory(stream, _unique("stream_sessions"))
     return out.orderBy("user_id", "session_start")
+
+
+# Keep in sync with pipeline_queries.ANOMALY_SQL (not imported: a module-
+# scope import would run pipeline_queries' registrations early and shift
+# the harness's registration-order window — see all_queries()).
+STREAM_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+         count(*) AS n
+  FROM events
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, hour_start, n,
+         avg(n)         OVER (PARTITION BY event_type) AS mu,
+         stddev_samp(n) OVER (PARTITION BY event_type) AS sigma
+  FROM hourly
+)
+SELECT event_type, hour_start, n,
+       round((n - mu) / sigma, 4) AS z
+FROM stats
+WHERE sigma > 0 AND abs((n - mu) / sigma) >= 2.0
+ORDER BY event_type, hour_start
+"""
+
+
+@register("streaming_volume_anomaly", sql=STREAM_ANOMALY_SQL,
+          tags=("streaming", "events"))
+def streaming_volume_anomaly(spark, sf_dir):
+    """Streaming ingest monitor: hourly per-type counts aggregate IN the
+    streaming engine (watermarked tumbling windows, complete mode); every
+    micro-batch snapshot is z-scored inside ``foreachBatch`` against a
+    static baseline profile (per-type mu/sigma — in production the
+    trailing profile table) and the flagged rows land in an overwrite-
+    per-batch sink, so a replayed batch never duplicates alerts. Over the
+    finite source the final snapshot equals the batch
+    ``events_volume_anomaly`` — the shared oracle."""
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = read_event_stream(spark, sf_dir)
+    hourly = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("hour_start"), "event_type", "n"))
+
+    baseline = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type",
+                 F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("event_type")
+        .agg(F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma"))
+        .where(F.col("sigma") > 0))
+
+    out_dir = tempfile.mkdtemp(prefix="anomstream_out_")
+    ckpt = tempfile.mkdtemp(prefix="anomstream_ckpt_")
+
+    def write_batch(df, batch_id):
+        z = (F.col("n") - F.col("mu")) / F.col("sigma")
+        (df.join(F.broadcast(baseline), "event_type")
+           .where(F.abs(z) >= 2.0)
+           .select("event_type", "hour_start", "n",
+                   F.round(z, 4).alias("z"))
+           .write.mode("overwrite").parquet(out_dir))
+
+    q = (hourly.writeStream.outputMode("complete")
+         .foreachBatch(write_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.read.parquet(out_dir)
+            .orderBy("event_type", "hour_start"))
