@@ -1,0 +1,131 @@
+"""BPE tokenizer training and encoding over the corpus (SURVEY §7.4 —
+training-pipeline extension; the reference tokenizes by whitespace/TweetMotif
+only, SRC/utils/Tokenizer.scala, and never learns a subword vocabulary).
+
+Split of labor, sized for 100 TB:
+
+* the CORPUS-scale work — lowercasing, tokenizing, word-frequency counting —
+  is one distributed pass (explode → partial+final hash agg, map-side
+  combine collapses each partition to its local vocabulary);
+* the merge LOOP runs driver-side on the aggregated ``(word, freq)`` table,
+  which is vocabulary-bounded (millions of rows at web scale, not the
+  corpus' trillions of tokens) — the same shape HuggingFace ``tokenizers``
+  and sentencepiece use: nobody iterates merges over raw text;
+* ENCODING under the learned merges goes back to executors as one
+  Arrow-batched pandas UDF with a per-batch word→segmentation memo (words
+  repeat; the memo turns per-token work into a dict hit).
+
+Algorithm: Sennrich et al. 2016 (arXiv:1508.07909) — symbols are the word's
+characters plus a terminal ``</w>`` marker; each round merges the
+most-frequent adjacent pair, ties broken by the lexicographically smallest
+pair so the merge sequence is deterministic across runs and engines.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd  # module-level: pandas-UDF type hints resolve from here
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+END = "</w>"
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The one corpus-scale pass: whitespace tokens, lowercased, counted.
+    Returns the vocabulary-bounded (word, freq) table."""
+    return (docs.where(F.col(text_col).isNotNull())
+            .select(F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                      r"\s+")).alias("word"))
+            .where(F.length("word") > 0)
+            .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+
+
+def _merge_loop(word_freq: dict[str, int],
+                n_merges: int) -> list[tuple[str, str, int]]:
+    """Deterministic Sennrich merge loop on the aggregated word table.
+    Returns [(left, right, pair_count), ...] in merge order."""
+    segs = {w: tuple(w) + (END,) for w in word_freq}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, f in word_freq.items():
+            s = segs[w]
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        mx = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == mx)
+        merges.append((best[0], best[1], mx))
+        merged = best[0] + best[1]
+        for w, s in segs.items():
+            if best[0] not in s:
+                continue
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == best[0] and s[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = tuple(out)
+    return merges
+
+
+def bpe_train(spark: SparkSession, docs: DataFrame, n_merges: int = 40,
+              text_col: str = "text") -> DataFrame:
+    """Train BPE merges: one distributed word-count pass, then the bounded
+    driver-side merge loop. Returns (rank, left, right, merged, pair_count)
+    in merge order."""
+    wf = {r.word: r.freq for r in word_frequencies(docs, text_col).collect()}
+    merges = _merge_loop(wf, n_merges)
+    rows = [(i + 1, a, b, a + b, int(c)) for i, (a, b, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank long, left string, right string, merged string, "
+              "pair_count long")
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> tuple:
+    """GPT-2-style encoder: repeatedly merge the lowest-rank adjacent pair."""
+    s = list(word) + [END]
+    while len(s) > 1:
+        pairs = [(ranks.get((a, b)), i)
+                 for i, (a, b) in enumerate(zip(s, s[1:]))
+                 if (a, b) in ranks]
+        if not pairs:
+            break
+        _, i = min(pairs)
+        s[i:i + 2] = [s[i] + s[i + 1]]
+    return tuple(s)
+
+
+def bpe_token_count_col(merges: list[tuple[str, str]], text_col: str = "text"):
+    """Arrow-batched token counter under a learned merge table: per-batch
+    word→len(segmentation) memo, so repeated words cost a dict hit. The
+    merge table rides to executors inside the UDF closure (vocabulary-
+    bounded — the same object a production tokenizer broadcasts)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    @pandas_udf("long")
+    def _count(texts: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+
+        def doc_tokens(t):
+            if t is None:
+                return 0
+            n = 0
+            for w in t.lower().strip().split():
+                if w not in memo:
+                    memo[w] = len(_encode_word(w, ranks))
+                n += memo[w]
+            return n
+
+        return texts.map(doc_tokens)
+
+    return _count(F.col(text_col))

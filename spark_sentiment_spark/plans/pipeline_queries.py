@@ -877,3 +877,40 @@ def dedup_semantic(spark, sf_dir, k: int = SEMDEDUP_K,
                 F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("kept"))
         .orderBy("vec_id")
     )
+
+
+# --- BPE tokenizer training / token counting --------------------------------
+
+BPE_N_MERGES = 40
+
+
+@register("bpe_merges", tags=("pipeline", "text"))
+def bpe_merges(spark, sf_dir):
+    """Learned BPE merge table over the corpus (Sennrich-style, see
+    operators/bpe.py): one distributed word-frequency pass, bounded
+    driver-side merge loop, deterministic tie-breaks. Rows-only driver
+    check (iterative — not SQL-expressible); the merge sequence is pinned
+    against an independent naive implementation in tests/test_bpe.py."""
+    from spark_sentiment_spark.operators.bpe import bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    return bpe_train(spark, docs, n_merges=BPE_N_MERGES).orderBy("rank")
+
+
+@register("bpe_token_counts", tags=("pipeline", "text"))
+def bpe_token_counts(spark, sf_dir):
+    """Per-document token counts under the learned BPE vocabulary — the
+    training-budget metric (tokens, not words, is what a 100 TB corpus is
+    priced in). Train once (bounded), then count via the Arrow-batched
+    memoized encoder; the corpus is touched exactly twice."""
+    from spark_sentiment_spark.operators.bpe import (bpe_token_count_col,
+                                                     bpe_train)
+
+    docs = load(spark, sf_dir, "documents")
+    merges = [(r.left, r.right)
+              for r in bpe_train(spark, docs, n_merges=BPE_N_MERGES)
+              .collect()]
+    return (docs.where(F.col("text").isNotNull())
+            .select("doc_id",
+                    bpe_token_count_col(merges).alias("n_bpe_tokens"))
+            .orderBy("doc_id"))
