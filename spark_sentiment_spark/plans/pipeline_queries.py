@@ -914,3 +914,50 @@ def bpe_token_counts(spark, sf_dir):
             .select("doc_id",
                     bpe_token_count_col(merges).alias("n_bpe_tokens"))
             .orderBy("doc_id"))
+
+
+# --- Unigram-LM perplexity quality scoring (CCNet-style, simplified) --------
+# Lives here (tail) rather than in plans/text_queries.py so the addition
+# does not shift the driver's registration-order correctness window.
+
+PPL_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+vocab AS (
+  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM vocab)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-log2(v.cnt / (SELECT n FROM tot))), 4) AS bits_per_token
+FROM toks t JOIN vocab v USING (tok)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@register("quality_perplexity", sql=PPL_SQL, tags=("pipeline", "text"))
+def quality_perplexity(spark, sf_dir):
+    """Unigram language-model perplexity per document — the simplified
+    CCNet-style quality signal: documents whose tokens are improbable
+    under the corpus LM (high bits/token) are gibberish or off-domain;
+    suspiciously low bits/token means boilerplate. Train (one explode +
+    vocab-sized agg) and score (explode + vocab join + per-doc agg) in a
+    single plan; the corpus total is a 1-row broadcast scalar and the
+    vocab side of the scoring join broadcasts/AQE-shuffles on vocabulary
+    size, never corpus size."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("n"))
+    bits = -F.log2(F.col("cnt") / F.col("n"))
+    return (toks.join(vocab, "tok")
+            .crossJoin(F.broadcast(total))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg(bits), 4).alias("bits_per_token"))
+            .orderBy("doc_id"))
