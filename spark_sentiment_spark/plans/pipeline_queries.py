@@ -961,3 +961,135 @@ def quality_perplexity(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.round(F.avg(bits), 4).alias("bits_per_token"))
             .orderBy("doc_id"))
+
+
+# --- Hybrid retrieval: lexical + vector with reciprocal-rank fusion ---------
+# vec_id aligns 1:1 with doc_id in the testdata, giving each document both
+# a text body and an embedding — the two retrieval modalities RRF fuses.
+
+HYBRID_TOPK = 10
+HYBRID_POOL = 50          # per-modality candidate list depth
+RRF_C = 60                # the standard RRF damping constant
+
+
+HYBRID_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+toks_nonempty AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks_nonempty GROUP BY doc_id),
+shared AS (
+  SELECT q.doc_id AS qid, d.doc_id AS doc_id, count(*) AS s
+  FROM toks_nonempty q JOIN toks_nonempty d USING (tok)
+  WHERE q.doc_id < 3 AND q.doc_id <> d.doc_id
+  GROUP BY 1, 2
+),
+lex AS (
+  SELECT shared.qid AS qid, shared.doc_id AS doc_id,
+         row_number() OVER (
+           PARTITION BY shared.qid
+           ORDER BY CAST(s AS DOUBLE) / (sq.n + sd.n - s) DESC,
+                    shared.doc_id
+         ) AS lr
+  FROM shared
+  JOIN sizes sq ON sq.doc_id = shared.qid
+  JOIN sizes sd ON sd.doc_id = shared.doc_id
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+vec AS (
+  SELECT q.vec_id AS qid, d.vec_id AS doc_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_dot_product(q.v, d.v)
+                    / (sqrt(list_dot_product(q.v, q.v))
+                       * sqrt(list_dot_product(d.v, d.v))) DESC, d.vec_id
+         ) AS vr
+  FROM e q JOIN e d ON q.vec_id < 3 AND q.vec_id <> d.vec_id
+),
+fused AS (
+  SELECT coalesce(l.qid, v.qid) AS qid,
+         coalesce(l.doc_id, v.doc_id) AS doc_id,
+         round(coalesce(1.0 / ({RRF_C} + l.lr), 0)
+               + coalesce(1.0 / ({RRF_C} + v.vr), 0), 6) AS rrf
+  FROM (SELECT * FROM lex WHERE lr <= {HYBRID_POOL}) l
+  FULL JOIN (SELECT * FROM vec WHERE vr <= {HYBRID_POOL}) v
+    USING (qid, doc_id)
+)
+SELECT qid, doc_id, rrf,
+       CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT qid, doc_id, rrf,
+         row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rn
+  FROM fused
+)
+WHERE rn <= {HYBRID_TOPK}
+ORDER BY qid, rn
+"""
+
+
+@register("hybrid_search_rrf", sql=HYBRID_SQL,
+          tags=("similarity", "text", "pipeline"))
+def hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval: lexical candidates (distinct-token Jaccard via the
+    inverted-index self-join) and vector candidates (embedding cosine,
+    broadcast queries) are ranked per modality, then fused with reciprocal
+    rank fusion (Cormack et al. 2009): score = Σ 1/(60+rank) over the
+    modalities that surfaced the document.
+
+    Scale posture: the lexical side touches the corpus once (explode →
+    distinct) and joins through the token key — the inverted-index shape;
+    the vector side is the `knn_cosine_topk` broadcast plan; the fusion
+    join runs on two per-query top-50 lists, i.e. hundreds of rows
+    regardless of corpus size. Both candidate generators degrade
+    gracefully to their ANN variants (`ann_*_topk`, `dedup_minhash_lsh`
+    buckets) at 100 TB without touching the fusion."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = (docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"))
+        .where(F.length("tok") > 0).distinct())
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    q = (toks.where(F.col("doc_id") < 3)
+         .select(F.col("doc_id").alias("qid"), "tok"))
+    shared = (q.join(toks, "tok")
+              .where(F.col("qid") != F.col("doc_id"))
+              .groupBy("qid", "doc_id").agg(F.count(F.lit(1)).alias("s")))
+    jac = F.col("s").cast("double") / (F.col("nq") + F.col("nd") - F.col("s"))
+    wl = Window.partitionBy("qid").orderBy(F.desc("jaccard"), "doc_id")
+    lex = (shared
+           .join(sizes.select(F.col("doc_id").alias("qid"),
+                              F.col("n").alias("nq")), "qid")
+           .join(sizes.select("doc_id", F.col("n").alias("nd")), "doc_id")
+           .withColumn("jaccard", jac)
+           .withColumn("lr", F.row_number().over(wl))
+           .where(F.col("lr") <= HYBRID_POOL)
+           .select("qid", "doc_id", "lr"))
+
+    from spark_sentiment_spark.plans.similarity_queries import (_as_double,
+                                                                _dot, _norm)
+    emb = load(spark, sf_dir, "embeddings")
+    qv = (emb.where(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("qid"),
+                  _as_double("embedding").alias("qe")))
+    cv = emb.select(F.col("vec_id").alias("doc_id"),
+                    _as_double("embedding").alias("ce"))
+    cos = _dot(F.col("qe"), F.col("ce")) / (
+        _norm(F.col("qe")) * _norm(F.col("ce")))
+    wv = Window.partitionBy("qid").orderBy(F.desc("cos"), "doc_id")
+    vec = (cv.crossJoin(F.broadcast(qv))
+           .where(F.col("qid") != F.col("doc_id"))
+           .select("qid", "doc_id", cos.alias("cos"))
+           .withColumn("vr", F.row_number().over(wv))
+           .where(F.col("vr") <= HYBRID_POOL)
+           .select("qid", "doc_id", "vr"))
+
+    rrf = (F.coalesce(1.0 / (RRF_C + F.col("lr")), F.lit(0.0))
+           + F.coalesce(1.0 / (RRF_C + F.col("vr")), F.lit(0.0)))
+    wf = Window.partitionBy("qid").orderBy(F.desc("rrf"), "doc_id")
+    return (lex.join(vec, ["qid", "doc_id"], "full_outer")
+            .select("qid", "doc_id", F.round(rrf, 6).alias("rrf"))
+            .withColumn("rn", F.row_number().over(wf).cast("long"))
+            .where(F.col("rn") <= HYBRID_TOPK)
+            .orderBy("qid", "rn"))
