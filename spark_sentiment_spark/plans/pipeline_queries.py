@@ -1093,3 +1093,92 @@ def hybrid_search_rrf(spark, sf_dir):
             .withColumn("rn", F.row_number().over(wf).cast("long"))
             .where(F.col("rn") <= HYBRID_TOPK)
             .orderBy("qid", "rn"))
+
+
+# --- Dataset profiling: per-column stats + correlation matrix ---------------
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+# mean/sd go through EXACT decimal sums on both engines (binary-double
+# summation order differs between Spark and DuckDB; at 60k+ rows the ±ulp
+# error lands on round() boundaries). One double division/sqrt over the
+# identical exact sums is deterministic IEEE.
+PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col,
+       CAST(count({c}) AS BIGINT) AS n,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       round(min({c}), 4) AS mn,
+       round(max({c}), 4) AS mx,
+       round(CAST(sum(CAST({c} AS DECIMAL(19,6))) AS DOUBLE)
+             / count({c}), 6) AS mean,
+       round(sqrt((CAST(sum(CAST({c} AS DECIMAL(19,6))
+                            * CAST({c} AS DECIMAL(19,6))) AS DOUBLE)
+                   - pow(CAST(sum(CAST({c} AS DECIMAL(19,6))) AS DOUBLE), 2)
+                     / count({c}))
+                  / (count({c}) - 1)), 4) AS sd
+FROM lineitem"""
+    for c in _PROFILE_COLS) + "\nORDER BY col"
+
+
+@register("profile_columns", sql=PROFILE_SQL, tags=("pipeline", "profile"))
+def profile_columns(spark, sf_dir):
+    """Long-format numeric column profile (count/nulls/distinct/min/max/
+    mean/sd) — the dataset health check that runs before any pipeline
+    decision. ONE corpus pass: all per-column aggregates evaluate in a
+    single agg (count-distincts expand to the standard multi-distinct
+    plan), then `stack` unpivots the 1-row result driver-free; at 100 TB
+    swap the exact distinct for `approx_count_distinct` and nothing else
+    changes."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        dec = F.col(c).cast("decimal(13,6)")
+        s1 = F.sum(dec).cast("double")
+        s2 = F.sum((dec * dec).cast("decimal(38,12)")).cast("double")
+        n = F.count(c)
+        aggs += [
+            n.alias(f"n_{c}"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"d_{c}"),
+            F.round(F.min(c), 4).alias(f"mn_{c}"),
+            F.round(F.max(c), 4).alias(f"mx_{c}"),
+            F.round(s1 / n, 6).alias(f"mean_{c}"),
+            F.round(F.sqrt((s2 - F.pow(s1, 2) / n) / (n - 1)), 4)
+             .alias(f"sd_{c}"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_{c}, nn_{c}, d_{c}, mn_{c}, mx_{c}, mean_{c}, sd_{c}"
+        for c in _PROFILE_COLS)
+    return (one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col, n, n_null, n_distinct, mn, mx, mean, sd)")
+        .orderBy("col"))
+
+
+_CORR_PAIRS = [(a, b) for i, a in enumerate(_PROFILE_COLS)
+               for b in _PROFILE_COLS[i + 1:]]
+
+CORR_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+       round(corr({a}, {b}), 6) AS pearson
+FROM lineitem"""
+    for a, b in _CORR_PAIRS) + "\nORDER BY col_a, col_b"
+
+
+@register("corr_matrix", sql=CORR_SQL, tags=("pipeline", "profile"))
+def corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlations of the numeric columns in one corpus
+    pass (native `corr` partial aggregates — each executor folds its
+    partition to 6 moment tuples, the merge is constant-size), unpivoted
+    to long format."""
+    li = load(spark, sf_dir, "lineitem")
+    one = li.agg(*[
+        F.round(F.corr(a, b), 6).alias(f"c_{i}")
+        for i, (a, b) in enumerate(_CORR_PAIRS)])
+    stack_args = ", ".join(
+        f"'{a}', '{b}', c_{i}" for i, (a, b) in enumerate(_CORR_PAIRS))
+    return (one.selectExpr(
+        f"stack({len(_CORR_PAIRS)}, {stack_args}) AS (col_a, col_b, pearson)")
+        .orderBy("col_a", "col_b"))
