@@ -947,11 +947,15 @@ def quality_perplexity(spark, sf_dir):
     vocab-sized agg) and score (explode + vocab join + per-doc agg) in a
     single plan; the corpus total is a 1-row broadcast scalar and the
     vocab side of the scoring join broadcasts/AQE-shuffles on vocabulary
-    size, never corpus size."""
+    size, never corpus size. The exploded token table is persisted — the
+    train side (vocab counts) and the score side both read it, so the
+    corpus is scanned and regex-tokenized once, not three times."""
+    from spark_sentiment_spark.plans.registry import track_persist
+
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    toks = docs.select(
+    toks = track_persist(docs.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"))
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")))
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").cast("double").alias("n"))
     bits = -F.log2(F.col("cnt") / F.col("n"))
@@ -1044,9 +1048,13 @@ def hybrid_search_rrf(spark, sf_dir):
     join runs on two per-query top-50 lists, i.e. hundreds of rows
     regardless of corpus size. Both candidate generators degrade
     gracefully to their ANN variants (`ann_*_topk`, `dedup_minhash_lsh`
-    buckets) at 100 TB without touching the fusion."""
+    buckets) at 100 TB without touching the fusion. The distinct token
+    table (the inverted index) is persisted: doc sizes, the query side,
+    and the candidate join all read it, so the corpus is tokenized once."""
+    from spark_sentiment_spark.plans.registry import track_persist
+
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    toks = (docs.select(
+    toks = track_persist(docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"))
         .where(F.length("tok") > 0).distinct())
