@@ -938,7 +938,8 @@ ORDER BY t.doc_id
 """
 
 
-@register("quality_perplexity", sql=PPL_SQL, tags=("pipeline", "text"))
+@register("quality_perplexity", bench=True, sql=PPL_SQL,
+          tags=("pipeline", "text"))
 def quality_perplexity(spark, sf_dir):
     """Unigram language-model perplexity per document — the simplified
     CCNet-style quality signal: documents whose tokens are improbable
@@ -1033,7 +1034,7 @@ ORDER BY qid, rn
 """
 
 
-@register("hybrid_search_rrf", sql=HYBRID_SQL,
+@register("hybrid_search_rrf", bench=True, sql=HYBRID_SQL,
           tags=("similarity", "text", "pipeline"))
 def hybrid_search_rrf(spark, sf_dir):
     """Hybrid retrieval: lexical candidates (distinct-token Jaccard via the

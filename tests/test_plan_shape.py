@@ -152,3 +152,36 @@ def test_dedup_incremental_anti_join_no_python(spark):
     plan = _plan(spark, "dedup_incremental")
     assert "Python" not in plan
     assert "LeftAnti" in plan, "corpus-index dedup must be an anti-join"
+
+
+def test_perplexity_native_cached_token_table(spark):
+    """Train+score in one plan: no Python anywhere, the corpus-scalar
+    total is a broadcast, and the exploded token table is read from cache
+    (tokenized once) on every consumer."""
+    from spark_sentiment_spark.plans.registry import release_caches
+
+    plan = _plan(spark, "quality_perplexity")
+    release_caches()
+    assert "Python" not in plan
+    assert "BroadcastNestedLoopJoin" in plan      # 1-row corpus total
+    assert plan.count("InMemoryTableScan") >= 2   # vocab side + score side
+
+
+def test_hybrid_rrf_broadcasts_queries_and_caches_index(spark):
+    """Vector side broadcasts the 3 query vectors; lexical side reads the
+    persisted inverted index; fusion never touches Python."""
+    from spark_sentiment_spark.plans.registry import release_caches
+
+    plan = _plan(spark, "hybrid_search_rrf")
+    release_caches()
+    assert "Python" not in plan
+    assert "BroadcastNestedLoopJoin" in plan      # 3-query crossJoin
+    assert plan.count("InMemoryTableScan") >= 3   # sizes + qside + corpus
+
+
+def test_bloom_dedup_probe_is_native(spark):
+    """The bloom probe compiles to shift/mask expressions — no Python, no
+    extra corpus scan beyond the two branch reads."""
+    plan = _plan(spark, "dedup_incremental_bloom")
+    assert "Python" not in plan
+    assert "shiftright" in plan
