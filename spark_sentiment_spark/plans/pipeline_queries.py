@@ -1191,3 +1191,77 @@ def corr_matrix(spark, sf_dir):
     return (one.selectExpr(
         f"stack({len(_CORR_PAIRS)}, {stack_args}) AS (col_a, col_b, pearson)")
         .orderBy("col_a", "col_b"))
+
+
+# --- Snapshot diff (dataset-version comparison) -----------------------------
+
+DIFF_SQL = """
+WITH v1 AS (
+  SELECT doc_id, md5(concat(lang, '|', coalesce(text, ''))) AS h
+  FROM documents
+),
+v2 AS (
+  SELECT doc_id,
+         md5(concat(CASE WHEN doc_id % 7 = 0 THEN upper(lang) ELSE lang END,
+                    '|', coalesce(text, ''))) AS h
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         md5(concat(lang, '|', coalesce(text, ''))) AS h
+  FROM documents WHERE doc_id % 13 = 0
+)
+SELECT CASE
+         WHEN v1.doc_id IS NULL THEN 'added'
+         WHEN v2.doc_id IS NULL THEN 'removed'
+         WHEN v1.h <> v2.h      THEN 'changed'
+         ELSE 'unchanged'
+       END AS change,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(coalesce(v1.doc_id, v2.doc_id)) AS BIGINT) AS first_key,
+       CAST(max(coalesce(v1.doc_id, v2.doc_id)) AS BIGINT) AS last_key
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+GROUP BY 1
+ORDER BY change
+"""
+
+
+@register("snapshot_diff", sql=DIFF_SQL, tags=("pipeline",))
+def snapshot_diff(spark, sf_dir):
+    """Dataset-version diff summary — the audit companion to
+    `merge_upsert`: project both snapshots to (key, content-hash), one
+    co-partitioned full-outer join on the key, classify every key as
+    added / removed / changed / unchanged, and aggregate to a 4-row
+    report. The synthetic v2 mutates every 7th doc, drops every 11th and
+    inserts a shifted copy of every 13th, so all four classes fire.
+
+    Scale posture: the content hash collapses arbitrarily wide rows to 32
+    bytes BEFORE the join, so the shuffle carries (key, hash) only; the
+    classification is a projection and the output is 4 rows."""
+    docs = load(spark, sf_dir, "documents")
+    h1 = F.md5(F.concat(F.col("lang"), F.lit("|"),
+                        F.coalesce(F.col("text"), F.lit(""))))
+    v1 = docs.select("doc_id", h1.alias("h"))
+    lang2 = F.when(F.col("doc_id") % 7 == 0, F.upper("lang")) \
+             .otherwise(F.col("lang"))
+    h2 = F.md5(F.concat(lang2, F.lit("|"),
+                        F.coalesce(F.col("text"), F.lit(""))))
+    v2 = (docs.where(F.col("doc_id") % 11 != 0)
+          .select("doc_id", h2.alias("h"))
+          .unionByName(
+              docs.where(F.col("doc_id") % 13 == 0)
+              .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                      h1.alias("h"))))
+    j = v1.alias("a").join(v2.alias("b"),
+                           F.col("a.doc_id") == F.col("b.doc_id"),
+                           "full_outer")
+    change = (F.when(F.col("a.doc_id").isNull(), "added")
+              .when(F.col("b.doc_id").isNull(), "removed")
+              .when(F.col("a.h") != F.col("b.h"), "changed")
+              .otherwise("unchanged"))
+    key = F.coalesce(F.col("a.doc_id"), F.col("b.doc_id"))
+    return (j.select(change.alias("change"), key.alias("k"))
+            .groupBy("change")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("k").alias("first_key"),
+                 F.max("k").alias("last_key"))
+            .orderBy("change"))
