@@ -1265,3 +1265,29 @@ def snapshot_diff(spark, sf_dir):
                  F.min("k").alias("first_key"),
                  F.max("k").alias("last_key"))
             .orderBy("change"))
+
+
+# --- Real raster decode over natively constructed PPM images ----------------
+
+
+@register("multimodal_ppm_decode", tags=("multimodal", "pipeline"))
+def multimodal_ppm_decode(spark, sf_dir):
+    """REAL image decode end-to-end: binary P6 PPM rasters are synthesized
+    natively (scan-speed projection, every byte reproducible), then
+    mapInPandas parses the header, reinterprets the pixel buffer, and
+    emits true channel means + a 4×4 block-mean thumbnail. Unlike the
+    codec-blocked PNG/JPEG path this decodes actual pixels — pinned
+    against an independent pure-Python construction+decode in
+    tests/test_multimodal.py. Rows-only driver check (byte-level outputs)."""
+    from spark_sentiment_spark.operators.multimodal import (
+        attach_ppm_content, decode_ppm_features)
+
+    docs = load(spark, sf_dir, "documents")
+    ppm = attach_ppm_content(docs)
+    return (decode_ppm_features(ppm)
+            .select("doc_id", "width", "height",
+                    F.round("mean_r", 4).alias("mean_r"),
+                    F.round("mean_g", 4).alias("mean_g"),
+                    F.round("mean_b", 4).alias("mean_b"),
+                    F.md5("thumb").alias("thumb_md5"))
+            .orderBy("doc_id"))

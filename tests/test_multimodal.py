@@ -240,3 +240,47 @@ def test_attach_media_content_roundtrip(spark):
             assert r["sample_rate"] == py["sample_rate"] == 8000 + (i % 5) * 8000
         else:
             assert r["container"] == "mp4"
+
+
+def test_ppm_construction_and_decode_roundtrip(spark):
+    """The native PPM construction must byte-match an independent Python
+    construction, and the mapInPandas decode must reproduce an independent
+    numpy decode exactly — proving this path decodes REAL pixels."""
+    import hashlib
+
+    import numpy as np
+
+    from spark_sentiment_spark.operators.multimodal import (
+        PPM_BLOCKS, attach_ppm_content, decode_ppm_features)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    ppm = attach_ppm_content(docs)
+    built = {r.doc_id: bytes(r.content) for r in ppm.collect()}
+
+    def expect_bytes(did):
+        w, h = 8 + did % 8, 8 + did % 4
+        chain = b"".join(hashlib.md5(f"{did}:{k}".encode()).digest()
+                         for k in range(PPM_BLOCKS))
+        return (b"P6\n" + f"{w} {h}".encode() + b"\n255\n"
+                + chain[:w * h * 3])
+
+    for did, content in built.items():
+        assert content == expect_bytes(did), did
+
+    decoded = {r.doc_id: r for r in decode_ppm_features(ppm).collect()}
+    for did, content in built.items():
+        w, h = 8 + did % 8, 8 + did % 4
+        px = (np.frombuffer(content, np.uint8,
+                            count=w * h * 3,
+                            offset=len(content) - w * h * 3)
+              .reshape(h, w, 3).astype(np.float64))
+        r = decoded[did]
+        assert (r.width, r.height) == (w, h)
+        want = px.mean(axis=(0, 1))
+        assert abs(r.mean_r - want[0]) < 1e-9
+        assert abs(r.mean_g - want[1]) < 1e-9
+        assert abs(r.mean_b - want[2]) < 1e-9
+        hh, ww = (h // 4) * 4, (w // 4) * 4
+        pool = (px[:hh, :ww].reshape(4, hh // 4, 4, ww // 4, 3)
+                .mean(axis=(1, 3)).round().clip(0, 255).astype(np.uint8))
+        assert bytes(r.thumb) == pool.tobytes(), did
