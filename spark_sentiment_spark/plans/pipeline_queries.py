@@ -1291,3 +1291,42 @@ def multimodal_ppm_decode(spark, sf_dir):
                     F.round("mean_b", 4).alias("mean_b"),
                     F.md5("thumb").alias("thumb_md5"))
             .orderBy("doc_id"))
+
+
+@register("multimodal_wav_decode", tags=("multimodal", "pipeline"))
+def multimodal_wav_decode(spark, sf_dir):
+    """REAL audio decode over the natively constructed mixed-media table
+    (`attach_media_content`): WAV rows chunk-walk to their PCM payload and
+    report true sample counts/duration/RMS/peak; PNG/mp4 rows yield nulls
+    (the mixed-modality shape). Pinned against an independent decode in
+    tests/test_multimodal.py; rows-only driver check."""
+    from spark_sentiment_spark.operators.multimodal import (
+        attach_media_content, decode_wav_features)
+
+    docs = load(spark, sf_dir, "documents")
+    media = attach_media_content(docs)
+    return (decode_wav_features(media)
+            .select("doc_id", "channels", "sample_rate", "n_samples",
+                    F.round("duration_s", 6).alias("duration_s"),
+                    F.round("rms", 4).alias("rms"), "peak")
+            .orderBy("doc_id"))
+
+
+@register("multimodal_frame_sample", tags=("multimodal", "pipeline"))
+def multimodal_frame_sample(spark, sf_dir):
+    """REAL frame sampling: natively constructed PPMV frame streams (6
+    uncompressed 8×8 frames per doc), every 2nd frame decoded to true
+    channel means — the uncompressed-stream frame-sample path with nothing
+    faked. Rows-only driver check; byte-exact construction and decode
+    pinned in tests/test_multimodal.py."""
+    from spark_sentiment_spark.operators.multimodal import (
+        attach_ppm_video, sample_video_frames)
+
+    docs = load(spark, sf_dir, "documents")
+    vid = attach_ppm_video(docs)
+    return (sample_video_frames(vid, stride=2)
+            .select("doc_id", "frame",
+                    F.round("mean_r", 4).alias("mean_r"),
+                    F.round("mean_g", 4).alias("mean_g"),
+                    F.round("mean_b", 4).alias("mean_b"))
+            .orderBy("doc_id", "frame"))

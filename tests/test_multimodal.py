@@ -284,3 +284,83 @@ def test_ppm_construction_and_decode_roundtrip(spark):
         pool = (px[:hh, :ww].reshape(4, hh // 4, 4, ww // 4, 3)
                 .mean(axis=(1, 3)).round().clip(0, 255).astype(np.uint8))
         assert bytes(r.thumb) == pool.tobytes(), did
+
+
+def test_wav_decode_matches_independent_implementation(spark):
+    """The chunk-walk PCM decode must reproduce an independently computed
+    RMS/peak/sample-count for the natively constructed WAV rows, and
+    yield nulls for non-WAV modalities."""
+    import numpy as np
+
+    from spark_sentiment_spark.operators.multimodal import (
+        attach_media_content, decode_wav_features)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .where("text IS NOT NULL").limit(60)
+    media = attach_media_content(docs)
+    raw = {r.doc_id: (r.modality, bytes(r.content))
+           for r in media.collect()}
+    got = {r.doc_id: r for r in decode_wav_features(media).collect()}
+
+    n_wav = 0
+    for did, (modality, content) in raw.items():
+        r = got[did]
+        if modality != "audio":
+            assert r.channels is None and r.rms is None, did
+            continue
+        n_wav += 1
+        ch = 1 + did % 2
+        rate = 8000 + (did % 5) * 8000
+        data_len = int.from_bytes(content[40:44], "little")
+        pcm = np.frombuffer(content[44:44 + data_len - (data_len % 2)],
+                            "<i2")
+        assert r.channels == ch and r.sample_rate == rate, did
+        assert r.n_samples == len(pcm) // ch, did
+        want_rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))) \
+            if len(pcm) else 0.0
+        assert abs(r.rms - want_rms) < 1e-9, did
+        assert r.peak == (int(np.abs(pcm).max()) if len(pcm) else 0), did
+    assert n_wav > 0
+
+
+def test_video_frame_sampling_matches_independent_decode(spark):
+    """PPMV construction byte-matches an independent build; the sampled
+    frames (stride 2 → frames 0,2,4) decode to the exact channel means."""
+    import hashlib
+
+    import numpy as np
+
+    from spark_sentiment_spark.operators.multimodal import (
+        VIDEO_FRAMES, VIDEO_H, VIDEO_W, _FRAME_BLOCKS, attach_ppm_video,
+        sample_video_frames)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    vid = attach_ppm_video(docs)
+    built = {r.doc_id: bytes(r.content) for r in vid.collect()}
+
+    npix = VIDEO_W * VIDEO_H * 3
+    header = b"P6\n" + f"{VIDEO_W} {VIDEO_H}".encode() + b"\n255\n"
+
+    def frame_pixels(did, fr):
+        chain = b"".join(hashlib.md5(f"{did}:f{fr}:{k}".encode()).digest()
+                         for k in range(_FRAME_BLOCKS))
+        return chain[:npix]
+
+    for did, content in built.items():
+        want = (b"PPMV" + VIDEO_FRAMES.to_bytes(4, "big")
+                + b"".join(header + frame_pixels(did, fr)
+                           for fr in range(VIDEO_FRAMES)))
+        assert content == want, did
+
+    sampled = sample_video_frames(vid, stride=2).collect()
+    by_key = {(r.doc_id, r.frame): r for r in sampled}
+    assert set(fr for _, fr in by_key) == {0, 2, 4}
+    for did in built:
+        for fr in (0, 2, 4):
+            px = (np.frombuffer(frame_pixels(did, fr), np.uint8)
+                  .reshape(VIDEO_H, VIDEO_W, 3).astype(np.float64))
+            want = px.mean(axis=(0, 1))
+            r = by_key[(did, fr)]
+            assert abs(r.mean_r - want[0]) < 1e-9
+            assert abs(r.mean_g - want[1]) < 1e-9
+            assert abs(r.mean_b - want[2]) < 1e-9
