@@ -38,6 +38,9 @@ PROBES = {
     "pack_sequences": {"documents": ["doc_id"]},
     "events_sessionize": {"events": ["user_id"]},
     "dedup_exact": {"documents": ["doc_id"]},
+    "quality_perplexity": {"documents": ["doc_id"]},
+    "hybrid_search_rrf": {"documents": ["doc_id"],
+                          "embeddings": ["vec_id"]},
 }
 
 

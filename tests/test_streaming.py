@@ -279,3 +279,14 @@ def test_exactly_once_sink_idempotent_across_restart(spark, tmp_path):
         .write.mode("overwrite").parquet(dirs_before[0])
     assert spark.read.parquet(dirs_before[0]).count() == n0
     assert spark.read.parquet(out).count() == batch
+
+
+def test_anomaly_oracle_twins_stay_in_sync():
+    """streaming_volume_anomaly duplicates events_volume_anomaly's oracle
+    SQL (a module-scope import would shift the registration-order window);
+    this pins the two strings together so they cannot drift."""
+    from spark_sentiment_spark.plans.pipeline_queries import ANOMALY_SQL
+    from spark_sentiment_spark.plans.streaming_queries import \
+        STREAM_ANOMALY_SQL
+
+    assert STREAM_ANOMALY_SQL == ANOMALY_SQL
