@@ -20,6 +20,12 @@ Differences from the reference (documented in quirks.md): fixed CSV
 sniffing semantics, string labels supported via StringIndexer, and
 ``--method nlp`` covers both our-nlp and databricks-nlp (same contract,
 pluggable scorer).
+
+Extension entry point D — the query catalog (no reference analogue):
+
+    python -m spark_sentiment_spark --list-queries
+    python -m spark_sentiment_spark --query dedup_exact \
+        --sf-dir /root/testdata/sf0.01 --show 10 --output dups/
 """
 
 from __future__ import annotations
@@ -34,9 +40,17 @@ def build_parser() -> argparse.ArgumentParser:
         prog="spark_sentiment_spark",
         description="PySpark-native sentiment/analytics engine "
                     "(capabilities of witlox/spark_sentiment)")
-    p.add_argument("--input", action="append", required=True,
+    p.add_argument("--input", action="append",
                    help="input file (repeatable; first is used for "
-                        "training, each is scored in analyze mode)")
+                        "training, each is scored in analyze mode); "
+                        "required unless --query/--list-queries")
+    p.add_argument("--query", metavar="NAME",
+                   help="run a catalog query by name against --sf-dir "
+                        "(see --list-queries)")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="table directory for --query (default sf0.01)")
+    p.add_argument("--list-queries", action="store_true",
+                   help="list the query catalog and exit")
     p.add_argument("--output", help="output path (analyze: scored table; "
                                     "word-score training: word-list dirs)")
     p.add_argument("--column", help="text column (default: auto-detect)")
@@ -68,15 +82,56 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.list_queries:
+        from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
+
+        all_queries()
+        try:
+            for name, q in REGISTRY.items():
+                tags = ",".join(q.tags)
+                oracle = "oracle" if q.sql else "rows-only"
+                print(f"{name}\t[{tags}]\t{oracle}")
+        except BrokenPipeError:      # e.g. piped into `head`
+            sys.stderr.close()
+        return 0
+
+    if not args.query and not args.input:
+        print("--input is required (or use --query/--list-queries)",
+              file=sys.stderr)
+        return 2
+
     from spark_sentiment_spark.session import get_spark
 
     spark = get_spark(master=args.master)
     try:
+        if args.query:
+            return _run_catalog_query(spark, args)
         if args.train:
             return _train(spark, args)
         return _analyze(spark, args)
     finally:
         spark.stop()
+
+
+def _run_catalog_query(spark, args) -> int:
+    from spark_sentiment_spark.plans.registry import (REGISTRY, all_queries,
+                                                      release_caches)
+
+    all_queries()
+    if args.query not in REGISTRY:
+        print(f"unknown query {args.query!r} (see --list-queries)",
+              file=sys.stderr)
+        return 2
+    df = REGISTRY[args.query].fn(spark, args.sf_dir)
+    if args.output:
+        from spark_sentiment_spark.sources.io import save
+
+        save(df, args.output, args.output_type)
+    if args.show or not args.output:
+        df.show(args.show or 20, truncate=60)
+    release_caches()
+    return 0
 
 
 def _analyze(spark, args) -> int:

@@ -108,12 +108,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the extension surface (dedup/similarity/events/text/multimodal/
     # streaming) registers first, the relational/TPC-H shapes last.
     #
-    # ROTATION PLAN (next round): the round-2 driver window covered the
-    # first 50 (dedup..streaming). Once those have green rows, move
-    # `pipeline_queries` to the FRONT of this list so its ~16 queries —
-    # driver-unchecked this round, local-oracle-green — land inside the
-    # 50-query window; the then-twice-proven dedup/similarity block moves
-    # behind it.
+    # ROTATION PLAN (next round): the round-2 driver window covers the
+    # first 50 (dedup..streaming incl. streaming_stateful_counts). Once
+    # those have green rows, move `pipeline_queries` (~34 queries:
+    # pipeline prep, profiling, BPE, hybrid retrieval, real-decode
+    # multimodal — driver-unchecked this round, local-oracle-green) to the
+    # FRONT of this list, then relational/tpch_shapes for the remaining
+    # window slots on a later rotation; the then-twice-proven
+    # dedup/similarity/events/text block moves behind.
     import spark_sentiment_spark.plans.dedup_queries  # noqa: F401
     import spark_sentiment_spark.plans.similarity_queries  # noqa: F401
     import spark_sentiment_spark.plans.events_queries  # noqa: F401

@@ -101,3 +101,40 @@ def test_cli_multi_input_gets_per_input_outputs(keep_session_alive,
     first = spark.read.parquet(f"{out}/{base}")
     second = spark.read.parquet(f"{out}/{base}_1")
     assert first.count() == 100 and second.count() == 100
+
+
+def test_cli_list_queries(capsys):
+    from spark_sentiment_spark.__main__ import main
+
+    rc = main(["--list-queries"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "dedup_exact\t[dedup]\toracle" in out
+    assert "hybrid_search_rrf" in out
+    assert len(out.strip().splitlines()) >= 120
+
+
+def test_cli_runs_catalog_query_to_output(keep_session_alive, tmp_path):
+    from tests.conftest import SF_DIR
+
+    from spark_sentiment_spark.__main__ import main
+
+    out = str(tmp_path / "profile")
+    rc = main(["--query", "profile_columns", "--sf-dir", SF_DIR,
+               "--output", out])
+    assert rc == 0
+    got = keep_session_alive.read.parquet(out)
+    assert got.count() == 4
+    assert "mean" in got.columns
+
+
+def test_cli_unknown_query_errors(keep_session_alive):
+    from spark_sentiment_spark.__main__ import main
+
+    assert main(["--query", "no_such_query"]) == 2
+
+
+def test_cli_no_input_no_query_errors():
+    from spark_sentiment_spark.__main__ import main
+
+    assert main([]) == 2
