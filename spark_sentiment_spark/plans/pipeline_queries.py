@@ -1330,3 +1330,41 @@ def multimodal_frame_sample(spark, sf_dir):
                     F.round("mean_g", 4).alias("mean_g"),
                     F.round("mean_b", 4).alias("mean_b"))
             .orderBy("doc_id", "frame"))
+
+
+# --- Quality-curriculum bucketing (per-language quartiles) ------------------
+
+CURRICULUM_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                    AS DOUBLE)
+               / greatest(length(text), 1), 6) AS alpha_ratio
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, lang, alpha_ratio,
+       CAST(ntile(4) OVER (PARTITION BY lang
+                           ORDER BY alpha_ratio, doc_id) AS BIGINT)
+         AS curriculum_bucket
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@register("curriculum_buckets", sql=CURRICULUM_SQL, tags=("pipeline", "text"))
+def curriculum_buckets(spark, sf_dir):
+    """Quality-curriculum assignment: score every document (alpha-char
+    ratio — the cheapest robust quality proxy), then quartile it WITHIN
+    its language via ntile so each language contributes its own
+    easy→hard progression regardless of absolute score scale. One shuffle
+    on the bounded language key; ties broken by doc_id so the buckets are
+    engine-deterministic."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    alpha = F.round(
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1)), 6)
+    w = Window.partitionBy("lang").orderBy("alpha_ratio", "doc_id")
+    return (docs.select("doc_id", "lang", alpha.alias("alpha_ratio"))
+            .withColumn("curriculum_bucket",
+                        F.ntile(4).over(w).cast("long"))
+            .orderBy("doc_id"))
