@@ -1368,3 +1368,95 @@ def curriculum_buckets(spark, sf_dir):
             .withColumn("curriculum_bucket",
                         F.ntile(4).over(w).cast("long"))
             .orderBy("doc_id"))
+
+
+# --- Exact-N stratified sampling (content-addressed) ------------------------
+
+SAMPLE_N_PER_LANG = 20
+
+SAMPLE_N_SQL = f"""
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= {SAMPLE_N_PER_LANG}
+ORDER BY doc_id
+"""
+
+
+@register("sample_exact_n", sql=SAMPLE_N_SQL, tags=("pipeline",))
+def sample_exact_n(spark, sf_dir):
+    """Exactly-N-per-stratum sampling: rank every document inside its
+    language by md5(doc_id) — a content-addressed pseudo-random order that
+    is identical on every engine and every run — and keep the first N.
+    The companion to `sample_stratified` (rate-based, sizes vary
+    binomially) when the downstream step needs exact quota sizes (eval
+    sets, annotation batches). One shuffle on the bounded stratum key."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (docs.select("doc_id", "lang")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= SAMPLE_N_PER_LANG)
+            .select("doc_id", "lang")
+            .orderBy("doc_id"))
+
+
+# --- Embedding PCA (distributed Gram accumulation + driver eigensolve) ------
+
+
+@register("embedding_pca", tags=("pipeline", "similarity"))
+def embedding_pca(spark, sf_dir, topk: int = 8):
+    """PCA over the embedding store — the whitening/compaction step before
+    large-scale retrieval or semantic dedup. Distributed shape: each Arrow
+    batch folds to ONE (d, d²+...) partial — count, per-dim sum, and Gram
+    matrix XᵀX via BLAS — so the driver reduces #partitions tiny matrices,
+    never rows (the treeAggregate pattern); the d×d covariance
+    eigendecomposition is O(d³) driver-side math. Emits the top-k
+    components' explained-variance profile. Rows-only driver check;
+    numpy-differential test in tests/test_properties.py."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+
+    def partials(batches):
+        for pdf in batches:
+            V = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            if not len(V):
+                continue
+            yield pd.DataFrame({
+                "n": [len(V)],
+                "s": [V.sum(axis=0).tolist()],
+                "g": [(V.T @ V).reshape(-1).tolist()],
+            })
+
+    # reduce the per-batch partials as (position, value) pairs: posexplode
+    # keeps the expression tree O(1) (an F.array of 4096 sums compiles to a
+    # multi-MB task binary), while the groupBy stays fully distributed.
+    part = emb.select("embedding").mapInPandas(
+        partials, "n long, s array<double>, g array<double>")
+    flat = part.select(F.posexplode(F.concat(
+        F.array(F.col("n").cast("double")), "s", "g")).alias("pos", "v"))
+    reduced = {r["pos"]: r["t"] for r in
+               flat.groupBy("pos").agg(F.sum("v").alias("t")).collect()}
+    vec = np.asarray([reduced[i] for i in range(1 + 64 + 64 * 64)])
+
+    n = int(vec[0])
+    s = vec[1:65]
+    g = vec[65:].reshape(64, 64)
+    cov = (g - np.outer(s, s) / n) / (n - 1)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    total = float(evals.sum())
+    rows = [(i + 1, float(evals[i]), float(evals[: i + 1].sum() / total))
+            for i in range(topk)]
+    out = spark.createDataFrame(
+        rows, "component long, eigenvalue double, cum_explained double")
+    return out.select(
+        "component", F.round("eigenvalue", 6).alias("eigenvalue"),
+        F.round("cum_explained", 6).alias("cum_explained")) \
+        .orderBy("component")

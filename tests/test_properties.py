@@ -180,3 +180,28 @@ def test_bloom_membership_no_false_negatives_and_bypasses(spark):
     n_non, fp = non.count(), non.where(probe).count()
     assert n_non > 0
     assert fp / n_non <= 0.05, f"bloom FP rate {fp}/{n_non}"
+
+
+def test_embedding_pca_matches_numpy(spark):
+    """The distributed Gram accumulation + eigensolve must reproduce a
+    direct numpy PCA of the same vectors to float precision."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
+    from tests.conftest import SF_DIR
+
+    all_queries()
+    rows = REGISTRY["embedding_pca"].fn(spark, SF_DIR).collect()
+
+    V = np.asarray(pq.read_table(f"{SF_DIR}/embeddings.parquet")
+                   .column("embedding").to_pylist(), dtype=np.float64)
+    cov = np.cov(V, rowvar=False)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    total = evals.sum()
+    for r in rows:
+        i = r.component - 1
+        assert abs(r.eigenvalue - round(float(evals[i]), 6)) < 2e-6, r
+        want_cum = float(evals[: i + 1].sum() / total)
+        assert abs(r.cum_explained - round(want_cum, 6)) < 2e-6, r
+    assert rows[-1].cum_explained > rows[0].cum_explained
