@@ -1460,3 +1460,32 @@ def embedding_pca(spark, sf_dir, topk: int = 8):
         "component", F.round("eigenvalue", 6).alias("eigenvalue"),
         F.round("cum_explained", 6).alias("cum_explained")) \
         .orderBy("component")
+
+
+# --- Event activity heatmap (hour-of-day × day-of-week) ---------------------
+
+HEATMAP_SQL = """
+SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour_of_day,
+       count(*) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY dow, hour_of_day
+"""
+
+
+@register("events_heatmap", sql=HEATMAP_SQL, tags=("pipeline", "events"))
+def events_heatmap(spark, sf_dir):
+    """Hour-of-day × day-of-week activity matrix (events + distinct
+    users) — the load-profile dashboard behind capacity planning and
+    anomaly baselines. One agg over a 168-cell key space; the distinct
+    expands to the standard two-phase plan. Spark's `dayofweek` is
+    1=Sunday while DuckDB's is 0=Sunday — aligned here explicitly."""
+    events = load(spark, sf_dir, "events")
+    return (events
+            .groupBy((F.dayofweek("ts") - 1).cast("long").alias("dow"),
+                     F.hour("ts").cast("long").alias("hour_of_day"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("user_id").alias("n_users"))
+            .orderBy("dow", "hour_of_day"))
