@@ -102,20 +102,67 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+# The external correctness harness records rows for only the FIRST 50
+# catalog entries, so ordering is an explicit, audited decision rather
+# than an accident of import order. Round-3 window: every query that has
+# no CORRECTNESS row from rounds 1-2 (36 entries spanning pipeline prep,
+# profiling, BPE, hybrid retrieval, decode-multimodal, streaming tail,
+# relational tail), then new round-3 queries in the remaining slots.
+# Everything already hash-green in r01/r02 rotates behind the window.
+_WINDOW_PRIORITY = [
+    # — pipeline prep / sampling / sharding —
+    "pack_sequences",
+    "split_by_hash",
+    "cap_per_source",
+    "vocab_coverage",
+    "mixture_sample",
+    "curriculum_buckets",
+    "sample_exact_n",
+    "shuffle_shards",
+    "skew_salted_agg",
+    "merge_upsert",
+    "snapshot_diff",
+    # — quality / text —
+    "quality_gate",
+    "quality_gate_rates",
+    "quality_perplexity",
+    "langid_confusion",
+    # — dedup tail —
+    "dedup_prefix",
+    "dedup_incremental",
+    "dedup_incremental_bloom",
+    "dedup_semantic",
+    # — BPE / retrieval / embeddings —
+    "bpe_merges",
+    "bpe_token_counts",
+    "hybrid_search_rrf",
+    "embedding_pca",
+    # — profiling —
+    "profile_columns",
+    "corr_matrix",
+    # — events tail —
+    "events_dedup_latest",
+    "events_volume_anomaly",
+    "events_heatmap",
+    # — multimodal decode —
+    "multimodal_headers",
+    "multimodal_ppm_decode",
+    "multimodal_wav_decode",
+    "multimodal_frame_sample",
+    # — streaming tail —
+    "streaming_sessionize",
+    "streaming_volume_anomaly",
+    # — relational tail —
+    "q2_min_cost_supplier",
+    "q21_waiting_suppliers",
+    # — new in round 3 (no prior rows by definition) —
+]
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Import registration modules for their side effects. Registration order
-    # matters to external harnesses that check a prefix of the catalog:
-    # the extension surface (dedup/similarity/events/text/multimodal/
-    # streaming) registers first, the relational/TPC-H shapes last.
-    #
-    # ROTATION PLAN (next round): the round-2 driver window covers the
-    # first 50 (dedup..streaming incl. streaming_stateful_counts). Once
-    # those have green rows, move `pipeline_queries` (~34 queries:
-    # pipeline prep, profiling, BPE, hybrid retrieval, real-decode
-    # multimodal — driver-unchecked this round, local-oracle-green) to the
-    # FRONT of this list, then relational/tpch_shapes for the remaining
-    # window slots on a later rotation; the then-twice-proven
-    # dedup/similarity/events/text block moves behind.
+    # Import registration modules for their side effects, then reorder the
+    # catalog so _WINDOW_PRIORITY names come first (prefix-checking
+    # harnesses spend their rows on not-yet-verified queries).
     import spark_sentiment_spark.plans.dedup_queries  # noqa: F401
     import spark_sentiment_spark.plans.similarity_queries  # noqa: F401
     import spark_sentiment_spark.plans.events_queries  # noqa: F401
@@ -126,6 +173,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import spark_sentiment_spark.plans.tpch_shapes  # noqa: F401
     import spark_sentiment_spark.plans.pipeline_queries  # noqa: F401
 
+    ordered = {n: REGISTRY[n] for n in _WINDOW_PRIORITY if n in REGISTRY}
+    ordered.update((n, q) for n, q in REGISTRY.items() if n not in ordered)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
     return {name: q.fn for name, q in REGISTRY.items()}
 
 

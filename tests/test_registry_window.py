@@ -1,9 +1,52 @@
 """The external correctness harness checks only the FIRST 50
 registrations; this pins the window membership so adding a query
 to the wrong module cannot silently evict an oracle-backed entry
-(see plans/registry.py::all_queries for the rotation plan)."""
+(see plans/registry.py::_WINDOW_PRIORITY for the rotation plan).
+
+Round-3 window: the 36 queries with no CORRECTNESS row from rounds
+1-2, then new round-3 queries, then already-proven canaries filling
+any remaining slots.
+"""
 
 WINDOW = [
+    # 36 never-driver-checked (r01 ∪ r02) — the rotation payload
+    'pack_sequences',
+    'split_by_hash',
+    'cap_per_source',
+    'vocab_coverage',
+    'mixture_sample',
+    'curriculum_buckets',
+    'sample_exact_n',
+    'shuffle_shards',
+    'skew_salted_agg',
+    'merge_upsert',
+    'snapshot_diff',
+    'quality_gate',
+    'quality_gate_rates',
+    'quality_perplexity',
+    'langid_confusion',
+    'dedup_prefix',
+    'dedup_incremental',
+    'dedup_incremental_bloom',
+    'dedup_semantic',
+    'bpe_merges',
+    'bpe_token_counts',
+    'hybrid_search_rrf',
+    'embedding_pca',
+    'profile_columns',
+    'corr_matrix',
+    'events_dedup_latest',
+    'events_volume_anomaly',
+    'events_heatmap',
+    'multimodal_headers',
+    'multimodal_ppm_decode',
+    'multimodal_wav_decode',
+    'multimodal_frame_sample',
+    'streaming_sessionize',
+    'streaming_volume_anomaly',
+    'q2_min_cost_supplier',
+    'q21_waiting_suppliers',
+    # proven canaries / new round-3 queries fill the tail
     'dedup_exact',
     'dedup_jaccard_pairs',
     'dedup_minhash_lsh',
@@ -18,42 +61,6 @@ WINDOW = [
     'ann_pq_topk',
     'events_tumbling_hour',
     'events_sliding_hour',
-    'events_sessionize',
-    'events_asof_join',
-    'events_asof_cogroup',
-    'events_json_extract',
-    'events_range_join',
-    'events_daily_rollup',
-    'events_user_rates',
-    'events_gap_fill',
-    'events_funnel',
-    'events_props_map',
-    'events_rolling_1h',
-    'events_retention_cohorts',
-    'clean_text',
-    'wordscore_sentiment',
-    'wordscore_full_parity',
-    'wordlist_extraction',
-    'wordlist_extraction_scaled',
-    'quality_repetition',
-    'decontaminate_ngram',
-    'text_stats_by_lang',
-    'token_counts',
-    'quality_scores',
-    'langid_stopword',
-    'doc_rolling_hash',
-    'doc_fingerprints',
-    'doc_chunks',
-    'quality_zscore_by_lang',
-    'text_tfidf_topk',
-    'quality_outlier_trim',
-    'sample_stratified',
-    'boilerplate_ngrams',
-    'multimodal_fingerprints',
-    'multimodal_decode_features',
-    'streaming_tumbling_hour',
-    'streaming_static_enrich',
-    'streaming_stateful_counts',
 ]
 
 
@@ -64,11 +71,23 @@ def test_driver_window_membership_is_pinned():
     assert list(REGISTRY)[:50] == WINDOW
 
 
+def test_rotation_payload_is_fully_inside_window():
+    """Every query that lacked a CORRECTNESS row after round 2 must sit
+    inside the driver's 50-entry window this round."""
+    from spark_sentiment_spark.plans.registry import (REGISTRY, all_queries,
+                                                      _WINDOW_PRIORITY)
+
+    all_queries()
+    window = set(list(REGISTRY)[:50])
+    missing = [n for n in _WINDOW_PRIORITY if n not in window]
+    assert not missing, missing
+
+
 def test_window_is_oracle_dense():
-    """At most a handful of rows-only entries may occupy window slots —
-    oracle-backed queries are what driver rows are spent on."""
+    """Most window slots must carry a DuckDB oracle — rows-only entries
+    get a weaker check, so they shouldn't crowd the window."""
     from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
 
     all_queries()
     rows_only = [n for n in WINDOW if REGISTRY[n].sql is None]
-    assert len(rows_only) <= 10, rows_only
+    assert len(rows_only) <= 13, rows_only
