@@ -20,11 +20,15 @@ from pyspark.sql import functions as F
 
 # Order matters: URLs before emails would still be safe, but emails first
 # keeps `mailto:`-less addresses inside URLs from being double-tagged;
-# IPv4 runs after phones so dotted quads aren't eaten by the digit-run rule.
+# IPv4 runs BEFORE phones so dotted quads are tagged <IP> rather than
+# eaten by the digit-run rule.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 URL_RE = r"https?://[^\s]+"
 IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
-PHONE_RE = r"\+?\d[\d().\- ]{6,}\d"
+# 7-15 digits total (ITU E.164 ceiling), at most 2 separator chars between
+# consecutive digits — so year ranges ("2020 - 2021") and space-separated
+# quantity runs of short numbers don't get swallowed as <PHONE>.
+PHONE_RE = r"\+?\d(?:[().\- ]{0,2}\d){6,14}"
 
 _CHAIN = [
     (EMAIL_RE, "<EMAIL>"),

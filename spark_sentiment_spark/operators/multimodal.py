@@ -188,6 +188,14 @@ def _le(c, pos: int, nbytes: int):
     return total
 
 
+def _le_signed(c, pos: int, nbytes: int):
+    """Little-endian SIGNED int (two's complement), JVM-native. BMP info-
+    header dims are int32: a negative height means a top-down raster."""
+    v = _le(c, pos, nbytes)
+    half = 1 << (8 * nbytes - 1)
+    return F.when(v >= half, v - (half << 1)).otherwise(v)
+
+
 def _prefix_is(c, pos: int, magic: bytes):
     return F.lower(F.hex(F.substring(c, pos, len(magic)))) == magic.hex()
 
@@ -214,10 +222,12 @@ def header_metadata(df: DataFrame, content_col: str = "content",
                  .when(is_jpeg, "jpeg").when(is_mp4, "mp4"))
     width = (F.when(is_png, _be(c, 17, 4))
              .when(is_gif, _le(c, 7, 2))
-             .when(is_bmp, _le(c, 19, 4)))
+             .when(is_bmp, _le_signed(c, 19, 4)))
     height = (F.when(is_png, _be(c, 21, 4))
               .when(is_gif, _le(c, 9, 2))
-              .when(is_bmp, _le(c, 23, 4)))
+              # int32, abs(): negative height = top-down raster, same
+              # pixel count — mirrors parse_container_header.
+              .when(is_bmp, F.abs(_le_signed(c, 23, 4))))
     channels = F.when(is_wav & canonical_fmt, _le(c, 23, 2))
     sample_rate = F.when(is_wav & canonical_fmt, _le(c, 25, 4))
     return df.select(

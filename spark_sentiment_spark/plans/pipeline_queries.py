@@ -1444,16 +1444,21 @@ def embedding_pca(spark, sf_dir, topk: int = 8):
         F.array(F.col("n").cast("double")), "s", "g")).alias("pos", "v"))
     reduced = {r["pos"]: r["t"] for r in
                flat.groupBy("pos").agg(F.sum("v").alias("t")).collect()}
-    vec = np.asarray([reduced[i] for i in range(1 + 64 + 64 * 64)])
+    # flattened layout is [n, s(d), g(d*d)] — derive d from the total
+    # length rather than assuming the fixture's embedding width.
+    # len = 1 + d + d^2  →  d = (-1 + sqrt(4*len - 3)) / 2
+    d = int(round((-1 + (4 * len(reduced) - 3) ** 0.5) / 2))
+    assert 1 + d + d * d == len(reduced), (d, len(reduced))
+    vec = np.asarray([reduced[i] for i in range(1 + d + d * d)])
 
     n = int(vec[0])
-    s = vec[1:65]
-    g = vec[65:].reshape(64, 64)
+    s = vec[1:1 + d]
+    g = vec[1 + d:].reshape(d, d)
     cov = (g - np.outer(s, s) / n) / (n - 1)
     evals = np.linalg.eigvalsh(cov)[::-1]
     total = float(evals.sum())
     rows = [(i + 1, float(evals[i]), float(evals[: i + 1].sum() / total))
-            for i in range(topk)]
+            for i in range(min(topk, d))]
     out = spark.createDataFrame(
         rows, "component long, eigenvalue double, cum_explained double")
     return out.select(

@@ -105,9 +105,11 @@ def _gif(w, h):
 
 
 def _bmp(w, h):
+    # info-header dims are SIGNED int32 — negative height = top-down raster
     return (b"BM" + (26).to_bytes(4, "little") + b"\x00" * 4
             + (26).to_bytes(4, "little") + (40).to_bytes(4, "little")
-            + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True)
+            + h.to_bytes(4, "little", signed=True)
             + b"\x00" * 8)
 
 
@@ -136,6 +138,8 @@ HEADER_CASES = [
     (3, _wav(2, 44100), "wav", None, None, 2, 44100),
     (4, _jpeg(800, 600), "jpeg", None, None, None, None),  # native: scan n/a
     (5, b"just some text bytes", None, None, None, None, None),
+    # top-down BMP: height stored as -768; both paths must report 768
+    (6, _bmp(1024, -768), "bmp", 1024, 768, None, None),
 ]
 
 

@@ -13,6 +13,7 @@ ROWS = [
     ("call +1 (555) 123-4567 today", "<PHONE>"),
     ("digits 12 34 stay when short", None),
     ("plain text with no pii at all", None),
+    ("range 2020 - 2021 is not a phone", None),
 ]
 
 
