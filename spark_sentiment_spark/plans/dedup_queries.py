@@ -36,6 +36,70 @@ def _shingled(docs, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def _minhash_signatures(docs, n_hashes: int = 32, seed: int = 42,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """(id, mh0..mh{n-1}) MinHash signature rows via ``mapInPandas``: each
+    document's 3-word shingle set and all n mins are computed LOCALLY
+    inside its Arrow batch (one k×n numpy outer-product min per doc), so
+    the token stream is never materialized as rows and never SHUFFLED —
+    the per-doc form is embarrassingly parallel. Deterministic permutation
+    parameters (fixed seed); 31-bit shingle hashes with the Mersenne prime
+    2^31-1 keep a*h+b < 2^62, safe in int64."""
+    import random
+    import zlib
+
+    import numpy as np
+
+    rng = random.Random(seed)
+    p = (1 << 31) - 1
+    perms = [(rng.randrange(1, p), rng.randrange(0, p))
+             for _ in range(n_hashes)]
+    A = np.array([a for a, _ in perms], dtype=np.int64)
+    B = np.array([b for _, b in perms], dtype=np.int64)
+
+    sig_schema = f"{id_col} long, " + ", ".join(
+        f"mh{i} long" for i in range(n_hashes))
+
+    def _signatures(batches):
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = text.lower().split(" ")
+                if len(toks) >= 3:
+                    sh = {" ".join(toks[i:i + 3])
+                          for i in range(len(toks) - 2)}
+                else:
+                    sh = {" ".join(toks)}
+                h = np.fromiter(
+                    (zlib.crc32(s.encode()) & 0x7FFFFFFF for s in sh),
+                    dtype=np.int64, count=len(sh))
+                sigs.append(((h[:, None] * A + B) % p).min(axis=0))
+                ids.append(doc_id)
+            S = np.vstack(sigs) if sigs else np.empty((0, n_hashes), np.int64)
+            yield pd.DataFrame(
+                {id_col: ids,
+                 **{f"mh{i}": S[:, i] for i in range(n_hashes)}})
+
+    return docs.select(id_col, text_col).mapInPandas(_signatures, sig_schema)
+
+
+def _band_buckets(mins, n_hashes: int, n_bands: int, id_col: str = "doc_id"):
+    """(id, band_id, band_hash) LSH banding rows via a single posexplode —
+    no n_bands-way union. Docs sharing any (band_id, band_hash) bucket are
+    candidate pairs; the bucket join is the LSH scale path (no all-pairs
+    product)."""
+    rows_per_band = n_hashes // n_bands
+    band_hashes = F.array(*[
+        F.xxhash64(*[F.col(f"mh{band * rows_per_band + r}")
+                     for r in range(rows_per_band)])
+        for band in range(n_bands)
+    ])
+    return mins.select(
+        id_col, F.posexplode(band_hashes).alias("band_id", "bh"))
+
+
 EXACT_SQL = """
 WITH hashed AS (
   SELECT doc_id, md5(lower(trim(text))) AS h FROM documents
@@ -151,59 +215,10 @@ def dedup_minhash_lsh(spark, sf_dir):
     Jaccard query above is its semantic oracle, and
     tests/test_dedup_recall.py pins candidate recall against it.
     """
-    import random
-    import zlib
-
-    import numpy as np
-
     docs = load(spark, sf_dir, "documents")
     n_hashes, n_bands = 32, 8
-    rows_per_band = n_hashes // n_bands
-    # Deterministic permutation parameters (fixed seed — stable across
-    # runs). 31-bit hash space with the Mersenne prime 2^31-1 keeps
-    # a*h+b < 2^62, safe in int64.
-    rng = random.Random(42)
-    p = (1 << 31) - 1
-    perms = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(n_hashes)]
-    A = np.array([a for a, _ in perms], dtype=np.int64)
-    B = np.array([b for _, b in perms], dtype=np.int64)
-
-    sig_schema = "doc_id long, " + ", ".join(
-        f"mh{i} long" for i in range(n_hashes))
-
-    def _signatures(batches):
-        for pdf in batches:
-            ids, sigs = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                if text is None:
-                    continue
-                toks = text.lower().split(" ")
-                if len(toks) >= 3:
-                    sh = {" ".join(toks[i:i + 3])
-                          for i in range(len(toks) - 2)}
-                else:
-                    sh = {" ".join(toks)}
-                h = np.fromiter(
-                    (zlib.crc32(s.encode()) & 0x7FFFFFFF for s in sh),
-                    dtype=np.int64, count=len(sh))
-                sigs.append(((h[:, None] * A + B) % p).min(axis=0))
-                ids.append(doc_id)
-            S = np.vstack(sigs) if sigs else np.empty((0, n_hashes), np.int64)
-            yield pd.DataFrame(
-                {"doc_id": ids,
-                 **{f"mh{i}": S[:, i] for i in range(n_hashes)}})
-
-    mins = docs.select("doc_id", "text").mapInPandas(_signatures, sig_schema)
-    mins = track_persist(mins)
-    # (doc_id, band_id, band_hash) via a single posexplode — no 8-way union.
-    band_hashes = F.array(*[
-        F.xxhash64(*[F.col(f"mh{band * rows_per_band + r}")
-                     for r in range(rows_per_band)])
-        for band in range(n_bands)
-    ])
-    pairs = mins.select(
-        "doc_id", F.posexplode(band_hashes).alias("band_id", "bh")
-    )
+    mins = track_persist(_minhash_signatures(docs, n_hashes))
+    pairs = _band_buckets(mins, n_hashes, n_bands)
     # Candidate pairs: docs sharing any band bucket (bucket-local join, the
     # LSH scale path — no all-pairs product).
     a = pairs.alias("a")
@@ -334,3 +349,88 @@ def dedup_clusters(spark, sf_dir):
     return (comp.select(F.col("node").alias("doc_id"),
                         F.col("comp").alias("component"))
             .orderBy("doc_id"))
+
+
+DECON_MINHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(generate_series(1, len(t) - 2),
+                                  i -> array_to_string(t[i:i+2], ' '))
+              ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+),
+tok AS (SELECT DISTINCT doc_id, unnest(shingles) AS w FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, count(*) AS i
+  FROM tok t JOIN tok e ON t.w = e.w
+  WHERE t.doc_id % 11 <> 0 AND e.doc_id % 11 = 0
+  GROUP BY 1, 2
+)
+SELECT train_doc, eval_doc,
+       round(i * 1.0 / (st.n + se.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes st ON train_doc = st.doc_id
+JOIN sizes se ON eval_doc = se.doc_id
+WHERE i * 1.0 / (st.n + se.n - i) >= 0.8
+ORDER BY train_doc, eval_doc
+"""
+
+
+@register("decontaminate_minhash", sql=DECON_MINHASH_SQL,
+          tags=("dedup", "text"))
+def decontaminate_minhash(spark, sf_dir):
+    """Fuzzy train/eval decontamination — the near-dup complement of
+    `decontaminate_ngram` (which needs an exact 8-gram hit). Documents with
+    doc_id % 11 == 0 stand in for the eval set; the rest are the training
+    corpus. MinHash-LSH banding (32 hashes, 16 bands of 2 — high recall at
+    the 0.8 threshold) proposes train↔eval candidate pairs from shared
+    band buckets, then EXACT shingle-set Jaccard is computed for candidates
+    only, keeping pairs ≥ 0.8.
+
+    Scale shape: signatures are per-doc Arrow-local (no token shuffle);
+    the bucket join is linear in bucket occupancy; the exact-verify join
+    touches only candidate pairs, so the quadratic term of the oracle's
+    all-pairs formulation never appears. The DuckDB oracle IS that
+    quadratic formulation — equality additionally witnesses that LSH
+    recall at this threshold is total on the fixture (pinned more broadly
+    by tests/test_dedup_recall.py)."""
+    docs = load(spark, sf_dir, "documents")
+    n_hashes, n_bands = 32, 16
+    is_eval = F.col("doc_id") % 11 == 0
+
+    mins = track_persist(_minhash_signatures(docs, n_hashes))
+    buckets = _band_buckets(mins, n_hashes, n_bands)
+    t = buckets.where(~is_eval).alias("t")
+    e = buckets.where(is_eval).alias("e")
+    cand = (t.join(e, (F.col("t.bh") == F.col("e.bh"))
+                   & (F.col("t.band_id") == F.col("e.band_id")))
+            .select(F.col("t.doc_id").alias("train_doc"),
+                    F.col("e.doc_id").alias("eval_doc"))
+            .distinct())
+
+    # Exact Jaccard verify on candidates only. The shingle inverted index
+    # is reused from the exact formulation; the semi-join-shaped candidate
+    # restriction keeps the intersect-count join bounded by |candidates|.
+    tok = _shingled(docs).distinct()
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta, ea = tok.alias("ta"), tok.alias("ea")
+    inter = (cand
+             .join(ta, F.col("train_doc") == F.col("ta.doc_id"))
+             .join(ea, (F.col("eval_doc") == F.col("ea.doc_id"))
+                   & (F.col("ta.w") == F.col("ea.w")))
+             .groupBy("train_doc", "eval_doc")
+             .agg(F.count(F.lit(1)).alias("i")))
+    st, se = sizes.alias("st"), sizes.alias("se")
+    jac = F.col("i") * 1.0 / (F.col("st.n") + F.col("se.n") - F.col("i"))
+    return (inter
+            .join(st, F.col("train_doc") == F.col("st.doc_id"))
+            .join(se, F.col("eval_doc") == F.col("se.doc_id"))
+            .where(jac >= 0.8)
+            .select("train_doc", "eval_doc",
+                    F.round(jac, 6).alias("jaccard"))
+            .orderBy("train_doc", "eval_doc"))

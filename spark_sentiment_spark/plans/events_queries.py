@@ -543,3 +543,87 @@ def events_retention_cohorts(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("active_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type, next_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, next_type, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 6) AS p
+FROM c
+ORDER BY event_type, next_type
+"""
+
+
+@register("events_transitions", sql=TRANSITIONS_SQL, tags=("events",))
+def events_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences:
+    count (event_type → next event_type) bigrams and the conditional
+    probability P(next | current). The sequence-mining primitive behind
+    funnel discovery and session-model features. One shuffle to order each
+    user's history (lead over user_id), then a hash agg onto the bounded
+    |types|² key space; the probability normalization runs on the tiny
+    aggregated result, not the event stream."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type"))
+    counts = (seq.where(F.col("next_type").isNotNull())
+              .groupBy("event_type", "next_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    norm = Window.partitionBy("event_type")
+    return (counts
+            .withColumn("p", F.round(
+                F.col("n") * 1.0 / F.sum("n").over(norm), 6))
+            .orderBy("event_type", "next_type"))
+
+
+ATTRIBUTION_SQL = """
+WITH tagged AS (
+  SELECT event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+  FROM events
+)
+SELECT coalesce(channel, 'direct') AS channel,
+       count(*) AS purchases,
+       round(sum(CAST(value AS DECIMAL(27,6))), 4)::DOUBLE AS revenue
+FROM tagged
+WHERE event_type = 'purchase'
+GROUP BY 1
+ORDER BY channel
+"""
+
+
+@register("events_attribution", sql=ATTRIBUTION_SQL, tags=("events",))
+def events_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase is credited to the most
+    recent preceding non-purchase event of the same user ('direct' when
+    the purchase is the user's first event). The running-last-non-null
+    window (`last(..., ignorenulls)` over unbounded-preceding) needs ONE
+    per-user sort — no self-join against the full history, which is the
+    quadratic formulation this replaces. Revenue summed in exact decimal
+    so the hash agrees with the oracle regardless of summation order."""
+    ev = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True).over(w)
+    return (ev.withColumn("channel", channel)
+            .where(F.col("event_type") == "purchase")
+            .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+            .agg(F.count(F.lit(1)).alias("purchases"),
+                 F.round(F.sum(F.col("value").cast("decimal(27,6)")), 4)
+                 .cast("double").alias("revenue"))
+            .orderBy("channel"))

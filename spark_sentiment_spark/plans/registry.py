@@ -156,6 +156,9 @@ _WINDOW_PRIORITY = [
     "q2_min_cost_supplier",
     "q21_waiting_suppliers",
     # — new in round 3 (no prior rows by definition) —
+    "decontaminate_minhash",
+    "events_transitions",
+    "events_attribution",
 ]
 
 

@@ -46,7 +46,11 @@ WINDOW = [
     'streaming_volume_anomaly',
     'q2_min_cost_supplier',
     'q21_waiting_suppliers',
-    # proven canaries / new round-3 queries fill the tail
+    # new round-3 queries (no prior rows by definition)
+    'decontaminate_minhash',
+    'events_transitions',
+    'events_attribution',
+    # proven canaries fill the tail
     'dedup_exact',
     'dedup_jaccard_pairs',
     'dedup_minhash_lsh',
@@ -58,9 +62,6 @@ WINDOW = [
     'dedup_embedding_cosine',
     'ann_lsh_topk',
     'embedding_quantize',
-    'ann_pq_topk',
-    'events_tumbling_hour',
-    'events_sliding_hour',
 ]
 
 
