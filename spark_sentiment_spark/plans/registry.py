@@ -80,7 +80,7 @@ _FACT_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     # The harness runs these queries on ITS OWN SparkSession, which may not
     # carry our session defaults. Timestamp rendering/parsing must agree
@@ -97,6 +97,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # nanos → micros (floor), matching DuckDB's nanos→TIMESTAMP cast.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if table == "events" and isinstance(df.schema["ts"].dataType,
+                                        TimestampNTZType):
+        # Newer testdata writes TIMESTAMP(isAdjustedToUTC=false), which Spark
+        # reads as TIMESTAMP_NTZ. Downstream plans use epoch arithmetic
+        # (unix_millis) that requires TIMESTAMP; with the session pinned to
+        # UTC the cast is a pure type change, wall-clock identical to the
+        # (timezone-naive) DuckDB oracle's read.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if table in _FACT_TABLES:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df

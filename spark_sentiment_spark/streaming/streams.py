@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 
 def _stage_dir(path: str) -> str:
@@ -62,6 +62,11 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if isinstance(static.schema["ts"].dataType, LongType):
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(static.schema["ts"].dataType, TimestampNTZType):
+        # TIMESTAMP(isAdjustedToUTC=false) parquet reads as TIMESTAMP_NTZ;
+        # normalize to TIMESTAMP (session tz pinned UTC → same wall clock)
+        # so watermarks/epoch arithmetic type-check like the batch loader.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

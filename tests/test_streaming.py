@@ -121,6 +121,8 @@ def test_dedup_stream_drops_duplicated_source(spark, events_batch, tmp_path):
     if dict(static.dtypes)["ts"] == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(static.dtypes)["ts"] == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     got = run_to_memory(dedup_stream(stream), "t_dedup",
                         output_mode="append")
     assert got.count() == events_batch.count()
