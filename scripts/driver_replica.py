@@ -58,7 +58,12 @@ def main() -> None:
         release_caches()
         print(f"{name:35s} {time.perf_counter() - t0:6.2f}s  {status[:160]}",
               flush=True)
-    print(json.dumps({"checked": len(names), "failures": bad}))
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "correctness_local.json")
+    with open(out, "w") as fh:
+        json.dump(results, fh, indent=2)
+    print(json.dumps({"checked": len(names), "failures": bad,
+                      "detail": out}))
     con.close()
     spark.stop()
     sys.exit(1 if bad else 0)

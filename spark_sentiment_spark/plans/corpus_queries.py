@@ -1,0 +1,258 @@
+"""Corpus-level statistics queries for training-data curation (SURVEY.md
+§7.4 extension surface): mixture temperature weights, token entropy, PMI
+bigram association, and embedding health checks.
+
+Each is a pure DataFrame plan with a DuckDB oracle twin. Scale posture
+(100 TB): token/bigram tables aggregate to vocabulary size before any
+join or global window; corpus-wide scalars are computed as 1-row
+aggregates and broadcast (never a window over an unbounded row set);
+per-``source``/``label`` outputs are bounded-cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_sentiment_spark.plans.registry import load, register
+
+_TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+
+def _tokens_col():
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+# --- Temperature-scaled mixture weights ------------------------------------
+
+TEMP_ALPHA = 0.7
+
+MIXTURE_TEMP_SQL = f"""
+WITH src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+  GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       round(pow(n_tokens, {TEMP_ALPHA}) /
+             sum(pow(n_tokens, {TEMP_ALPHA})) OVER (), 6) AS weight,
+       round((pow(n_tokens, {TEMP_ALPHA}) /
+              sum(pow(n_tokens, {TEMP_ALPHA})) OVER ())
+             * sum(n_tokens) OVER () / n_tokens, 6) AS epochs
+FROM src
+ORDER BY source
+"""
+
+
+@register("mixture_temperature", sql=MIXTURE_TEMP_SQL, tags=("pipeline",))
+def mixture_temperature(spark, sf_dir):
+    """Temperature-scaled source sampling weights (multilingual-LM style:
+    w_i ∝ n_i^alpha, alpha=0.7) plus the implied per-source epoch count
+    for a token budget equal to the corpus size. The corpus reduces to
+    one row per source before the (bounded-partition) global window, so
+    the window never sees unbounded data."""
+    docs = load(spark, sf_dir, "documents")
+    src = (
+        docs.where(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.size(_tokens_col())).alias("n_tokens"))
+    )
+    w = Window.partitionBy()  # bounded: one row per source
+    scaled = F.pow(F.col("n_tokens"), F.lit(TEMP_ALPHA))
+    weight = scaled / F.sum(scaled).over(w)
+    return (
+        src.select(
+            "source", "n_docs", "n_tokens",
+            F.round(weight, 6).alias("weight"),
+            F.round(weight * F.sum("n_tokens").over(w) / F.col("n_tokens"),
+                    6).alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- Per-source unigram entropy --------------------------------------------
+
+ENTROPY_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKENS_SQL}) AS w
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+), cnt AS (
+  SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2
+), tot AS (
+  SELECT source, sum(c) AS t FROM cnt GROUP BY 1
+)
+SELECT cnt.source,
+       CAST(count(*) AS BIGINT) AS vocab,
+       round(-sum((c / t) * log2(c / t)), 6) AS entropy_bits
+FROM cnt JOIN tot ON cnt.source = tot.source
+GROUP BY cnt.source
+ORDER BY cnt.source
+"""
+
+
+@register("corpus_token_entropy", sql=ENTROPY_SQL, tags=("pipeline", "text"))
+def corpus_token_entropy(spark, sf_dir):
+    """Shannon entropy (bits) of the per-source unigram distribution — a
+    diversity/quality signal (template-generated or boilerplate-heavy
+    sources score low). One explode + vocabulary-sized agg; the per-source
+    totals come from a window over the *aggregated* (vocab-sized) table,
+    so the corpus itself shuffles once."""
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.where(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select("source", F.explode(_tokens_col()).alias("w"))
+    )
+    cnt = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    t = F.sum("c").over(Window.partitionBy("source"))
+    p = F.col("c") / t
+    return (
+        cnt.select("source", F.col("c"), (-p * F.log2(p)).alias("term"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab"),
+             F.round(F.sum("term"), 6).alias("entropy_bits"))
+        .orderBy("source")
+    )
+
+
+# --- PMI bigram association -------------------------------------------------
+
+PMI_MIN_COUNT = 5
+
+PMI_SQL = f"""
+WITH t AS (
+  SELECT {_TOKENS_SQL} AS l
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+), bg AS (
+  -- list_slice, not l[:-1]: DuckDB's negative slice bound is INCLUSIVE
+  -- (l[:-1] = the whole list), and list_zip pads to the longer input,
+  -- which would add a phantom (last_token, NULL) pair per doc.
+  SELECT z.bg[1] AS w1, z.bg[2] AS w2, count(*) AS c12
+  FROM (SELECT unnest(list_zip(list_slice(l, 1, len(l) - 1), l[2:])) AS bg
+        FROM t WHERE len(l) > 1) z
+  GROUP BY 1, 2
+), uni AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(l) AS w FROM t) u
+  GROUP BY 1
+), nb AS (SELECT sum(c12) AS n_bi FROM bg),
+   nu AS (SELECT sum(c) AS n_uni FROM uni)
+SELECT bg.w1, bg.w2, CAST(c12 AS BIGINT) AS c12,
+       round(log2((c12 / n_bi) /
+                  ((u1.c / n_uni) * (u2.c / n_uni))), 6) AS pmi
+FROM bg, nb, nu
+JOIN uni u1 ON bg.w1 = u1.w
+JOIN uni u2 ON bg.w2 = u2.w
+WHERE c12 >= {PMI_MIN_COUNT}
+ORDER BY w1, w2
+"""
+
+
+@register("token_pmi_bigrams", sql=PMI_SQL, tags=("pipeline", "text"))
+def token_pmi_bigrams(spark, sf_dir):
+    """Pointwise mutual information of adjacent token pairs (collocation
+    mining / phrase-vocabulary induction, word2vec-style). The corpus
+    explodes twice (bigrams, unigrams) into *aggregated* count tables;
+    corpus totals are 1-row aggregates cross-joined back (broadcast
+    scalar, the repo's standard pattern), and the unigram side is
+    vocabulary-bounded so both probe joins broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    t = (
+        docs.where(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select(_tokens_col().alias("l"))
+    )
+    bg = (
+        t.where(F.size("l") > 1)
+        .select(F.explode(F.expr(
+            "zip_with(slice(l, 1, size(l)-1), slice(l, 2, size(l)-1),"
+            " (a, b) -> struct(a AS w1, b AS w2))")).alias("bg"))
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    )
+    uni = (t.select(F.explode("l").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    n_bi = bg.agg(F.sum("c12").alias("n_bi"))
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bg.where(F.col("c12") >= PMI_MIN_COUNT)
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_uni))
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(
+            "w1", "w2", F.col("c12").cast("bigint").alias("c12"),
+            F.round(F.log2((F.col("c12") / F.col("n_bi")) /
+                           ((F.col("c1") / F.col("n_uni")) *
+                            (F.col("c2") / F.col("n_uni")))), 6).alias("pmi"),
+        )
+        .orderBy("w1", "w2")
+    )
+
+
+# --- Embedding health check -------------------------------------------------
+
+EMB_STATS_SQL = """
+WITH e AS (
+  SELECT label,
+         len(embedding) AS dim,
+         sqrt(list_sum(list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE) * x))) AS nrm,
+         list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+           / len(embedding) AS comp_mean
+  FROM embeddings
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(dim) AS BIGINT) AS dim,
+       CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       round(avg(nrm), 6) AS avg_norm,
+       round(stddev_samp(nrm), 4) AS sd_norm,
+       round(avg(comp_mean), 6) AS avg_comp_mean
+FROM e
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register("embedding_norm_stats", sql=EMB_STATS_SQL,
+          tags=("pipeline", "similarity"))
+def embedding_norm_stats(spark, sf_dir):
+    """Embedding-table QA: per-label count, dimensionality, zero-vector
+    count, norm mean/spread, and mean component bias. Catches the classic
+    pipeline failures (unnormalized batches, dead/zeroed vectors, mixed
+    dims) before they poison ANN indexes. Single scan → per-label agg;
+    the norm is a native higher-order-function fold (JVM, no Python).
+    sd_norm rounds at 4 dp: on unit-normalized data it is float-epsilon
+    noise (~1e-7) and must collapse to 0.0 identically in both engines."""
+    emb = load(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x),
+        F.lit(0.0), lambda acc, x: acc + x)
+    comp_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    e = emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.sqrt(sq).alias("nrm"),
+        (comp_sum / F.size("embedding")).alias("comp_mean"),
+    )
+    return (
+        e.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+             F.max("dim").cast("bigint").alias("dim"),
+             F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0))
+             .cast("bigint").alias("n_zero"),
+             F.round(F.avg("nrm"), 6).alias("avg_norm"),
+             F.round(F.stddev_samp("nrm"), 4).alias("sd_norm"),
+             F.round(F.avg("comp_mean"), 6).alias("avg_comp_mean"))
+        .orderBy("label")
+    )

@@ -112,61 +112,68 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 # The external correctness harness records rows for only the FIRST 50
 # catalog entries, so ordering is an explicit, audited decision rather
-# than an accident of import order. Round-3 window: every query that has
-# no CORRECTNESS row from rounds 1-2 (36 entries spanning pipeline prep,
-# profiling, BPE, hybrid retrieval, decode-multimodal, streaming tail,
-# relational tail), then new round-3 queries in the remaining slots.
-# Everything already hash-green in r01/r02 rotates behind the window.
+# than an accident of import order. Round-4 window: after rounds 1-3
+# every registered query has at least one green row, so the slots go to
+# (a) queries NEW this round, (b) streaming_sessionize — upgraded from
+# rows-only to an exact oracle this round, and (c) the 45 relational/
+# scalar queries whose only green row is from round 1, two rounds of
+# changes ago (agg_approx_distinct sits out: intentional no_oracle, a
+# re-run adds no signal). Everything verified in rounds 2-3 rotates
+# behind the window.
 _WINDOW_PRIORITY = [
-    # — pipeline prep / sampling / sharding —
-    "pack_sequences",
-    "split_by_hash",
-    "cap_per_source",
-    "vocab_coverage",
-    "mixture_sample",
-    "curriculum_buckets",
-    "sample_exact_n",
-    "shuffle_shards",
-    "skew_salted_agg",
-    "merge_upsert",
-    "snapshot_diff",
-    # — quality / text —
-    "quality_gate",
-    "quality_gate_rates",
-    "quality_perplexity",
-    "langid_confusion",
-    # — dedup tail —
-    "dedup_prefix",
-    "dedup_incremental",
-    "dedup_incremental_bloom",
-    "dedup_semantic",
-    # — BPE / retrieval / embeddings —
-    "bpe_merges",
-    "bpe_token_counts",
-    "hybrid_search_rrf",
-    "embedding_pca",
-    # — profiling —
-    "profile_columns",
-    "corr_matrix",
-    # — events tail —
-    "events_dedup_latest",
-    "events_volume_anomaly",
-    "events_heatmap",
-    # — multimodal decode —
-    "multimodal_headers",
-    "multimodal_ppm_decode",
-    "multimodal_wav_decode",
-    "multimodal_frame_sample",
-    # — streaming tail —
+    # — new in round 4 (no prior rows) —
+    "mixture_temperature",
+    "corpus_token_entropy",
+    "token_pmi_bigrams",
+    "embedding_norm_stats",
+    # — oracle upgraded this round (was rows-only) —
     "streaming_sessionize",
-    "streaming_volume_anomaly",
-    # — relational tail —
-    "q2_min_cost_supplier",
-    "q21_waiting_suppliers",
-    # — new in round 3 (no prior rows by definition) —
-    "decontaminate_minhash",
-    "events_transitions",
-    "events_attribution",
+    # — last verified in round 1: re-confirm after two rounds of drift —
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "join_semi",
+    "join_anti",
+    "join_left_outer",
+    "join_null_safe",
+    "agg_rollup",
+    "agg_cube",
+    "agg_global_stats",
+    "agg_having",
+    "agg_case_bucket",
+    "agg_by_month",
+    "window_topk_per_group",
+    "window_running_sum",
+    "window_lag_delta",
+    "window_rank_mix",
+    "sort_topk_global",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "distinct_pairs",
+    "scalar_string_funcs",
+    "scalar_math_funcs",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "agg_percentiles",
+    "agg_histogram",
+    "q4_priority_exists",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_nation_concentration",
+    "q12_priority_classes",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q19_disjunctive_brackets",
+    "q20_part_suppliers",
+    "q22_dormant_customers",
 ]
 
 
@@ -183,6 +190,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import spark_sentiment_spark.plans.relational  # noqa: F401
     import spark_sentiment_spark.plans.tpch_shapes  # noqa: F401
     import spark_sentiment_spark.plans.pipeline_queries  # noqa: F401
+    import spark_sentiment_spark.plans.corpus_queries  # noqa: F401
 
     ordered = {n: REGISTRY[n] for n in _WINDOW_PRIORITY if n in REGISTRY}
     ordered.update((n, q) for n, q in REGISTRY.items() if n not in ordered)

@@ -9,12 +9,12 @@ finite file source processed in availableNow micro-batches the watermark
 never drops data (it only advances between batches, and the testdata is a
 single file = a single batch), so streaming output == batch output exactly.
 
-Only streaming plans whose results are boundary-deterministic get oracle
-rows: tumbling windows (hour-aligned bucketing) and stream–static joins.
-Session windows are kept as unit-pinned twins because ``F.session_window``
-uses an exclusive gap end while the batch lag/cumsum plan uses a strict
-``> gap`` test — identical except for events landing exactly on the gap
-boundary.
+Every streaming plan here carries an oracle: tumbling windows and
+stream–static joins share their batch twins' SQL, and session windows get
+their own oracle that encodes ``F.session_window``'s exact boundary rule
+(exclusive gap end → a ``>= gap`` split test), which differs from the
+batch ``events_sessionize`` twin's strict ``> gap`` only for events
+landing exactly on the boundary.
 """
 
 from __future__ import annotations
@@ -125,14 +125,45 @@ def streaming_stateful_counts(spark, sf_dir):
     )
 
 
-@register("streaming_sessionize", tags=("streaming", "events"))
+# F.session_window's gap end is EXCLUSIVE: a session spans [first_ts,
+# last_ts + gap), so an event landing exactly at last_ts + gap starts a NEW
+# session. The oracle therefore splits on `diff >= gap` — unlike the batch
+# events_sessionize twin's strict `> gap` — making the boundary semantics
+# exact rather than rows-only.
+SESSION_STREAM_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 3600000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S')
+         AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@register("streaming_sessionize", sql=SESSION_STREAM_SQL,
+          tags=("streaming", "events"))
 def streaming_sessionize(spark, sf_dir):
     """Native incremental session windows (``F.session_window``, 1h gap)
-    through the harness. Rows-only by design: the gap boundary is
-    exclusive here but strict-greater in the batch lag/cumsum twin, so
-    events landing exactly on the boundary may split differently — the
-    stream==batch equality modulo that boundary is pinned in
-    tests/test_streaming.py."""
+    executed BY the streaming engine through the harness. The oracle
+    reconstructs the same sessions with a lag/cumsum using the
+    session_window boundary rule (`>= gap` splits — exclusive window
+    end), so this is an exact hash check, not rows-only."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = session_windows(read_event_stream(spark, sf_dir))
     out = run_to_memory(stream, _unique("stream_sessions"))

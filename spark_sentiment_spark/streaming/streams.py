@@ -50,6 +50,11 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     read; ts normalized from TIMESTAMP(NANOS) exactly like the batch
     loader)."""
     path = f"{sf_dir}/events.parquet"
+    # The NTZ→TIMESTAMP normalization below is wall-clock-identical to the
+    # batch loader only when the session timezone is UTC; pin it here so a
+    # direct caller with a non-UTC session can't get epoch-shifted ts
+    # (mirrors plans.registry.load).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         static = spark.read.parquet(path)
     except Exception:
