@@ -256,3 +256,92 @@ def embedding_norm_stats(spark, sf_dir):
              F.round(F.avg("comp_mean"), 6).alias("avg_comp_mean"))
         .orderBy("label")
     )
+
+
+# --- Deterministic contrastive pair sampling --------------------------------
+
+CONTRASTIVE_SQL = """
+WITH base AS (
+  SELECT vec_id, label, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings
+), ranked AS (
+  SELECT vec_id, label, h,
+         row_number() OVER wl AS r,
+         coalesce(lead(vec_id) OVER wl,
+                  first_value(vec_id) OVER (
+                    PARTITION BY label ORDER BY h, vec_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)) AS pos_id
+  FROM base
+  WINDOW wl AS (PARTITION BY label ORDER BY h, vec_id)
+), sizes AS (
+  SELECT label, count(*) AS s FROM base GROUP BY label
+), nxt AS (
+  SELECT label,
+         coalesce(lead(label) OVER (ORDER BY label),
+                  first_value(label) OVER (
+                    ORDER BY label
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)) AS next_label
+  FROM sizes
+), anch AS (
+  SELECT r1.vec_id, r1.label, r1.pos_id, n.next_label,
+         ((r1.r - 1) % s2.s) + 1 AS nr
+  FROM ranked r1
+  JOIN nxt n ON r1.label = n.label
+  JOIN sizes s2 ON n.next_label = s2.label
+)
+SELECT a.vec_id, a.label, a.pos_id, r2.vec_id AS neg_id
+FROM anch a
+JOIN ranked r2 ON r2.label = a.next_label AND r2.r = a.nr
+WHERE a.vec_id <> a.pos_id
+ORDER BY a.vec_id
+"""
+
+
+@register("contrastive_pairs", sql=CONTRASTIVE_SQL,
+          tags=("pipeline", "similarity"))
+def contrastive_pairs(spark, sf_dir):
+    """Deterministic (anchor, positive, negative) triple generation for
+    contrastive embedding training. Positives come from a per-label hash
+    ring (each anchor's successor in md5 order, cyclic), negatives from
+    the rank-matched member of the cyclically next label — every vector
+    gets exactly one triple, reproducible across engines and runs, with
+    NO quadratic same-label join and no RNG.
+
+    Scale: one per-label sort (the ranking window), one bounded agg
+    (label sizes), two broadcast probes of bounded tables, and one
+    equi-join on (label, rank). All linear in the corpus; label count is
+    assumed bounded (classification-style labels). Single-member labels
+    drop out (their only 'positive' is the anchor itself)."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", "label", F.md5(F.col("vec_id").cast("string")).alias("h"))
+    wl = Window.partitionBy("label").orderBy("h", "vec_id")
+    wl_full = wl.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    ranked = base.select(
+        "vec_id", "label",
+        F.row_number().over(wl).alias("r"),
+        F.coalesce(F.lead("vec_id").over(wl),
+                   F.first("vec_id").over(wl_full)).alias("pos_id"))
+    sizes = base.groupBy("label").agg(F.count(F.lit(1)).alias("s"))
+    wlab = Window.orderBy("label")  # bounded: one row per label
+    wlab_full = wlab.rowsBetween(Window.unboundedPreceding,
+                                 Window.unboundedFollowing)
+    nxt = (sizes.select(
+        "label",
+        F.coalesce(F.lead("label").over(wlab),
+                   F.first("label").over(wlab_full)).alias("next_label"))
+        .join(sizes.select(F.col("label").alias("next_label"),
+                           F.col("s").alias("s2")), "next_label"))
+    anch = (ranked.join(F.broadcast(nxt), "label")
+            .withColumn("nr", (F.col("r") - 1) % F.col("s2") + 1))
+    negs = ranked.select(F.col("label").alias("next_label"),
+                         F.col("r").alias("nr"),
+                         F.col("vec_id").alias("neg_id"))
+    return (
+        anch.join(negs, ["next_label", "nr"])
+        .where(F.col("vec_id") != F.col("pos_id"))
+        .select("vec_id", "label", "pos_id", "neg_id")
+        .orderBy("vec_id")
+    )

@@ -627,3 +627,66 @@ def events_attribution(spark, sf_dir):
                  F.round(F.sum(F.col("value").cast("decimal(27,6)")), 4)
                  .cast("double").alias("revenue"))
             .orderBy("channel"))
+
+
+SESSION_SEQ_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 3600000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@register("events_session_sequences", sql=SESSION_SEQ_SQL, tags=("events",))
+def events_session_sequences(spark, sf_dir):
+    """Ordered per-session event-type sequences — the training-example
+    shape for behavioral sequence models (next-action prediction): each
+    session becomes one '>'-joined string of its events in time order.
+
+    One shuffle on user_id serves the lag window, the session cumsum, AND
+    the per-session collect (same partitioning); ordering inside the
+    collected array is made total with the (ts, event_id) sort key, so the
+    output is deterministic under any partitioning. Session assignment
+    reuses the events_sessionize gap rule (strict > 1h)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lag_ms = F.unix_millis(F.lag("ts").over(w))
+    sess = (
+        ev.withColumn(
+            "new_session",
+            F.when(lag_ms.isNull()
+                   | ((F.unix_millis(F.col("ts")) - lag_ms) > 3_600_000), 1)
+            .otherwise(0))
+        .withColumn("sid", F.sum("new_session").over(wrun))
+    )
+    # sort_array over structs orders by (ts, event_id) — a total key — then
+    # the projection keeps just the event types.
+    ordered = F.transform(
+        F.sort_array(F.collect_list(
+            F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))),
+        lambda s: s.getField("event_type"))
+    return (
+        sess.groupBy("user_id", "sid")
+        .agg(F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
+             .alias("session_start"),
+             F.array_join(ordered, ">").alias("seq"),
+             F.count(F.lit(1)).alias("n_events"))
+        .drop("sid")
+        .orderBy("user_id", "session_start")
+    )

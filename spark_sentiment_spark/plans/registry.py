@@ -126,6 +126,8 @@ _WINDOW_PRIORITY = [
     "corpus_token_entropy",
     "token_pmi_bigrams",
     "embedding_norm_stats",
+    "events_session_sequences",
+    "contrastive_pairs",
     # — oracle upgraded this round (was rows-only) —
     "streaming_sessionize",
     # — last verified in round 1: re-confirm after two rounds of drift —
@@ -172,8 +174,6 @@ _WINDOW_PRIORITY = [
     "q15_top_supplier",
     "q16_supplier_variety",
     "q19_disjunctive_brackets",
-    "q20_part_suppliers",
-    "q22_dormant_customers",
 ]
 
 

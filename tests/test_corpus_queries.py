@@ -1,0 +1,74 @@
+"""Property tests for the corpus-stats / pair-sampling queries
+(plans/corpus_queries.py, plans/events_queries.py session sequences) —
+invariants beyond the DuckDB hash match in test_oracle.py."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
+from tests.conftest import SF_DIR, load
+
+all_queries()
+
+
+def test_mixture_temperature_weights_sum_to_one(spark):
+    rows = REGISTRY["mixture_temperature"].fn(spark, SF_DIR).collect()
+    assert rows, "no sources"
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r.weight > 0 and r.epochs > 0
+        # epochs = weight * total_tokens / n_tokens (identity check)
+        total = sum(x.n_tokens for x in rows)
+        assert abs(r.epochs - r.weight * total / r.n_tokens) < 1e-4
+
+
+def test_corpus_token_entropy_bounds(spark):
+    rows = REGISTRY["corpus_token_entropy"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.entropy_bits <= math.log2(r.vocab) + 1e-9
+
+
+def test_token_pmi_bigrams_threshold_and_uniqueness(spark):
+    df = REGISTRY["token_pmi_bigrams"].fn(spark, SF_DIR)
+    rows = df.collect()
+    assert rows, "PMI_MIN_COUNT filtered everything at test SF"
+    assert all(r.c12 >= 5 for r in rows)
+    assert len({(r.w1, r.w2) for r in rows}) == len(rows)
+
+
+def test_embedding_norm_stats_partition_of_table(spark):
+    rows = REGISTRY["embedding_norm_stats"].fn(spark, SF_DIR).collect()
+    total = load(spark, "embeddings").count()
+    assert sum(r.n for r in rows) == total
+    for r in rows:
+        assert r.dim == 64 and r.n_zero == 0
+        assert abs(r.avg_norm - 1.0) < 1e-3  # testdata is unit-normalized
+
+
+def test_contrastive_pairs_labels_and_determinism(spark):
+    fn = REGISTRY["contrastive_pairs"].fn
+    df = fn(spark, SF_DIR)
+    emb = load(spark, "embeddings").select("vec_id", "label")
+    lab = {r.vec_id: r.label for r in emb.collect()}
+    rows = df.collect()
+    assert rows
+    n_labels = len(set(lab.values()))
+    for r in rows:
+        assert r.pos_id != r.vec_id
+        assert lab[r.pos_id] == r.label, "positive must share the label"
+        if n_labels > 1:
+            assert lab[r.neg_id] != r.label, "negative must differ"
+    # anchors are unique and the sampling is deterministic
+    assert len({r.vec_id for r in rows}) == len(rows)
+    again = fn(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_session_sequences_partition_events(spark):
+    rows = REGISTRY["events_session_sequences"].fn(spark, SF_DIR).collect()
+    total = load(spark, "events").count()
+    assert sum(r.n_events for r in rows) == total
+    for r in rows:
+        assert r.n_events == len(r.seq.split(">"))
