@@ -96,7 +96,8 @@ ORDER BY cnt.source
 """
 
 
-@register("corpus_token_entropy", sql=ENTROPY_SQL, tags=("pipeline", "text"))
+@register("corpus_token_entropy", sql=ENTROPY_SQL, bench=True,
+          tags=("pipeline", "text"))
 def corpus_token_entropy(spark, sf_dir):
     """Shannon entropy (bits) of the per-source unigram distribution — a
     diversity/quality signal (template-generated or boilerplate-heavy
@@ -298,7 +299,7 @@ ORDER BY a.vec_id
 """
 
 
-@register("contrastive_pairs", sql=CONTRASTIVE_SQL,
+@register("contrastive_pairs", sql=CONTRASTIVE_SQL, bench=True,
           tags=("pipeline", "similarity"))
 def contrastive_pairs(spark, sf_dir):
     """Deterministic (anchor, positive, negative) triple generation for

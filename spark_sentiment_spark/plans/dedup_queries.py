@@ -36,6 +36,20 @@ def _shingled(docs, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+_MINHASH_P = (1 << 31) - 1  # Mersenne prime: a*h+b < 2^62, safe in int64
+
+
+def _perm_constants(n_hashes: int = 32, seed: int = 42):
+    """The (a_i, b_i) permutation constants — shared by the Spark signature
+    stage AND the generated DuckDB oracle SQL, so both engines compute the
+    *identical* signatures."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MINHASH_P), rng.randrange(0, _MINHASH_P))
+            for _ in range(n_hashes)]
+
+
 def _minhash_signatures(docs, n_hashes: int = 32, seed: int = 42,
                         id_col: str = "doc_id", text_col: str = "text"):
     """(id, mh0..mh{n-1}) MinHash signature rows via ``mapInPandas``: each
@@ -43,17 +57,16 @@ def _minhash_signatures(docs, n_hashes: int = 32, seed: int = 42,
     inside its Arrow batch (one k×n numpy outer-product min per doc), so
     the token stream is never materialized as rows and never SHUFFLED —
     the per-doc form is embarrassingly parallel. Deterministic permutation
-    parameters (fixed seed); 31-bit shingle hashes with the Mersenne prime
-    2^31-1 keep a*h+b < 2^62, safe in int64."""
-    import random
-    import zlib
+    parameters (fixed seed); the base hash is the first 8 hex chars of
+    md5(shingle) masked to 31 bits — engine-independent (DuckDB computes
+    the same value as ('0x'||substr(md5(w),1,8))::BIGINT & 0x7FFFFFFF),
+    which is what makes the exact-hash oracle possible."""
+    import hashlib
 
     import numpy as np
 
-    rng = random.Random(seed)
-    p = (1 << 31) - 1
-    perms = [(rng.randrange(1, p), rng.randrange(0, p))
-             for _ in range(n_hashes)]
+    p = _MINHASH_P
+    perms = _perm_constants(n_hashes, seed)
     A = np.array([a for a, _ in perms], dtype=np.int64)
     B = np.array([b for _, b in perms], dtype=np.int64)
 
@@ -73,7 +86,8 @@ def _minhash_signatures(docs, n_hashes: int = 32, seed: int = 42,
                 else:
                     sh = {" ".join(toks)}
                 h = np.fromiter(
-                    (zlib.crc32(s.encode()) & 0x7FFFFFFF for s in sh),
+                    (int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                     & 0x7FFFFFFF for s in sh),
                     dtype=np.int64, count=len(sh))
                 sigs.append(((h[:, None] * A + B) % p).min(axis=0))
                 ids.append(doc_id)
@@ -91,9 +105,13 @@ def _band_buckets(mins, n_hashes: int, n_bands: int, id_col: str = "doc_id"):
     candidate pairs; the bucket join is the LSH scale path (no all-pairs
     product)."""
     rows_per_band = n_hashes // n_bands
+    # The bucket key is the '-'-joined minhash tuple itself (exact band
+    # equality, zero collision risk) rather than a second-level hash —
+    # and, being plain decimal strings, it is engine-independent, so the
+    # DuckDB oracle reproduces the buckets bit-for-bit.
     band_hashes = F.array(*[
-        F.xxhash64(*[F.col(f"mh{band * rows_per_band + r}")
-                     for r in range(rows_per_band)])
+        F.concat_ws("-", *[F.col(f"mh{band * rows_per_band + r}")
+                           for r in range(rows_per_band)])
         for band in range(n_bands)
     ])
     return mins.select(
@@ -192,7 +210,65 @@ def dedup_jaccard_pairs(spark, sf_dir):
     )
 
 
-@register("dedup_minhash_lsh", bench=True, tags=("dedup",))
+def _minhash_oracle_sql(n_hashes: int = 32, n_bands: int = 8,
+                        seed: int = 42, threshold: float = 0.5) -> str:
+    """DuckDB twin of the full MinHash-LSH pipeline, generated from the
+    SAME permutation constants as the Spark signature stage: md5-derived
+    31-bit shingle hashes → (a*h+b) mod p mins → '-'-joined band keys →
+    bucket self-join → signature-agreement estimate. Every step is
+    engine-independent, so the driver's value-hash check is exact."""
+    p = _MINHASH_P
+    perms = _perm_constants(n_hashes, seed)
+    mh_cols = ",\n         ".join(
+        f"min((h * {a} + {b}) % {p}) AS mh{i}"
+        for i, (a, b) in enumerate(perms))
+    rpb = n_hashes // n_bands
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {band} AS band_id, concat_ws('-', "
+        + ", ".join(f"mh{band * rpb + r}" for r in range(rpb))
+        + ") AS bh FROM sig"
+        for band in range(n_bands))
+    agree = " + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+                       for i in range(n_hashes))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(generate_series(1, len(t) - 2),
+                                  i -> array_to_string(t[i:i+2], ' '))
+              ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+), shd AS (
+  SELECT DISTINCT doc_id, unnest(shingles) AS w FROM sh
+), hv AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT & 2147483647 AS h
+  FROM shd
+), sig AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM hv GROUP BY doc_id
+), bands AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(({agree}) / {float(n_hashes)}, 4) AS est_jaccard
+FROM cand
+JOIN sig sa ON doc_a = sa.doc_id
+JOIN sig sb ON doc_b = sb.doc_id
+WHERE round(({agree}) / {float(n_hashes)}, 4) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_minhash_lsh", bench=True, sql=_minhash_oracle_sql(),
+          tags=("dedup",))
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash near-dup candidate pairs at scale: shingle → minhash
     signature → band → bucket join (the standard LSH banding scheme).
@@ -211,9 +287,12 @@ def dedup_minhash_lsh(spark, sf_dir):
     the aggregation form; the per-doc form is embarrassingly parallel and
     emits one 33-column row per document straight into the banding step.
     Banding, bucket join, and Jaccard-agreement estimation stay native.
-    Rows-only check (hash functions are engine-specific); the exact
-    Jaccard query above is its semantic oracle, and
-    tests/test_dedup_recall.py pins candidate recall against it.
+
+    Exact-hash oracle (round 4, was rows-only): the base hash is
+    md5-derived and the permutation constants are shared with the
+    generated DuckDB SQL twin, so both engines compute identical
+    signatures, buckets, and estimates. tests/test_dedup_recall.py
+    additionally pins candidate recall against the exact Jaccard query.
     """
     docs = load(spark, sf_dir, "documents")
     n_hashes, n_bands = 32, 8
@@ -251,40 +330,87 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-@register("dedup_simhash", tags=("dedup",))
+_SIMHASH_BITS = 60  # 15 md5 hex chars — stays clear of the int64 sign bit
+_SIMHASH_BANDS = 4
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB twin of the SimHash pipeline: identical md5-derived 60-bit
+    token hashes, per-bit frequency-weighted votes, sign → bit, and the
+    same 15-bit band split — generated so the driver's value-hash check
+    is exact."""
+    bits, bands = _SIMHASH_BITS, _SIMHASH_BANDS
+    vote_cols = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits))
+    pack = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END"
+        for i in range(bits))
+    width = bits // bands
+    band_cols = ",\n       ".join(
+        f"(simhash >> {b * width}) & {(1 << width) - 1} AS band{b}"
+        for b in range(bands))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+), hv AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok
+), votes AS (
+  SELECT doc_id,
+         {vote_cols}
+  FROM hv GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, {pack} AS simhash FROM votes
+)
+SELECT doc_id, simhash,
+       {band_cols}
+FROM sig
+ORDER BY doc_id
+"""
+
+
+@register("dedup_simhash", sql=_simhash_oracle_sql(), tags=("dedup",))
 def dedup_simhash(spark, sf_dir):
-    """64-bit SimHash per document, fully native: per-token xxhash64, per-bit
-    +1/−1 vote weighted by token frequency, sign → bit. Near-dups share
-    Hamming-close signatures; here we emit (doc_id, simhash, band16s) so a
-    banded self-join can find candidates. Rows-only check (engine-specific
-    hash)."""
+    """60-bit SimHash per document, fully native: per-token md5-derived
+    hash, per-bit +1/−1 vote weighted by token frequency, sign → bit.
+    Near-dups share Hamming-close signatures; here we emit
+    (doc_id, simhash, band15s) so a banded self-join can find candidates.
+
+    Exact-hash oracle (round 4, was rows-only): the token hash is the
+    first 15 hex chars of md5 (60 bits — clear of the int64 sign bit, so
+    shifts/packs behave identically in both engines), which DuckDB
+    reproduces as ('0x'||substr(md5(w),1,15))::BIGINT."""
+    bits, bands = _SIMHASH_BITS, _SIMHASH_BANDS
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("w"),
     )
-    h = F.xxhash64("w")
+    h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
     votes = tok.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
                 .otherwise(-1)
             ).alias(f"v{i}")
-            for i in range(64)
+            for i in range(bits)
         ]
     )
     sim = votes.select(
         "doc_id",
         sum(
             (F.when(F.col(f"v{i}") > 0, F.lit(1)).otherwise(F.lit(0))
-             .cast("long") * F.shiftleft(F.lit(1).cast("long"), i))
-            for i in range(64)
+             .cast("long") * F.lit(1 << i).cast("long"))
+            for i in range(bits)
         ).alias("simhash"),
     )
+    width = bits // bands
     return sim.select(
         "doc_id", "simhash",
-        *[F.shiftrightunsigned(F.col("simhash"), b * 16)
-          .bitwiseAND(F.lit(0xFFFF)).alias(f"band{b}") for b in range(4)],
+        *[F.shiftrightunsigned(F.col("simhash"), b * width)
+          .bitwiseAND(F.lit((1 << width) - 1)).alias(f"band{b}")
+          for b in range(bands)],
     ).orderBy("doc_id")
 
 

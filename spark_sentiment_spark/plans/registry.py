@@ -130,6 +130,8 @@ _WINDOW_PRIORITY = [
     "contrastive_pairs",
     # — oracle upgraded this round (was rows-only) —
     "streaming_sessionize",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
     # — last verified in round 1: re-confirm after two rounds of drift —
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -172,8 +174,6 @@ _WINDOW_PRIORITY = [
     "q13_customer_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
-    "q16_supplier_variety",
-    "q19_disjunctive_brackets",
 ]
 
 

@@ -185,3 +185,24 @@ def test_bloom_dedup_probe_is_native(spark):
     plan = _plan(spark, "dedup_incremental_bloom")
     assert "Python" not in plan
     assert "shiftright" in plan
+
+
+def test_corpus_stats_queries_native_no_smj(spark):
+    """Round-4 corpus-stats family: fully JVM-side, no sort-merge joins
+    (count tables are vocab/label-bounded → broadcast), no cartesian
+    blowup (the only nested-loop joins are 1-row corpus scalars)."""
+    for name in ["corpus_token_entropy", "mixture_temperature",
+                 "token_pmi_bigrams", "embedding_norm_stats",
+                 "contrastive_pairs", "events_session_sequences"]:
+        plan = _plan(spark, name)
+        assert "Python" not in plan, f"{name} fell back to Python"
+        assert "SortMergeJoin" not in plan, f"{name} shuffled a bounded side"
+        assert "CartesianProduct" not in plan, f"{name} has a cartesian"
+
+
+def test_pmi_broadcasts_unigram_probes(spark):
+    """Both unigram probe joins and both corpus scalars broadcast — the
+    bigram count table (the unbounded side) is never shuffled for a join."""
+    plan = _plan(spark, "token_pmi_bigrams")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # 1-row scalars

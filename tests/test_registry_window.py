@@ -3,65 +3,67 @@ registrations; this pins the window membership so adding a query
 to the wrong module cannot silently evict an oracle-backed entry
 (see plans/registry.py::_WINDOW_PRIORITY for the rotation plan).
 
-Round-3 window: the 36 queries with no CORRECTNESS row from rounds
-1-2, then new round-3 queries, then already-proven canaries filling
-any remaining slots.
+Round-4 window: queries new this round, then the three upgraded from
+rows-only to exact oracles this round (streaming_sessionize,
+dedup_minhash_lsh, dedup_simhash — engine-independent md5-derived
+hashing made their SQL twins possible), then the relational/scalar
+queries whose only green row dates from round 1.
 """
 
 WINDOW = [
-    # 36 never-driver-checked (r01 ∪ r02) — the rotation payload
-    'pack_sequences',
-    'split_by_hash',
-    'cap_per_source',
-    'vocab_coverage',
-    'mixture_sample',
-    'curriculum_buckets',
-    'sample_exact_n',
-    'shuffle_shards',
-    'skew_salted_agg',
-    'merge_upsert',
-    'snapshot_diff',
-    'quality_gate',
-    'quality_gate_rates',
-    'quality_perplexity',
-    'langid_confusion',
-    'dedup_prefix',
-    'dedup_incremental',
-    'dedup_incremental_bloom',
-    'dedup_semantic',
-    'bpe_merges',
-    'bpe_token_counts',
-    'hybrid_search_rrf',
-    'embedding_pca',
-    'profile_columns',
-    'corr_matrix',
-    'events_dedup_latest',
-    'events_volume_anomaly',
-    'events_heatmap',
-    'multimodal_headers',
-    'multimodal_ppm_decode',
-    'multimodal_wav_decode',
-    'multimodal_frame_sample',
+    # new round-4 queries (no prior rows by definition)
+    'mixture_temperature',
+    'corpus_token_entropy',
+    'token_pmi_bigrams',
+    'embedding_norm_stats',
+    'events_session_sequences',
+    'contrastive_pairs',
+    # upgraded rows-only → exact oracle this round
     'streaming_sessionize',
-    'streaming_volume_anomaly',
-    'q2_min_cost_supplier',
-    'q21_waiting_suppliers',
-    # new round-3 queries (no prior rows by definition)
-    'decontaminate_minhash',
-    'events_transitions',
-    'events_attribution',
-    # proven canaries fill the tail
-    'dedup_exact',
-    'dedup_jaccard_pairs',
     'dedup_minhash_lsh',
     'dedup_simhash',
-    'dedup_clusters',
-    'knn_cosine_topk',
-    'embedding_centroids',
-    'ann_ivf_topk',
-    'dedup_embedding_cosine',
-    'ann_lsh_topk',
-    'embedding_quantize',
+    # last verified in round 1 — re-confirm after two rounds of drift
+    'q1_pricing_summary',
+    'q3_shipping_priority',
+    'q5_local_supplier',
+    'q6_forecast_revenue',
+    'q10_returned_items',
+    'join_semi',
+    'join_anti',
+    'join_left_outer',
+    'join_null_safe',
+    'agg_rollup',
+    'agg_cube',
+    'agg_global_stats',
+    'agg_having',
+    'agg_case_bucket',
+    'agg_by_month',
+    'window_topk_per_group',
+    'window_running_sum',
+    'window_lag_delta',
+    'window_rank_mix',
+    'sort_topk_global',
+    'set_union',
+    'set_intersect',
+    'set_except',
+    'distinct_pairs',
+    'scalar_string_funcs',
+    'scalar_math_funcs',
+    'agg_grouping_sets',
+    'agg_pivot',
+    'q17_small_qty_revenue',
+    'q18_large_orders',
+    'agg_percentiles',
+    'agg_histogram',
+    'q4_priority_exists',
+    'q7_volume_shipping',
+    'q8_market_share',
+    'q9_product_profit',
+    'q11_nation_concentration',
+    'q12_priority_classes',
+    'q13_customer_distribution',
+    'q14_promo_revenue',
+    'q15_top_supplier',
 ]
 
 
@@ -73,8 +75,8 @@ def test_driver_window_membership_is_pinned():
 
 
 def test_rotation_payload_is_fully_inside_window():
-    """Every query that lacked a CORRECTNESS row after round 2 must sit
-    inside the driver's 50-entry window this round."""
+    """Every _WINDOW_PRIORITY entry must actually sit inside the
+    driver's 50-entry window (the list must never exceed 50)."""
     from spark_sentiment_spark.plans.registry import (REGISTRY, all_queries,
                                                       _WINDOW_PRIORITY)
 
@@ -84,11 +86,11 @@ def test_rotation_payload_is_fully_inside_window():
     assert not missing, missing
 
 
-def test_window_is_oracle_dense():
-    """Most window slots must carry a DuckDB oracle — rows-only entries
-    get a weaker check, so they shouldn't crowd the window."""
+def test_window_is_fully_oracle_backed():
+    """Round 4: every window slot carries a DuckDB oracle — rows-only
+    entries get a weaker check, so they shouldn't crowd the window."""
     from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
 
     all_queries()
     rows_only = [n for n in WINDOW if REGISTRY[n].sql is None]
-    assert len(rows_only) <= 13, rows_only
+    assert not rows_only, rows_only
