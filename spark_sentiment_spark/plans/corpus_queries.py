@@ -346,3 +346,87 @@ def contrastive_pairs(spark, sf_dir):
         .select("vec_id", "label", "pos_id", "neg_id")
         .orderBy("vec_id")
     )
+
+
+# --- Preference pair assembly (reward-model data prep) ----------------------
+
+PREF_MIN_MARGIN = 0.05
+
+PREFERENCE_SQL = f"""
+WITH q AS (
+  SELECT doc_id, source,
+         round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / greatest(len(string_split(text, ' ')), 1), 6) AS score
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+), ranked AS (
+  SELECT doc_id, source, score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score DESC, doc_id) AS r_best,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score ASC, doc_id DESC) AS r_worst,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM q
+)
+SELECT b.source,
+       CAST(b.r_best AS BIGINT) AS pair_id,
+       b.doc_id AS chosen_id,
+       w.doc_id AS rejected_id,
+       b.score AS chosen_score,
+       w.score AS rejected_score,
+       round(b.score - w.score, 6) AS margin
+FROM ranked b
+JOIN ranked w ON b.source = w.source AND w.r_worst = b.r_best
+WHERE b.r_best <= b.n // 2
+  AND b.score - w.score >= {PREF_MIN_MARGIN}
+ORDER BY b.source, pair_id
+"""
+
+
+@register("preference_pairs", sql=PREFERENCE_SQL, tags=("pipeline",))
+def preference_pairs(spark, sf_dir):
+    """Preference-pair assembly for reward-model training: within each
+    source, documents are ranked by a quality score (distinct-token ratio
+    — the repetition signal from ``quality_scores``) and the r-th best is
+    paired with the r-th worst (chosen vs rejected), keeping pairs whose
+    quality margin clears a confidence floor. Deterministic: the score is
+    rounded to 6 dp BEFORE ranking and ties break on doc_id, so both
+    engines produce identical rankings.
+
+    Scale: one source-partition shuffle serves both ranking windows and
+    the per-source count; the best↔worst join runs on (source, rank) —
+    linear, no self-product. Top/bottom halves are disjoint by the
+    r <= n/2 bound, so no document appears on both sides of a pair."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    score = F.round(
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.greatest(F.size(toks), F.lit(1)), 6)
+    q = (docs.where(F.col("text").isNotNull() & (F.trim("text") != ""))
+         .select("doc_id", "source", score.alias("score")))
+    wb = Window.partitionBy("source").orderBy(F.desc("score"), "doc_id")
+    ww = Window.partitionBy("source").orderBy(F.asc("score"),
+                                              F.desc("doc_id"))
+    wn = Window.partitionBy("source")
+    ranked = q.select(
+        "doc_id", "source", "score",
+        F.row_number().over(wb).alias("r_best"),
+        F.row_number().over(ww).alias("r_worst"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+    b = ranked.alias("b")
+    w = ranked.alias("w")
+    return (
+        b.join(w, (F.col("b.source") == F.col("w.source"))
+               & (F.col("w.r_worst") == F.col("b.r_best")))
+        .where((F.col("b.r_best") <= F.floor(F.col("b.n") / 2))
+               & (F.col("b.score") - F.col("w.score") >= PREF_MIN_MARGIN))
+        .select(F.col("b.source").alias("source"),
+                F.col("b.r_best").cast("bigint").alias("pair_id"),
+                F.col("b.doc_id").alias("chosen_id"),
+                F.col("w.doc_id").alias("rejected_id"),
+                F.col("b.score").alias("chosen_score"),
+                F.col("w.score").alias("rejected_score"),
+                F.round(F.col("b.score") - F.col("w.score"), 6)
+                .alias("margin"))
+        .orderBy("source", "pair_id")
+    )

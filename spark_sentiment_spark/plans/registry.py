@@ -128,6 +128,7 @@ _WINDOW_PRIORITY = [
     "embedding_norm_stats",
     "events_session_sequences",
     "contrastive_pairs",
+    "preference_pairs",
     # — oracle upgraded this round (was rows-only) —
     "streaming_sessionize",
     "dedup_minhash_lsh",
@@ -173,7 +174,6 @@ _WINDOW_PRIORITY = [
     "q12_priority_classes",
     "q13_customer_distribution",
     "q14_promo_revenue",
-    "q15_top_supplier",
 ]
 
 

@@ -72,3 +72,14 @@ def test_session_sequences_partition_events(spark):
     assert sum(r.n_events for r in rows) == total
     for r in rows:
         assert r.n_events == len(r.seq.split(">"))
+
+
+def test_preference_pairs_margin_and_disjoint_sides(spark):
+    rows = REGISTRY["preference_pairs"].fn(spark, SF_DIR).collect()
+    assert rows, "margin floor filtered everything at test SF"
+    chosen = {(r.source, r.chosen_id) for r in rows}
+    rejected = {(r.source, r.rejected_id) for r in rows}
+    assert not chosen & rejected, "a doc appears on both sides"
+    for r in rows:
+        assert r.chosen_score - r.rejected_score >= 0.05 - 1e-9
+        assert r.chosen_id != r.rejected_id

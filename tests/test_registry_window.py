@@ -18,6 +18,7 @@ WINDOW = [
     'embedding_norm_stats',
     'events_session_sequences',
     'contrastive_pairs',
+    'preference_pairs',
     # upgraded rows-only → exact oracle this round
     'streaming_sessionize',
     'dedup_minhash_lsh',
@@ -63,7 +64,6 @@ WINDOW = [
     'q12_priority_classes',
     'q13_customer_distribution',
     'q14_promo_revenue',
-    'q15_top_supplier',
 ]
 
 
