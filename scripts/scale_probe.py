@@ -41,6 +41,12 @@ PROBES = {
     "quality_perplexity": {"documents": ["doc_id"]},
     "hybrid_search_rrf": {"documents": ["doc_id"],
                           "embeddings": ["vec_id"]},
+    # round-4 additions
+    "corpus_token_entropy": {"documents": ["doc_id"]},
+    "token_pmi_bigrams": {"documents": ["doc_id"]},
+    "preference_pairs": {"documents": ["doc_id"]},
+    "contrastive_pairs": {"embeddings": ["vec_id"]},
+    "events_session_sequences": {"events": ["user_id"]},
 }
 
 
