@@ -430,3 +430,87 @@ def preference_pairs(spark, sf_dir):
                 .alias("margin"))
         .orderBy("source", "pair_id")
     )
+
+
+# --- Data-drift monitor (population stability index) ------------------------
+
+PSI_BINS = 10
+
+DRIFT_PSI_SQL = f"""
+WITH scored AS (
+  SELECT doc_id % 2 AS cohort,
+         least(CAST(floor(
+           round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / greatest(len(string_split(text, ' ')), 1), 6)
+           * {PSI_BINS}) AS BIGINT), {PSI_BINS - 1}) AS bin
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+), binned AS (
+  SELECT bin,
+         sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS c_a,
+         sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS c_b
+  FROM scored GROUP BY bin
+), tot AS (
+  SELECT sum(c_a) AS n_a, sum(c_b) AS n_b,
+         count(*) AS n_bins FROM binned
+), p AS (
+  SELECT bin, c_a, c_b,
+         (c_a + 0.5) / (n_a + 0.5 * n_bins) AS p_a,
+         (c_b + 0.5) / (n_b + 0.5 * n_bins) AS p_b
+  FROM binned, tot
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(c_a AS BIGINT) AS c_a,
+       CAST(c_b AS BIGINT) AS c_b,
+       round(p_a, 6) AS p_a,
+       round(p_b, 6) AS p_b,
+       round((p_a - p_b) * ln(p_a / p_b), 6) AS psi_term,
+       round(sum((p_a - p_b) * ln(p_a / p_b)) OVER (), 6) AS psi_total
+FROM p
+ORDER BY bin
+"""
+
+
+@register("drift_psi", sql=DRIFT_PSI_SQL, tags=("pipeline", "quality"))
+def drift_psi(spark, sf_dir):
+    """Population Stability Index between two corpus cohorts — the
+    standard production data-drift monitor (PSI < 0.1 stable, > 0.25
+    drifted). The drifting metric is the distinct-token quality score
+    binned into 10 fixed-width buckets; cohorts stand in for consecutive
+    snapshots (deterministic doc_id parity split here; swap the cohort
+    expression for a date column in production). Laplace smoothing
+    (+0.5 per bin) keeps empty bins finite in both engines.
+
+    Scale: one scan → bounded (≤10-row) bin table; the totals and the
+    PSI sum are windows over that bounded table, so nothing corpus-sized
+    crosses a single partition."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    score = F.round(
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.greatest(F.size(toks), F.lit(1)), 6)
+    scored = (
+        docs.where(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select((F.col("doc_id") % 2).alias("cohort"),
+                F.least(F.floor(score * PSI_BINS).cast("bigint"),
+                        F.lit(PSI_BINS - 1)).alias("bin")))
+    binned = scored.groupBy("bin").agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).alias("c_b"))
+    w = Window.partitionBy()  # bounded: <= PSI_BINS rows
+    n_a, n_b = F.sum("c_a").over(w), F.sum("c_b").over(w)
+    n_bins = F.count(F.lit(1)).over(w)
+    p_a = (F.col("c_a") + 0.5) / (n_a + 0.5 * n_bins)
+    p_b = (F.col("c_b") + 0.5) / (n_b + 0.5 * n_bins)
+    term = (p_a - p_b) * F.log(p_a / p_b)
+    return (
+        binned.select(
+            F.col("bin").cast("bigint").alias("bin"),
+            F.col("c_a").cast("bigint").alias("c_a"),
+            F.col("c_b").cast("bigint").alias("c_b"),
+            F.round(p_a, 6).alias("p_a"),
+            F.round(p_b, 6).alias("p_b"),
+            F.round(term, 6).alias("psi_term"),
+            F.round(F.sum(term).over(w), 6).alias("psi_total"))
+        .orderBy("bin")
+    )

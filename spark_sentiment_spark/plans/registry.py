@@ -129,6 +129,7 @@ _WINDOW_PRIORITY = [
     "events_session_sequences",
     "contrastive_pairs",
     "preference_pairs",
+    "drift_psi",
     # — oracle upgraded this round (was rows-only) —
     "streaming_sessionize",
     "dedup_minhash_lsh",
@@ -173,7 +174,6 @@ _WINDOW_PRIORITY = [
     "q11_nation_concentration",
     "q12_priority_classes",
     "q13_customer_distribution",
-    "q14_promo_revenue",
 ]
 
 

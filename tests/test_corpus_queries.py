@@ -83,3 +83,14 @@ def test_preference_pairs_margin_and_disjoint_sides(spark):
     for r in rows:
         assert r.chosen_score - r.rejected_score >= 0.05 - 1e-9
         assert r.chosen_id != r.rejected_id
+
+
+def test_drift_psi_properties(spark):
+    rows = REGISTRY["drift_psi"].fn(spark, SF_DIR).collect()
+    assert rows
+    totals = {r.psi_total for r in rows}
+    assert len(totals) == 1, "psi_total must be constant across bins"
+    assert totals.pop() >= 0.0  # PSI is non-negative by construction
+    # smoothed probabilities sum to ~1 per cohort
+    assert abs(sum(r.p_a for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.p_b for r in rows) - 1.0) < 1e-3

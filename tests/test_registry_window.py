@@ -19,6 +19,7 @@ WINDOW = [
     'events_session_sequences',
     'contrastive_pairs',
     'preference_pairs',
+    'drift_psi',
     # upgraded rows-only → exact oracle this round
     'streaming_sessionize',
     'dedup_minhash_lsh',
@@ -63,7 +64,6 @@ WINDOW = [
     'q11_nation_concentration',
     'q12_priority_classes',
     'q13_customer_distribution',
-    'q14_promo_revenue',
 ]
 
 
