@@ -1494,3 +1494,96 @@ def events_heatmap(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.countDistinct("user_id").alias("n_users"))
             .orderBy("dow", "hour_of_day"))
+
+
+# --- Cross-source provenance overlap (round 4) ------------------------------
+
+OVERLAP_SQL = f"""
+WITH hs AS (
+  SELECT md5(array_to_string((string_split(lower(text), ' '))[1:{PREFIX_K}],
+             ' ')) AS h,
+         source, count(*) AS c
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(*) AS BIGINT) AS n_shared_prefixes,
+       CAST(sum(a.c * b.c) AS BIGINT) AS n_dup_pairs
+FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("source_overlap", sql=OVERLAP_SQL, tags=("dedup", "pipeline"))
+def source_overlap(spark, sf_dir):
+    """Cross-source provenance overlap matrix: for each source pair, how
+    many boilerplate prefixes they share and how many cross-source dup
+    pairs those imply — the curation question behind per-source dedup
+    ordering and licensing audits (which scrapes re-host which).
+
+    Scale: the corpus aggregates to (prefix_hash, source, count) BEFORE
+    any join, so the self-join's per-hash fan-out is bounded by the
+    number of sources sharing that hash (never by duplicate multiplicity
+    — pair counts come from c_a*c_b arithmetic, not row products), and
+    the output is bounded by n_sources²."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    hs = (docs.select(_prefix_hash_col().alias("h"), "source")
+          .groupBy("h", "source").agg(F.count(F.lit(1)).alias("c")))
+    a, b = hs.alias("a"), hs.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"),
+                 F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_prefixes"),
+             F.sum(F.col("a.c") * F.col("b.c")).cast("bigint")
+             .alias("n_dup_pairs"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+# --- Shard token-balance report (round 4) -----------------------------------
+
+BALANCE_SQL = r"""
+WITH s AS (
+  SELECT CAST(floor((strpos('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                    / 2.0) AS BIGINT) AS shard,
+         len(string_split_regex(trim(text), '\s+')) AS nt
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), agg AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nt) AS BIGINT) AS n_tokens
+  FROM s GROUP BY shard
+)
+SELECT shard, n_docs, n_tokens,
+       round(n_tokens / avg(n_tokens) OVER (), 6) AS balance_ratio
+FROM agg ORDER BY shard
+"""
+
+
+@register("shard_balance", sql=BALANCE_SQL, tags=("pipeline",))
+def shard_balance(spark, sf_dir):
+    """Operational companion to ``shuffle_shards``: per-shard doc and
+    token totals plus each shard's token mass relative to the mean — the
+    pre-flight check that content-addressed sharding didn't produce a
+    straggler shard (ratios should sit near 1.0; a hot shard slows every
+    epoch). One scan → bounded shard agg → window over ≤8 rows."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = F.floor(
+        (F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1) / 2
+    ).cast("bigint")
+    nt = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    agg = (docs.where(F.col("text").isNotNull() & (F.trim("text") != ""))
+           .select(shard.alias("shard"), nt.alias("nt"))
+           .groupBy("shard")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("nt").cast("bigint").alias("n_tokens")))
+    w = Window.partitionBy()  # bounded: one row per shard
+    return (agg.select(
+        "shard", "n_docs", "n_tokens",
+        F.round(F.col("n_tokens") / F.avg("n_tokens").over(w), 6)
+        .alias("balance_ratio"))
+        .orderBy("shard"))

@@ -130,6 +130,8 @@ _WINDOW_PRIORITY = [
     "contrastive_pairs",
     "preference_pairs",
     "drift_psi",
+    "source_overlap",
+    "shard_balance",
     # — oracle upgraded this round (was rows-only) —
     "streaming_sessionize",
     "dedup_minhash_lsh",
@@ -172,8 +174,6 @@ _WINDOW_PRIORITY = [
     "q8_market_share",
     "q9_product_profit",
     "q11_nation_concentration",
-    "q12_priority_classes",
-    "q13_customer_distribution",
 ]
 
 

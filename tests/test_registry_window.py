@@ -20,6 +20,8 @@ WINDOW = [
     'contrastive_pairs',
     'preference_pairs',
     'drift_psi',
+    'source_overlap',
+    'shard_balance',
     # upgraded rows-only → exact oracle this round
     'streaming_sessionize',
     'dedup_minhash_lsh',
@@ -62,8 +64,6 @@ WINDOW = [
     'q8_market_share',
     'q9_product_profit',
     'q11_nation_concentration',
-    'q12_priority_classes',
-    'q13_customer_distribution',
 ]
 
 
