@@ -203,17 +203,25 @@ def token_pmi_bigrams(spark, sf_dir):
 EMB_STATS_SQL = """
 WITH e AS (
   SELECT label,
-         len(embedding) AS dim,
-         sqrt(list_sum(list_transform(embedding,
-                                      x -> CAST(x AS DOUBLE) * x))) AS nrm,
-         list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
-           / len(embedding) AS comp_mean
+         CASE WHEN embedding IS NULL OR len(embedding) = 0
+              THEN 1 ELSE 0 END AS invalid,
+         CASE WHEN embedding IS NULL OR len(embedding) = 0 THEN NULL
+              ELSE len(embedding) END AS dim,
+         CASE WHEN embedding IS NULL OR len(embedding) = 0 THEN NULL
+              ELSE sqrt(list_sum(list_transform(embedding,
+                                 x -> CAST(x AS DOUBLE) * x))) END AS nrm,
+         CASE WHEN embedding IS NULL OR len(embedding) = 0 THEN NULL
+              ELSE list_sum(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE))) / len(embedding)
+              END AS comp_mean
   FROM embeddings
 )
 SELECT label,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(max(dim) AS BIGINT) AS dim,
-       CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(sum(invalid) AS BIGINT) AS n_invalid,
+       CAST(coalesce(max(dim), 0) AS BIGINT) AS dim,
+       CAST(coalesce(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_zero,
        round(avg(nrm), 6) AS avg_norm,
        round(stddev_samp(nrm), 4) AS sd_norm,
        round(avg(comp_mean), 6) AS avg_comp_mean
@@ -226,14 +234,22 @@ ORDER BY label
 @register("embedding_norm_stats", sql=EMB_STATS_SQL,
           tags=("pipeline", "similarity"))
 def embedding_norm_stats(spark, sf_dir):
-    """Embedding-table QA: per-label count, dimensionality, zero-vector
-    count, norm mean/spread, and mean component bias. Catches the classic
-    pipeline failures (unnormalized batches, dead/zeroed vectors, mixed
-    dims) before they poison ANN indexes. Single scan → per-label agg;
-    the norm is a native higher-order-function fold (JVM, no Python).
-    sd_norm rounds at 4 dp: on unit-normalized data it is float-epsilon
-    noise (~1e-7) and must collapse to 0.0 identically in both engines."""
+    """Embedding-table QA: per-label count, NULL/empty-vector count,
+    dimensionality, zero-vector count, norm mean/spread, and mean
+    component bias. Catches the classic pipeline failures (unnormalized
+    batches, dead/zeroed/missing vectors, mixed dims) before they poison
+    ANN indexes. Single scan → per-label agg; the norm is a native
+    higher-order-function fold (JVM, no Python).
+
+    NULL/empty embeddings are counted in n_invalid and EXCLUDED from the
+    numeric stats in BOTH engines — without the explicit guard the twins
+    diverge on exactly these degenerate rows (Spark's fold returns 0.0
+    over an empty array while DuckDB's list_sum([]) is NULL, and
+    F.size(NULL) is -1 vs DuckDB len(NULL) = NULL). sd_norm rounds at
+    4 dp: on unit-normalized data it is float-epsilon noise (~1e-7) and
+    must collapse to 0.0 identically in both engines."""
     emb = load(spark, sf_dir, "embeddings")
+    valid = F.col("embedding").isNotNull() & (F.size("embedding") > 0)
     sq = F.aggregate(
         F.transform("embedding", lambda x: x.cast("double") * x),
         F.lit(0.0), lambda acc, x: acc + x)
@@ -242,16 +258,18 @@ def embedding_norm_stats(spark, sf_dir):
         F.lit(0.0), lambda acc, x: acc + x)
     e = emb.select(
         "label",
-        F.size("embedding").alias("dim"),
-        F.sqrt(sq).alias("nrm"),
-        (comp_sum / F.size("embedding")).alias("comp_mean"),
+        F.when(valid, 0).otherwise(1).alias("invalid"),
+        F.when(valid, F.size("embedding")).alias("dim"),
+        F.when(valid, F.sqrt(sq)).alias("nrm"),
+        F.when(valid, comp_sum / F.size("embedding")).alias("comp_mean"),
     )
     return (
         e.groupBy("label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
-             F.max("dim").cast("bigint").alias("dim"),
-             F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0))
-             .cast("bigint").alias("n_zero"),
+             F.sum("invalid").cast("bigint").alias("n_invalid"),
+             F.coalesce(F.max("dim"), F.lit(0)).cast("bigint").alias("dim"),
+             F.coalesce(F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0)),
+                        F.lit(0)).cast("bigint").alias("n_zero"),
              F.round(F.avg("nrm"), 6).alias("avg_norm"),
              F.round(F.stddev_samp("nrm"), 4).alias("sd_norm"),
              F.round(F.avg("comp_mean"), 6).alias("avg_comp_mean"))

@@ -43,7 +43,7 @@ def test_embedding_norm_stats_partition_of_table(spark):
     total = load(spark, "embeddings").count()
     assert sum(r.n for r in rows) == total
     for r in rows:
-        assert r.dim == 64 and r.n_zero == 0
+        assert r.dim == 64 and r.n_zero == 0 and r.n_invalid == 0
         assert abs(r.avg_norm - 1.0) < 1e-3  # testdata is unit-normalized
 
 

@@ -189,14 +189,36 @@ def test_bloom_dedup_probe_is_native(spark):
 
 def test_corpus_stats_queries_native_no_smj(spark):
     """Round-4 corpus-stats family: fully JVM-side, no sort-merge joins
-    (count tables are vocab/label-bounded → broadcast), no cartesian
-    blowup (the only nested-loop joins are 1-row corpus scalars)."""
+    (every join side here is genuinely bounded — vocab/label-sized count
+    tables or 1-row corpus scalars → broadcast), no cartesian blowup."""
     for name in ["corpus_token_entropy", "mixture_temperature",
                  "token_pmi_bigrams", "embedding_norm_stats",
-                 "contrastive_pairs", "events_session_sequences"]:
+                 "events_session_sequences"]:
         plan = _plan(spark, name)
         assert "Python" not in plan, f"{name} fell back to Python"
         assert "SortMergeJoin" not in plan, f"{name} shuffled a bounded side"
+        assert "CartesianProduct" not in plan, f"{name} has a cartesian"
+
+
+def test_contrastive_pairs_native_no_cartesian(spark):
+    """contrastive_pairs' negative join puts the corpus-sized ranked
+    table on BOTH sides (rank-matched lookup) — at bench SF the planner
+    broadcasts it, at scale a shuffle join on (label, rank) is the
+    correct LINEAR plan, so no-SMJ is deliberately NOT asserted here.
+    What must hold at any scale: no Python, no cartesian product."""
+    plan = _plan(spark, "contrastive_pairs")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_round4_selfjoin_queries_native(spark):
+    """preference_pairs / source_overlap / drift_psi / shard_balance:
+    JVM-native end-to-end; the self-joins run on (source|hash, rank)
+    keys after aggregation, never as cartesian products."""
+    for name in ["preference_pairs", "source_overlap", "drift_psi",
+                 "shard_balance"]:
+        plan = _plan(spark, name)
+        assert "Python" not in plan, f"{name} fell back to Python"
         assert "CartesianProduct" not in plan, f"{name} has a cartesian"
 
 
