@@ -114,14 +114,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # catalog entries, so ordering is an explicit, audited decision rather
 # than an accident of import order. Round-4 window: after rounds 1-3
 # every registered query has at least one green row, so the slots go to
-# (a) the 10 queries NEW this round, (b) the 3 upgraded from rows-only
+# (a) the 11 queries NEW this round, (b) the 3 upgraded from rows-only
 # to exact oracles (streaming_sessionize, dedup_minhash_lsh,
-# dedup_simhash), and (c) 37 of the 45 relational/scalar queries whose
-# only green row is from round 1. The remaining 8 round-1-only queries
+# dedup_simhash), and (c) 36 of the 45 relational/scalar queries whose
+# only green row is from round 1. The remaining 9 round-1-only queries
 # did NOT fit and stay un-re-checked (their r1 rows stand):
-# q12_priority_classes, q13_customer_distribution, q14_promo_revenue,
-# q15_top_supplier, q16_supplier_variety, q19_disjunctive_brackets,
-# q20_part_suppliers, q22_dormant_customers — rotate them in next round.
+# q11_nation_concentration, q12_priority_classes,
+# q13_customer_distribution, q14_promo_revenue, q15_top_supplier,
+# q16_supplier_variety, q19_disjunctive_brackets, q20_part_suppliers,
+# q22_dormant_customers — rotate them in next round.
 # agg_approx_distinct also sits out (intentional no_oracle, a re-run
 # adds no signal). Everything verified in rounds 2-3 rotates behind the
 # window.
@@ -137,6 +138,7 @@ _WINDOW_PRIORITY = [
     "drift_psi",
     "source_overlap",
     "shard_balance",
+    "streaming_multimodal_headers",
     # — oracle upgraded this round (was rows-only) —
     "streaming_sessionize",
     "dedup_minhash_lsh",
@@ -178,7 +180,6 @@ _WINDOW_PRIORITY = [
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
-    "q11_nation_concentration",
 ]
 
 

@@ -244,3 +244,42 @@ def streaming_volume_anomaly(spark, sf_dir):
     q.awaitTermination()
     return (spark.read.parquet(out_dir)
             .orderBy("event_type", "hour_start"))
+
+
+# Keep in sync with pipeline_queries.HEADERS_SQL (not imported — see the
+# STREAM_ANOMALY_SQL note above on registration-order hygiene).
+STREAM_HEADERS_SQL = """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INTEGER)
+            WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS container,
+       CASE WHEN doc_id % 3 = 0 THEN 64 + doc_id % 512 END AS width,
+       CASE WHEN doc_id % 3 = 0 THEN 48 + doc_id % 256 END AS height,
+       CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2 END AS channels,
+       CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 5) * 8000 END
+         AS sample_rate
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("streaming_multimodal_headers", sql=STREAM_HEADERS_SQL,
+          tags=("streaming", "multimodal"))
+def streaming_multimodal_headers(spark, sf_dir):
+    """Media-ingest streaming ETL: the multimodal container construction +
+    header parse (binary-column byte arithmetic, zero Python) executed BY
+    the streaming engine as a stateless per-micro-batch projection —
+    the production shape of a decode/metadata-extraction stage sitting on
+    a media firehose. Append mode, no state, so throughput is scan-bound;
+    the oracle is the same arithmetic twin as the batch
+    ``multimodal_headers``."""
+    from spark_sentiment_spark.operators.multimodal import (
+        attach_media_content, header_metadata)
+    from spark_sentiment_spark.streaming.streams import _stage_dir
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/documents.parquet"
+    static = spark.read.parquet(path)
+    stream = spark.readStream.schema(static.schema).parquet(_stage_dir(path))
+    out = run_to_memory(header_metadata(attach_media_content(stream)),
+                        _unique("stream_headers"), output_mode="append")
+    return out.orderBy("doc_id")

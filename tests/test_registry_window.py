@@ -3,13 +3,13 @@ registrations; this pins the window membership so adding a query
 to the wrong module cannot silently evict an oracle-backed entry
 (see plans/registry.py::_WINDOW_PRIORITY for the rotation plan).
 
-Round-4 window: the 10 queries new this round, then the three upgraded
+Round-4 window: the 11 queries new this round, then the three upgraded
 from rows-only to exact oracles (streaming_sessionize,
 dedup_minhash_lsh, dedup_simhash — engine-independent md5-derived
-hashing made their SQL twins possible), then 37 of the 45
+hashing made their SQL twins possible), then 36 of the 45
 relational/scalar queries whose only green row dates from round 1.
-Eight round-1-only queries did not fit (q12/q13/q14/q15/q16/q19/q20/
-q22) — their r1 green rows stand; rotate them in next round.
+Nine round-1-only queries did not fit (q11/q12/q13/q14/q15/q16/q19/
+q20/q22) — their r1 green rows stand; rotate them in next round.
 """
 
 WINDOW = [
@@ -24,6 +24,7 @@ WINDOW = [
     'drift_psi',
     'source_overlap',
     'shard_balance',
+    'streaming_multimodal_headers',
     # upgraded rows-only → exact oracle this round
     'streaming_sessionize',
     'dedup_minhash_lsh',
@@ -65,7 +66,6 @@ WINDOW = [
     'q7_volume_shipping',
     'q8_market_share',
     'q9_product_profit',
-    'q11_nation_concentration',
 ]
 
 
