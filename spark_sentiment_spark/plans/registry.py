@@ -114,12 +114,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # catalog entries, so ordering is an explicit, audited decision rather
 # than an accident of import order. Round-4 window: after rounds 1-3
 # every registered query has at least one green row, so the slots go to
-# (a) the 11 queries NEW this round, (b) the 3 upgraded from rows-only
+# (a) the 11 queries NEW this round, (b) the 4 upgraded from rows-only
 # to exact oracles (streaming_sessionize, dedup_minhash_lsh,
-# dedup_simhash), and (c) 36 of the 45 relational/scalar queries whose
-# only green row is from round 1. The remaining 9 round-1-only queries
-# did NOT fit and stay un-re-checked (their r1 rows stand):
-# q11_nation_concentration, q12_priority_classes,
+# dedup_simhash, doc_rolling_hash — engine-independent md5-derived
+# hashing), and (c) 35 of the 45 relational/scalar queries whose only
+# green row is from round 1. The remaining 10 round-1-only queries did
+# NOT fit and stay un-re-checked (their r1 rows stand):
+# q9_product_profit, q11_nation_concentration, q12_priority_classes,
 # q13_customer_distribution, q14_promo_revenue, q15_top_supplier,
 # q16_supplier_variety, q19_disjunctive_brackets, q20_part_suppliers,
 # q22_dormant_customers — rotate them in next round.
@@ -143,6 +144,7 @@ _WINDOW_PRIORITY = [
     "streaming_sessionize",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "doc_rolling_hash",
     # — last verified in round 1: re-confirm after two rounds of drift —
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -179,7 +181,6 @@ _WINDOW_PRIORITY = [
     "q4_priority_exists",
     "q7_volume_shipping",
     "q8_market_share",
-    "q9_product_profit",
 ]
 
 

@@ -399,25 +399,45 @@ def langid_stopword(spark, sf_dir):
             .orderBy("doc_id"))
 
 
-@register("doc_rolling_hash", tags=("text", "dedup"))
+_RH_B, _RH_P = 1_000_003, (1 << 31) - 1
+
+ROLLING_HASH_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(string_split(lower(text), ' '),
+                          t -> (('0x' || substr(md5(t), 1, 8))::BIGINT)
+                               % {_RH_P})),
+         (acc, x) -> (acc * {_RH_B} + x) % {_RH_P}) AS rolling_hash,
+       CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+FROM documents
+WHERE text IS NOT NULL
+ORDER BY doc_id
+"""
+
+
+@register("doc_rolling_hash", sql=ROLLING_HASH_SQL, tags=("text", "dedup"))
 def doc_rolling_hash(spark, sf_dir):
     """Rolling (polynomial) document fingerprint, fully native: per-token
-    xxhash64 folded left with acc = (acc * B + h) mod p over the token
+    hash folded left with acc = (acc * B + h) mod p over the token
     sequence (Rabin–Karp family) — order-sensitive, so permuted documents
     fingerprint differently (unlike the bag-of-words hash above). One
     narrow aggregate per row via F.aggregate; no shuffle, no Python.
-    Rows-only check (xxhash64 is engine-specific); the fold semantics are
-    pinned by a Python-reference unit test."""
-    docs = load(spark, sf_dir, "documents")
-    # 31-bit modulus keeps acc*B + h < 2^52 — no bigint overflow under ANSI.
-    B, p = 1_000_003, (1 << 31) - 1
+
+    Exact-hash oracle (round 4, was rows-only): the per-token hash is the
+    first 8 md5 hex chars mod p — engine-independent — and DuckDB folds
+    the identical sequence with list_reduce, so the driver's value-hash
+    check covers the full fold, replacing the old engine-specific
+    xxhash64. The 31-bit modulus keeps acc*B + h < 2^52 (no overflow)."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    B, p = _RH_B, _RH_P
     toks = F.split(F.lower(F.col("text")), " ", -1)
+    h31 = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10) \
+        .cast("long") % F.lit(p)
     fold = F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, t: F.pmod(
-            acc * F.lit(B)
-            + F.pmod(F.xxhash64(t), F.lit(p)), F.lit(p)),
+        lambda acc, t: F.pmod(acc * F.lit(B) + h31(t), F.lit(p)),
     )
     return (docs.select("doc_id", fold.alias("rolling_hash"),
                         F.size(toks).cast("long").alias("n_tokens"))

@@ -3,13 +3,14 @@ registrations; this pins the window membership so adding a query
 to the wrong module cannot silently evict an oracle-backed entry
 (see plans/registry.py::_WINDOW_PRIORITY for the rotation plan).
 
-Round-4 window: the 11 queries new this round, then the three upgraded
+Round-4 window: the 11 queries new this round, then the four upgraded
 from rows-only to exact oracles (streaming_sessionize,
-dedup_minhash_lsh, dedup_simhash — engine-independent md5-derived
-hashing made their SQL twins possible), then 36 of the 45
-relational/scalar queries whose only green row dates from round 1.
-Nine round-1-only queries did not fit (q11/q12/q13/q14/q15/q16/q19/
-q20/q22) — their r1 green rows stand; rotate them in next round.
+dedup_minhash_lsh, dedup_simhash, doc_rolling_hash —
+engine-independent md5-derived hashing made their SQL twins possible),
+then 35 of the 45 relational/scalar queries whose only green row dates
+from round 1. Ten round-1-only queries did not fit (q9/q11/q12/q13/
+q14/q15/q16/q19/q20/q22) — their r1 green rows stand; rotate them in
+next round.
 """
 
 WINDOW = [
@@ -29,6 +30,7 @@ WINDOW = [
     'streaming_sessionize',
     'dedup_minhash_lsh',
     'dedup_simhash',
+    'doc_rolling_hash',
     # last verified in round 1 — re-confirm after two rounds of drift
     'q1_pricing_summary',
     'q3_shipping_priority',
@@ -65,7 +67,6 @@ WINDOW = [
     'q4_priority_exists',
     'q7_volume_shipping',
     'q8_market_share',
-    'q9_product_profit',
 ]
 
 

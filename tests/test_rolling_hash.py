@@ -1,24 +1,25 @@
 """Rolling-hash fingerprint: fold semantics pinned against a Python
 reference; order sensitivity asserted."""
 
-from pyspark.sql import functions as F
-
 from tests.conftest import SF_DIR
 
 
 def _py_rolling(spark, texts):
-    """Python reference of the same fold, using Spark's own xxhash64 for
-    the per-token hash (fetched once per distinct token)."""
-    toks = sorted({t for text in texts for t in text.lower().split(" ")})
-    df = spark.createDataFrame([(t,) for t in toks], "t string")
-    hmap = {r["t"]: r["h"] for r in
-            df.select("t", F.xxhash64("t").alias("h")).collect()}
+    """Pure-Python reference of the same fold — the md5-derived per-token
+    hash is engine-independent (no Spark hash involved), matching the
+    round-4 oracle-able formulation."""
+    import hashlib
+
     B, p = 1_000_003, (1 << 31) - 1
+
+    def h31(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % p
+
     out = []
     for text in texts:
         acc = 0
         for t in text.lower().split(" "):
-            acc = (acc * B + (hmap[t] % p)) % p
+            acc = (acc * B + h31(t)) % p
         out.append(acc)
     return out
 
