@@ -532,3 +532,71 @@ def drift_psi(spark, sf_dir):
             F.round(F.sum(term).over(w), 6).alias("psi_total"))
         .orderBy("bin")
     )
+
+
+# --- Apply the mixture: quota-based deterministic resample ------------------
+
+MIXTURE_BUDGET = 300
+
+MIXTURE_APPLY_SQL = f"""
+WITH src AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len({_TOKENS_SQL})) AS n_tokens
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+  GROUP BY source
+), quota AS (
+  SELECT source,
+         least(CAST(round(pow(n_tokens, {TEMP_ALPHA}) /
+                          sum(pow(n_tokens, {TEMP_ALPHA})) OVER ()
+                          * {MIXTURE_BUDGET}) AS BIGINT),
+               n_docs) AS q
+  FROM src
+), ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS pick
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+)
+SELECT r.doc_id, r.source, CAST(r.pick AS BIGINT) AS pick
+FROM ranked r JOIN quota ON r.source = quota.source
+WHERE r.pick <= quota.q
+ORDER BY r.source, r.pick
+"""
+
+
+@register("mixture_apply", sql=MIXTURE_APPLY_SQL, tags=("pipeline",))
+def mixture_apply(spark, sf_dir):
+    """Materialize the temperature mixture: each source contributes
+    round(weight * budget) documents (capped at its size), selected by
+    content-addressed md5 rank — the deterministic, resumable "apply"
+    step downstream of ``mixture_temperature``. Rerunning yields the
+    identical sample on any engine; growing the budget only ADDS
+    documents (md5 rank is a stable total order per source).
+
+    Scale: one bounded per-source agg for quotas (broadcast), one
+    source-partition ranking window over (doc_id, source) pairs — the
+    corpus shuffles once and the text column never moves."""
+    docs = load(spark, sf_dir, "documents")
+    live = docs.where(F.col("text").isNotNull() & (F.trim("text") != ""))
+    src = live.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens_col())).alias("n_tokens"))
+    wall = Window.partitionBy()  # bounded: one row per source
+    scaled = F.pow(F.col("n_tokens"), F.lit(TEMP_ALPHA))
+    quota = src.select(
+        "source",
+        F.least(F.round(scaled / F.sum(scaled).over(wall)
+                        * MIXTURE_BUDGET).cast("bigint"),
+                F.col("n_docs")).alias("q"))
+    wr = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = live.select(
+        "doc_id", "source",
+        F.row_number().over(wr).cast("bigint").alias("pick"))
+    return (ranked.join(F.broadcast(quota), "source")
+            .where(F.col("pick") <= F.col("q"))
+            .select("doc_id", "source", "pick")
+            .orderBy("source", "pick"))

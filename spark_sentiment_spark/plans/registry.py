@@ -114,13 +114,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # catalog entries, so ordering is an explicit, audited decision rather
 # than an accident of import order. Round-4 window: after rounds 1-3
 # every registered query has at least one green row, so the slots go to
-# (a) the 11 queries NEW this round, (b) the 4 upgraded from rows-only
+# (a) the 12 queries NEW this round, (b) the 4 upgraded from rows-only
 # to exact oracles (streaming_sessionize, dedup_minhash_lsh,
 # dedup_simhash, doc_rolling_hash — engine-independent md5-derived
-# hashing), and (c) 35 of the 45 relational/scalar queries whose only
-# green row is from round 1. The remaining 10 round-1-only queries did
+# hashing), and (c) 34 of the 45 relational/scalar queries whose only
+# green row is from round 1. The remaining 11 round-1-only queries did
 # NOT fit and stay un-re-checked (their r1 rows stand):
-# q9_product_profit, q11_nation_concentration, q12_priority_classes,
+# q8_market_share, q9_product_profit, q11_nation_concentration,
+# q12_priority_classes,
 # q13_customer_distribution, q14_promo_revenue, q15_top_supplier,
 # q16_supplier_variety, q19_disjunctive_brackets, q20_part_suppliers,
 # q22_dormant_customers — rotate them in next round.
@@ -140,6 +141,7 @@ _WINDOW_PRIORITY = [
     "source_overlap",
     "shard_balance",
     "streaming_multimodal_headers",
+    "mixture_apply",
     # — oracle upgraded this round (was rows-only) —
     "streaming_sessionize",
     "dedup_minhash_lsh",
@@ -180,7 +182,6 @@ _WINDOW_PRIORITY = [
     "agg_histogram",
     "q4_priority_exists",
     "q7_volume_shipping",
-    "q8_market_share",
 ]
 
 

@@ -94,3 +94,20 @@ def test_drift_psi_properties(spark):
     # smoothed probabilities sum to ~1 per cohort
     assert abs(sum(r.p_a for r in rows) - 1.0) < 1e-3
     assert abs(sum(r.p_b for r in rows) - 1.0) < 1e-3
+
+
+def test_mixture_apply_quota_and_determinism(spark):
+    rows = REGISTRY["mixture_apply"].fn(spark, SF_DIR).collect()
+    assert rows
+    # budget approximately filled (rounding slack: ±1 per source)
+    from spark_sentiment_spark.plans.corpus_queries import MIXTURE_BUDGET
+    n_sources = len({r.source for r in rows})
+    assert abs(len(rows) - MIXTURE_BUDGET) <= n_sources
+    # picks are 1..quota per source with no gaps
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.pick)
+    for src, picks in by_src.items():
+        assert sorted(picks) == list(range(1, len(picks) + 1)), src
+    again = REGISTRY["mixture_apply"].fn(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -3,13 +3,13 @@ registrations; this pins the window membership so adding a query
 to the wrong module cannot silently evict an oracle-backed entry
 (see plans/registry.py::_WINDOW_PRIORITY for the rotation plan).
 
-Round-4 window: the 11 queries new this round, then the four upgraded
+Round-4 window: the 12 queries new this round, then the four upgraded
 from rows-only to exact oracles (streaming_sessionize,
 dedup_minhash_lsh, dedup_simhash, doc_rolling_hash —
 engine-independent md5-derived hashing made their SQL twins possible),
-then 35 of the 45 relational/scalar queries whose only green row dates
-from round 1. Ten round-1-only queries did not fit (q9/q11/q12/q13/
-q14/q15/q16/q19/q20/q22) — their r1 green rows stand; rotate them in
+then 34 of the 45 relational/scalar queries whose only green row dates
+from round 1. Eleven round-1-only queries did not fit (q8/q9/q11/q12/
+q13/q14/q15/q16/q19/q20/q22) — their r1 green rows stand; rotate them in
 next round.
 """
 
@@ -26,6 +26,7 @@ WINDOW = [
     'source_overlap',
     'shard_balance',
     'streaming_multimodal_headers',
+    'mixture_apply',
     # upgraded rows-only → exact oracle this round
     'streaming_sessionize',
     'dedup_minhash_lsh',
@@ -66,7 +67,6 @@ WINDOW = [
     'agg_histogram',
     'q4_priority_exists',
     'q7_volume_shipping',
-    'q8_market_share',
 ]
 
 
