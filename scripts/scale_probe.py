@@ -47,6 +47,10 @@ PROBES = {
     "preference_pairs": {"documents": ["doc_id"]},
     "contrastive_pairs": {"embeddings": ["vec_id"]},
     "events_session_sequences": {"events": ["user_id"]},
+    "drift_psi": {"documents": ["doc_id"]},
+    "source_overlap": {"documents": ["doc_id"]},
+    "shard_balance": {"documents": ["doc_id"]},
+    "mixture_apply": {"documents": ["doc_id"]},
 }
 
 
