@@ -7,10 +7,16 @@ Split of labor, sized for 100 TB:
 * the CORPUS-scale work — lowercasing, tokenizing, word-frequency counting —
   is one distributed pass (explode → partial+final hash agg, map-side
   combine collapses each partition to its local vocabulary);
-* the merge LOOP runs driver-side on the aggregated ``(word, freq)`` table,
-  which is vocabulary-bounded (millions of rows at web scale, not the
-  corpus' trillions of tokens) — the same shape HuggingFace ``tokenizers``
-  and sentencepiece use: nobody iterates merges over raw text;
+* the merge LOOP runs driver-side on the aggregated ``(word, freq)`` table.
+  Raw whitespace vocabulary is NOT meaningfully bounded on a web corpus
+  (URLs, typos, hapaxes run 10^8–10^9 types at 100 TB), so the collect is
+  explicitly bounded: a ``min_count`` frequency floor drops hapax noise and
+  a ``vocab_cap`` top-K (by freq desc, word asc — a distributed TakeOrdered,
+  not a driver sort) hard-caps the driver dict. This is the same tradeoff
+  production trainers make (sentencepiece's input-sentence cap, HuggingFace
+  ``tokenizers``' ``min_frequency``): pair counts understate truth by the
+  dropped tail's contribution, which by construction is the lowest-signal
+  mass in the corpus;
 * ENCODING under the learned merges goes back to executors as one
   Arrow-batched pandas UDF with a per-batch word→segmentation memo (words
   repeat; the memo turns per-token work into a dict hit).
@@ -77,11 +83,26 @@ def _merge_loop(word_freq: dict[str, int],
 
 
 def bpe_train(spark: SparkSession, docs: DataFrame, n_merges: int = 40,
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text", min_count: int = 2,
+              vocab_cap: int | None = 1_000_000) -> DataFrame:
     """Train BPE merges: one distributed word-count pass, then the bounded
     driver-side merge loop. Returns (rank, left, right, merged, pair_count)
-    in merge order."""
-    wf = {r.word: r.freq for r in word_frequencies(docs, text_col).collect()}
+    in merge order.
+
+    ``min_count`` floors the collected vocabulary (words seen fewer times
+    never reach the driver); ``vocab_cap`` truncates it to the top-K by
+    (freq desc, word asc). Both bound driver memory at web scale — see the
+    module docstring. ``min_count=1, vocab_cap=None`` recovers the exact
+    unbounded trainer (tests pin that the defaults leave the fixture-corpus
+    merge sequence unchanged)."""
+    wf_df = (word_frequencies(docs, text_col)
+             .where(F.col("freq") >= min_count))
+    if vocab_cap is not None:
+        # orderBy+limit compiles to TakeOrdered — executors keep per-
+        # partition top-K heaps; only K rows cross to the driver.
+        wf_df = wf_df.orderBy(F.col("freq").desc(), F.col("word")) \
+                     .limit(vocab_cap)
+    wf = {r.word: r.freq for r in wf_df.collect()}
     merges = _merge_loop(wf, n_merges)
     rows = [(i + 1, a, b, a + b, int(c)) for i, (a, b, c) in enumerate(merges)]
     return spark.createDataFrame(

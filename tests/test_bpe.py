@@ -64,6 +64,40 @@ def test_bpe_train_matches_naive_reference(spark):
     assert got == want
 
 
+def test_default_floor_preserves_merge_sequence(spark):
+    """The default min_count=2 hapax floor and 1M vocab cap (the round-5
+    bound on the driver-side collect) must not perturb the merge sequence
+    on the fixture corpus: the bound is a scale guard, not a semantic
+    change at test scale."""
+    from spark_sentiment_spark.operators.bpe import bpe_train
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bounded = [(r.left, r.right, r.pair_count)
+               for r in bpe_train(spark, docs, n_merges=N_MERGES)
+               .orderBy("rank").collect()]
+    unbounded = [(r.left, r.right, r.pair_count)
+                 for r in bpe_train(spark, docs, n_merges=N_MERGES,
+                                    min_count=1, vocab_cap=None)
+                 .orderBy("rank").collect()]
+    assert bounded == unbounded
+
+
+def test_vocab_cap_truncates_by_freq_then_word(spark):
+    """A tiny vocab_cap must train on exactly the top-K words by
+    (freq desc, word asc) — pinning the TakeOrdered truncation order."""
+    from spark_sentiment_spark.operators.bpe import bpe_train
+
+    wf = _fixture_word_freq()
+    top5 = dict(sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))[:5])
+    want, _ = _naive_bpe(top5, N_MERGES)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = [(r.left, r.right, r.pair_count)
+           for r in bpe_train(spark, docs, n_merges=N_MERGES,
+                              min_count=1, vocab_cap=5)
+           .orderBy("rank").collect()]
+    assert got == want
+
+
 def test_encoder_reproduces_training_segmentation():
     """Greedy lowest-rank-first encoding must reproduce the segmentation
     the trainer reached by applying merges in order (the GPT-2 encoder
