@@ -147,9 +147,11 @@ WITH t AS (
 SELECT bg.w1, bg.w2, CAST(c12 AS BIGINT) AS c12,
        round(log2((c12 / n_bi) /
                   ((u1.c / n_uni) * (u2.c / n_uni))), 6) AS pmi
-FROM bg, nb, nu
+FROM bg
 JOIN uni u1 ON bg.w1 = u1.w
 JOIN uni u2 ON bg.w2 = u2.w
+CROSS JOIN nb
+CROSS JOIN nu
 WHERE c12 >= {PMI_MIN_COUNT}
 ORDER BY w1, w2
 """
@@ -161,8 +163,12 @@ def token_pmi_bigrams(spark, sf_dir):
     mining / phrase-vocabulary induction, word2vec-style). The corpus
     explodes twice (bigrams, unigrams) into *aggregated* count tables;
     corpus totals are 1-row aggregates cross-joined back (broadcast
-    scalar, the repo's standard pattern), and the unigram side is
-    vocabulary-bounded so both probe joins broadcast."""
+    scalar, the repo's standard pattern). The unigram probe joins carry
+    NO broadcast hint: a raw whitespace vocabulary is not meaningfully
+    bounded on a web corpus (typos/URLs/numbers), so join strategy is
+    left to size estimates + AQE — broadcast at small SF, shuffle join
+    (the correct linear plan) when the vocabulary outgrows the
+    threshold at scale."""
     docs = load(spark, sf_dir, "documents")
     t = (
         docs.where(F.col("text").isNotNull() & (F.trim("text") != ""))
@@ -186,8 +192,8 @@ def token_pmi_bigrams(spark, sf_dir):
         bg.where(F.col("c12") >= PMI_MIN_COUNT)
         .crossJoin(F.broadcast(n_bi))
         .crossJoin(F.broadcast(n_uni))
-        .join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        .join(u1, "w1")
+        .join(u2, "w2")
         .select(
             "w1", "w2", F.col("c12").cast("bigint").alias("c12"),
             F.round(F.log2((F.col("c12") / F.col("n_bi")) /
@@ -545,13 +551,29 @@ WITH src AS (
   FROM documents
   WHERE text IS NOT NULL AND trim(text) <> ''
   GROUP BY source
+), alloc AS (
+  SELECT source, n_docs, n_tokens,
+         pow(n_tokens, {TEMP_ALPHA}) /
+           sum(pow(n_tokens, {TEMP_ALPHA})) OVER ()
+           * {MIXTURE_BUDGET} AS quota_f
+  FROM src
+), based AS (
+  SELECT source, n_docs,
+         CAST(floor(quota_f) AS BIGINT) AS base_q,
+         round(quota_f - floor(quota_f), 6) AS rem,
+         n_tokens
+  FROM alloc
+), lr AS (
+  SELECT source, n_docs, base_q,
+         row_number() OVER (ORDER BY rem DESC, n_tokens DESC, source)
+           AS rr,
+         {MIXTURE_BUDGET} - sum(base_q) OVER () AS leftover
+  FROM based
 ), quota AS (
   SELECT source,
-         least(CAST(round(pow(n_tokens, {TEMP_ALPHA}) /
-                          sum(pow(n_tokens, {TEMP_ALPHA})) OVER ()
-                          * {MIXTURE_BUDGET}) AS BIGINT),
+         least(base_q + CASE WHEN rr <= leftover THEN 1 ELSE 0 END,
                n_docs) AS q
-  FROM src
+  FROM lr
 ), ranked AS (
   SELECT doc_id, source,
          row_number() OVER (PARTITION BY source
@@ -569,12 +591,22 @@ ORDER BY r.source, r.pick
 
 @register("mixture_apply", sql=MIXTURE_APPLY_SQL, tags=("pipeline",))
 def mixture_apply(spark, sf_dir):
-    """Materialize the temperature mixture: each source contributes
-    round(weight * budget) documents (capped at its size), selected by
+    """Materialize the temperature mixture: each source contributes an
+    integer-exact quota of documents (capped at its size), selected by
     content-addressed md5 rank — the deterministic, resumable "apply"
     step downstream of ``mixture_temperature``. Rerunning yields the
     identical sample on any engine; growing the budget only ADDS
     documents (md5 rank is a stable total order per source).
+
+    Quotas use the largest-remainder method, not round(weight*budget):
+    base = floor(weight*budget), then the budget shortfall goes to the
+    sources with the largest fractional remainders (remainder rounded
+    to 6 dp before comparison; ties broken by integer n_tokens desc,
+    then source). round() puts quota membership one libm ulp from a
+    .5 boundary — pow() differs across engines — whereas an ORDERING of
+    well-separated remainders is ulp-robust, and any residual tie
+    resolves on exact integers. Sum of uncapped quotas == budget by
+    construction.
 
     Scale: one bounded per-source agg for quotas (broadcast), one
     source-partition ranking window over (doc_id, source) pairs — the
@@ -586,10 +618,25 @@ def mixture_apply(spark, sf_dir):
         F.sum(F.size(_tokens_col())).alias("n_tokens"))
     wall = Window.partitionBy()  # bounded: one row per source
     scaled = F.pow(F.col("n_tokens"), F.lit(TEMP_ALPHA))
-    quota = src.select(
+    alloc = src.select(
+        "source", "n_docs", "n_tokens",
+        (scaled / F.sum(scaled).over(wall) * MIXTURE_BUDGET)
+        .alias("quota_f"))
+    based = alloc.select(
+        "source", "n_docs", "n_tokens",
+        F.floor("quota_f").cast("bigint").alias("base_q"),
+        F.round(F.col("quota_f") - F.floor("quota_f"), 6).alias("rem"))
+    wrem = Window.partitionBy().orderBy(
+        F.col("rem").desc(), F.col("n_tokens").desc(), "source")
+    lr = based.select(
+        "source", "n_docs", "base_q",
+        F.row_number().over(wrem).alias("rr"),
+        (F.lit(MIXTURE_BUDGET) - F.sum("base_q").over(wall))
+        .alias("leftover"))
+    quota = lr.select(
         "source",
-        F.least(F.round(scaled / F.sum(scaled).over(wall)
-                        * MIXTURE_BUDGET).cast("bigint"),
+        F.least(F.col("base_q")
+                + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0),
                 F.col("n_docs")).alias("q"))
     wr = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id")

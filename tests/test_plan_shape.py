@@ -223,8 +223,11 @@ def test_round4_selfjoin_queries_native(spark):
 
 
 def test_pmi_broadcasts_unigram_probes(spark):
-    """Both unigram probe joins and both corpus scalars broadcast — the
-    bigram count table (the unbounded side) is never shuffled for a join."""
+    """At test SF the size estimator broadcasts both unigram probes (no
+    explicit hint since round 5 — a web-scale whitespace vocabulary is
+    not broadcast-safe, so strategy is left to estimates + AQE, which
+    correctly flips to a shuffle join past the threshold). The 1-row
+    corpus scalars stay broadcast at any scale."""
     plan = _plan(spark, "token_pmi_bigrams")
     assert plan.count("BroadcastHashJoin") >= 2
     assert plan.count("BroadcastNestedLoopJoin") == 2  # 1-row scalars

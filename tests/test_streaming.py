@@ -292,3 +292,14 @@ def test_anomaly_oracle_twins_stay_in_sync():
         STREAM_ANOMALY_SQL
 
     assert STREAM_ANOMALY_SQL == ANOMALY_SQL
+
+
+def test_headers_oracle_twins_stay_in_sync():
+    """streaming_multimodal_headers duplicates multimodal_headers' oracle
+    SQL for the same registration-order reason; pin the literals together
+    so only one can't silently drift (ADVICE r4)."""
+    from spark_sentiment_spark.plans.pipeline_queries import HEADERS_SQL
+    from spark_sentiment_spark.plans.streaming_queries import \
+        STREAM_HEADERS_SQL
+
+    assert STREAM_HEADERS_SQL == HEADERS_SQL
