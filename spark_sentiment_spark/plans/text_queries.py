@@ -634,18 +634,35 @@ def quality_outlier_trim(spark, sf_dir):
     )
 
 
-@register("sample_stratified", tags=("text", "sampling"))
+STRAT_SAMPLE_SQL = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE substring(md5(concat(lang, ':', CAST(doc_id AS VARCHAR))), 1, 4)
+      < CASE WHEN lang = 'en' THEN '8000' ELSE '4000' END
+ORDER BY doc_id
+"""
+
+
+@register("sample_stratified", sql=STRAT_SAMPLE_SQL,
+          tags=("text", "sampling"))
 def sample_stratified(spark, sf_dir):
-    """Seeded stratified sampling (`sampleBy`) — class-balanced corpus
-    draws without a shuffle: Bernoulli per row against the stratum's
-    fraction, executed map-side during the scan. Rows-only check (sampling
-    is engine-specific); tests/test_sampling.py pins determinism and
-    per-stratum rates."""
+    """Stratified sampling without a shuffle: per-stratum Bernoulli draw
+    (en 0.5, others 0.25) decided by comparing an md5 prefix of
+    ``lang:doc_id`` against the stratum's hex threshold, map-side during
+    the scan. Salting the hash with the stratum makes each stratum's draw
+    independent. Round 5 upgraded this from seeded ``sampleBy`` (engine-
+    private RNG stream → rows-only check) to content-addressed membership:
+    stable across runs, engines, and repartitioning, so the DuckDB twin
+    is exact — same trick as ``mixture_sample``.
+    tests/test_sampling.py pins determinism and per-stratum rates."""
     docs = load(spark, sf_dir, "documents")
-    fractions = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.25}
-    return docs.sampleBy("lang", fractions, seed=42).select(
-        "doc_id", "lang", "n_chars"
-    )
+    b = F.substring(
+        F.md5(F.concat_ws(":", F.col("lang"),
+                          F.col("doc_id").cast("string"))), 1, 4)
+    thresh = F.when(F.col("lang") == "en", "8000").otherwise("4000")
+    return (docs.where(b < thresh)
+            .select("doc_id", "lang", "n_chars")
+            .orderBy("doc_id"))
 
 
 BOILERPLATE_SQL = r"""
