@@ -112,76 +112,74 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 # The external correctness harness records rows for only the FIRST 50
 # catalog entries, so ordering is an explicit, audited decision rather
-# than an accident of import order. Round-4 window: after rounds 1-3
-# every registered query has at least one green row, so the slots go to
-# (a) the 12 queries NEW this round, (b) the 4 upgraded from rows-only
-# to exact oracles (streaming_sessionize, dedup_minhash_lsh,
-# dedup_simhash, doc_rolling_hash — engine-independent md5-derived
-# hashing), and (c) 34 of the 45 relational/scalar queries whose only
-# green row is from round 1. The remaining 11 round-1-only queries did
-# NOT fit and stay un-re-checked (their r1 rows stand):
-# q8_market_share, q9_product_profit, q11_nation_concentration,
-# q12_priority_classes,
-# q13_customer_distribution, q14_promo_revenue, q15_top_supplier,
-# q16_supplier_variety, q19_disjunctive_brackets, q20_part_suppliers,
-# q22_dormant_customers — rotate them in next round.
-# agg_approx_distinct also sits out (intentional no_oracle, a re-run
-# adds no signal). Everything verified in rounds 2-3 rotates behind the
-# window.
+# than an accident of import order. Round-5 window (the r4 VERDICT's
+# rotation plan, executed): (a) the 11 relational queries whose only
+# green row dated from round 1 — q8/q9/q11-q16/q19/q20/q22 — now three
+# rounds of shared-code churn stale; (b) the 3 queries upgraded from
+# rows-only to exact oracles this round (sample_stratified,
+# multimodal_decode_features, dedup_semantic — content-addressed
+# sampling / byte-arithmetic replay / IVF-seeded cells made their SQL
+# twins possible); (c) token_pmi_bigrams and mixture_apply, whose r4
+# green rows predate this round's edits (broadcast-hint removal,
+# largest-remainder quotas); (d) all 34 queries whose latest green row
+# is round 2. Exactly 50. Sitting out: everything r3/r4-green and
+# untouched this round, and agg_approx_distinct (intentional no_oracle,
+# a re-run adds no signal).
 _WINDOW_PRIORITY = [
-    # — new in round 4 (no prior rows) —
-    "mixture_temperature",
-    "corpus_token_entropy",
+    # — (a) round-1-stale relational queries —
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_nation_concentration",
+    "q12_priority_classes",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q19_disjunctive_brackets",
+    "q20_part_suppliers",
+    "q22_dormant_customers",
+    # — (b) upgraded rows-only -> exact oracle this round —
+    "sample_stratified",
+    "multimodal_decode_features",
+    "dedup_semantic",
+    # — (c) edited this round (r4 rows predate the change) —
     "token_pmi_bigrams",
-    "embedding_norm_stats",
-    "events_session_sequences",
-    "contrastive_pairs",
-    "preference_pairs",
-    "drift_psi",
-    "source_overlap",
-    "shard_balance",
-    "streaming_multimodal_headers",
     "mixture_apply",
-    # — oracle upgraded this round (was rows-only) —
-    "streaming_sessionize",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "doc_rolling_hash",
-    # — last verified in round 1: re-confirm after two rounds of drift —
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "join_semi",
-    "join_anti",
-    "join_left_outer",
-    "join_null_safe",
-    "agg_rollup",
-    "agg_cube",
-    "agg_global_stats",
-    "agg_having",
-    "agg_case_bucket",
-    "agg_by_month",
-    "window_topk_per_group",
-    "window_running_sum",
-    "window_lag_delta",
-    "window_rank_mix",
-    "sort_topk_global",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "distinct_pairs",
-    "scalar_string_funcs",
-    "scalar_math_funcs",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "agg_percentiles",
-    "agg_histogram",
-    "q4_priority_exists",
-    "q7_volume_shipping",
+    # — (d) last verified in round 2 —
+    "boilerplate_ngrams",
+    "clean_text",
+    "decontaminate_ngram",
+    "doc_chunks",
+    "doc_fingerprints",
+    "events_asof_cogroup",
+    "events_asof_join",
+    "events_daily_rollup",
+    "events_funnel",
+    "events_gap_fill",
+    "events_json_extract",
+    "events_props_map",
+    "events_range_join",
+    "events_retention_cohorts",
+    "events_rolling_1h",
+    "events_sessionize",
+    "events_sliding_hour",
+    "events_tumbling_hour",
+    "events_user_rates",
+    "langid_stopword",
+    "multimodal_fingerprints",
+    "quality_outlier_trim",
+    "quality_repetition",
+    "quality_scores",
+    "quality_zscore_by_lang",
+    "streaming_stateful_counts",
+    "streaming_static_enrich",
+    "streaming_tumbling_hour",
+    "text_stats_by_lang",
+    "text_tfidf_topk",
+    "token_counts",
+    "wordlist_extraction",
+    "wordlist_extraction_scaled",
+    "wordscore_sentiment",
 ]
 
 

@@ -3,70 +3,71 @@ registrations; this pins the window membership so adding a query
 to the wrong module cannot silently evict an oracle-backed entry
 (see plans/registry.py::_WINDOW_PRIORITY for the rotation plan).
 
-Round-4 window: the 12 queries new this round, then the four upgraded
-from rows-only to exact oracles (streaming_sessionize,
-dedup_minhash_lsh, dedup_simhash, doc_rolling_hash —
-engine-independent md5-derived hashing made their SQL twins possible),
-then 34 of the 45 relational/scalar queries whose only green row dates
-from round 1. Eleven round-1-only queries did not fit (q8/q9/q11/q12/
-q13/q14/q15/q16/q19/q20/q22) — their r1 green rows stand; rotate them in
-next round.
+Round-5 window (the r4 VERDICT's rotation plan, executed): the 11
+relational queries green only in round 1 (three rounds of shared-code
+churn ago), the 3 upgraded from rows-only to exact oracles this round
+(sample_stratified, multimodal_decode_features, dedup_semantic), the 2
+whose code changed this round after their r4 green rows
+(token_pmi_bigrams, mixture_apply), and all 34 queries whose latest
+green row is round 2. Everything r3/r4-green and untouched sits out;
+agg_approx_distinct stays out permanently (intentional no_oracle).
 """
 
 WINDOW = [
-    # new round-4 queries (no prior rows by definition)
-    'mixture_temperature',
-    'corpus_token_entropy',
+    # round-1-stale relational queries
+    'q8_market_share',
+    'q9_product_profit',
+    'q11_nation_concentration',
+    'q12_priority_classes',
+    'q13_customer_distribution',
+    'q14_promo_revenue',
+    'q15_top_supplier',
+    'q16_supplier_variety',
+    'q19_disjunctive_brackets',
+    'q20_part_suppliers',
+    'q22_dormant_customers',
+    # upgraded rows-only -> exact oracle this round
+    'sample_stratified',
+    'multimodal_decode_features',
+    'dedup_semantic',
+    # edited this round (r4 rows predate the change)
     'token_pmi_bigrams',
-    'embedding_norm_stats',
-    'events_session_sequences',
-    'contrastive_pairs',
-    'preference_pairs',
-    'drift_psi',
-    'source_overlap',
-    'shard_balance',
-    'streaming_multimodal_headers',
     'mixture_apply',
-    # upgraded rows-only → exact oracle this round
-    'streaming_sessionize',
-    'dedup_minhash_lsh',
-    'dedup_simhash',
-    'doc_rolling_hash',
-    # last verified in round 1 — re-confirm after two rounds of drift
-    'q1_pricing_summary',
-    'q3_shipping_priority',
-    'q5_local_supplier',
-    'q6_forecast_revenue',
-    'q10_returned_items',
-    'join_semi',
-    'join_anti',
-    'join_left_outer',
-    'join_null_safe',
-    'agg_rollup',
-    'agg_cube',
-    'agg_global_stats',
-    'agg_having',
-    'agg_case_bucket',
-    'agg_by_month',
-    'window_topk_per_group',
-    'window_running_sum',
-    'window_lag_delta',
-    'window_rank_mix',
-    'sort_topk_global',
-    'set_union',
-    'set_intersect',
-    'set_except',
-    'distinct_pairs',
-    'scalar_string_funcs',
-    'scalar_math_funcs',
-    'agg_grouping_sets',
-    'agg_pivot',
-    'q17_small_qty_revenue',
-    'q18_large_orders',
-    'agg_percentiles',
-    'agg_histogram',
-    'q4_priority_exists',
-    'q7_volume_shipping',
+    # last verified in round 2
+    'boilerplate_ngrams',
+    'clean_text',
+    'decontaminate_ngram',
+    'doc_chunks',
+    'doc_fingerprints',
+    'events_asof_cogroup',
+    'events_asof_join',
+    'events_daily_rollup',
+    'events_funnel',
+    'events_gap_fill',
+    'events_json_extract',
+    'events_props_map',
+    'events_range_join',
+    'events_retention_cohorts',
+    'events_rolling_1h',
+    'events_sessionize',
+    'events_sliding_hour',
+    'events_tumbling_hour',
+    'events_user_rates',
+    'langid_stopword',
+    'multimodal_fingerprints',
+    'quality_outlier_trim',
+    'quality_repetition',
+    'quality_scores',
+    'quality_zscore_by_lang',
+    'streaming_stateful_counts',
+    'streaming_static_enrich',
+    'streaming_tumbling_hour',
+    'text_stats_by_lang',
+    'text_tfidf_topk',
+    'token_counts',
+    'wordlist_extraction',
+    'wordlist_extraction_scaled',
+    'wordscore_sentiment',
 ]
 
 
@@ -90,8 +91,8 @@ def test_rotation_payload_is_fully_inside_window():
 
 
 def test_window_is_fully_oracle_backed():
-    """Round 4: every window slot carries a DuckDB oracle — rows-only
-    entries get a weaker check, so they shouldn't crowd the window."""
+    """Every window slot carries a DuckDB oracle — rows-only entries get
+    a weaker check, so they shouldn't crowd the window."""
     from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
 
     all_queries()
