@@ -70,18 +70,21 @@ def main() -> None:
     _warm = pandas_udf(lambda s: s, "double")
     spark.range(cpus * 4).select(_warm(col("id").cast("double"))).collect()
 
-    # Two timed runs per query, report the min: steady-state cost, robust
-    # to host noise (this box runs other tenants; medians of 2 == means,
-    # which the noise skews).
+    # Three timed runs per query: report the MIN as the headline number
+    # (steady-state cost — this box runs other tenants and load spikes
+    # only ever ADD time) and the MEDIAN alongside it so a lucky
+    # single-run min can't mask a real regression (r4 VERDICT ask).
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name, fn in qs.items():
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
             release_caches()  # don't let one query's cache skew the next
-        timings[name] = round(best, 3)
+        timings[name] = round(min(runs), 3)
+        medians[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -89,6 +92,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "total_median": round(sum(medians.values()), 3),
         "sf": sf,
     }))
     spark.stop()
