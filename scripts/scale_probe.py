@@ -103,6 +103,27 @@ def main() -> None:
                                     "krows_s": round(in_rows / best / 1e3, 1)}
                 print(f"x{k} {name}: {best:.2f}s "
                       f"({in_rows / best / 1e3:.0f} krows/s)", flush=True)
+        # Adversarial long-chain probe for connected_components: a path
+        # graph is the worst case for label propagation (diameter = n).
+        # Validates the pointer-jumping claim: rounds grow ~log2(n),
+        # time ~linear, correctness exact (single component).
+        from spark_sentiment_spark.operators.components import (
+            connected_components)
+
+        chain: dict[int, dict] = {}
+        for k in FACTORS:
+            n = 8192 * k
+            edges = spark.range(n - 1).select(
+                F.col("id").alias("s"), (F.col("id") + 1).alias("d"))
+            t0 = time.perf_counter()
+            labels, rounds = connected_components(edges, "s", "d",
+                                                  return_rounds=True)
+            n_comp = labels.select("comp").distinct().count()
+            sec = time.perf_counter() - t0
+            assert n_comp == 1, f"chain x{k}: {n_comp} components"
+            chain[k] = {"sec": round(sec, 3), "rounds": rounds, "nodes": n}
+            print(f"x{k} chain_components: {sec:.2f}s "
+                  f"{rounds} rounds over {n} nodes", flush=True)
     finally:
         shutil.rmtree(TMP, ignore_errors=True)
         spark.stop()
@@ -126,6 +147,23 @@ def main() -> None:
         thr = f"{by_k[1]['krows_s']} → {by_k[8]['krows_s']}"
         lines.append(
             f"| {name} | " + " | ".join(cells) + f" | {ratio}× | {thr} |")
+    lines += [
+        "",
+        "## connected_components on an adversarial path graph",
+        "",
+        "A chain is the worst case for min-label propagation (rounds =",
+        "diameter = n). Pointer jumping (operators/components.py) must",
+        "hold rounds to ~log2(n) with exact results; the max_iter=50",
+        "guard is never the thing producing the answer:",
+        "",
+        "| nodes | sec | rounds | log2(n) |",
+        "|---|---|---|---|",
+    ]
+    import math
+    for k in FACTORS:
+        c = chain[k]
+        lines.append(f"| {c['nodes']} | {c['sec']}s | {c['rounds']} "
+                     f"| {math.log2(c['nodes']):.1f} |")
     lines += [
         "",
         "Reading: a ×8 time ratio at or below 8× (with rows/s flat or",

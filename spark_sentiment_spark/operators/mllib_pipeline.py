@@ -87,6 +87,9 @@ class TrainedModel:
     precision: float       # validation accuracy of the selected model
     static_precision: float
     test_df: DataFrame
+    #: classifier="all" fills this with every family's best validation
+    #: accuracy so callers (and tests) can audit the argmax selection.
+    family_precisions: dict | None = None
 
     def save(self, path: str) -> None:
         self.model.write().overwrite().save(path)
@@ -154,7 +157,9 @@ def train(df: DataFrame, text_col: str, classifier: str = "all",
                 best_model, best_prec = swept_model, swept_prec
         results.append(TrainedModel(best_model, name, best_prec,
                                     static_prec, testing_df))
-    return max(results, key=lambda r: r.precision)
+    best = max(results, key=lambda r: r.precision)
+    best.family_precisions = {r.classifier: r.precision for r in results}
+    return best
 
 
 def _sweep(features, est, grid: dict, training_df, validation_df,

@@ -197,6 +197,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import spark_sentiment_spark.plans.tpch_shapes  # noqa: F401
     import spark_sentiment_spark.plans.pipeline_queries  # noqa: F401
     import spark_sentiment_spark.plans.corpus_queries  # noqa: F401
+    import spark_sentiment_spark.plans.ml_queries  # noqa: F401
 
     ordered = {n: REGISTRY[n] for n in _WINDOW_PRIORITY if n in REGISTRY}
     ordered.update((n, q) for n, q in REGISTRY.items() if n not in ordered)

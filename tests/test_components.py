@@ -29,3 +29,21 @@ def test_long_chain_converges(spark):
     n = 12  # diameter 11 — exercises many propagation rounds
     got = _cc(spark, [(i, i + 1) for i in range(n)])
     assert set(got.values()) == {0}
+
+
+def test_adversarial_chain_logarithmic_rounds(spark):
+    """A 512-node path is the worst case for pure min-label propagation
+    (512 rounds — silently truncated by max_iter=50 into WRONG labels).
+    Pointer jumping must (a) produce the correct single component and
+    (b) converge in O(log n) rounds, well under the max_iter guard."""
+    import math
+
+    n = 512
+    df = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                               ["s", "d"])
+    labels, rounds = connected_components(df, "s", "d",
+                                          return_rounds=True)
+    got = {r["node"]: r["comp"] for r in labels.collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n
+    assert rounds <= 2 * int(math.log2(n)) + 4, rounds

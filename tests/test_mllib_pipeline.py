@@ -70,6 +70,25 @@ def test_save_load_roundtrip(trained, labeled_corpus, tmp_path):
     assert a.exceptAll(b).count() == 0
 
 
+def test_train_all_full_sweep_selects_argmax(labeled_corpus):
+    """M10/M11 end-to-end at reference semantics: classifier="all" with
+    sweep on runs all 33 grid fits + 3 static fits
+    (MlLibSentimentAnalyser.scala:36-53 — LR 3x3, NB 6, RF 3x3x2) and
+    must keep the family whose best validation accuracy is the maximum.
+    The returned family_precisions audit trail lets us recompute the
+    argmax independently."""
+    from spark_sentiment_spark.operators.mllib_pipeline import train
+
+    t = train(labeled_corpus, "text", classifier="all", parallelism=4)
+    assert set(t.family_precisions) == {"logistic", "naivebayes",
+                                        "maxentropy"}
+    assert t.precision == max(t.family_precisions.values())
+    assert t.family_precisions[t.classifier] == t.precision
+    # the planted pos/neg vocabulary is separable — every family should
+    # clear the reference's lowest accuracy gate, winner included
+    assert t.precision >= 0.65
+
+
 def test_deterministic_split(labeled_corpus):
     # seed-0 split is stable across runs (MlLib...scala:125-127)
     s1 = labeled_corpus.randomSplit([0.7, 0.2, 0.1], seed=0)
