@@ -1328,16 +1328,70 @@ def snapshot_diff(spark, sf_dir):
 
 # --- Real raster decode over natively constructed PPM images ----------------
 
+# Every pixel byte is an md5-chain value and every output is integer
+# byte arithmetic plus ONE correctly-rounded float division (integer
+# sums are exact in float64), so DuckDB replays the whole decode —
+# construction, raster reshape, channel means, 4x4 block-mean thumbnail
+# with numpy's half-to-even rounding — from the same md5 chain. The
+# thumbnail is hashed as md5 of its lowercase-hex string (DuckDB has no
+# md5(BLOB)).
+_PPM_CHAIN = " || ".join(
+    f"md5(CAST(doc_id AS VARCHAR) || ':{k}')" for k in range(48))
 
-@register("multimodal_ppm_decode", tags=("multimodal", "pipeline"))
+PPM_DECODE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, CAST(8 + doc_id % 8 AS INTEGER) AS w,
+         CAST(8 + doc_id % 4 AS INTEGER) AS h, {_PPM_CHAIN} AS hx
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h, ('0x' || substr(hx, 2*j + 1, 2))::INTEGER AS v,
+         j % 3 AS ch, (j // 3) % w AS x, (j // 3) // w AS y
+  FROM d CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(0, w*h*3 - 1)) AS j) g
+), means AS (
+  SELECT doc_id, w, h,
+         sum(CASE WHEN ch = 0 THEN v END) / (w*h) AS mr,
+         sum(CASE WHEN ch = 1 THEN v END) / (w*h) AS mg,
+         sum(CASE WHEN ch = 2 THEN v END) / (w*h) AS mb
+  FROM px GROUP BY doc_id, w, h
+), tcell AS (
+  SELECT doc_id, y // (h // 4) AS ty, x // (w // 4) AS tx, ch,
+         sum(v)::DOUBLE / count(*) AS m
+  FROM px WHERE y < (h // 4) * 4 AND x < (w // 4) * 4
+  GROUP BY doc_id, ty, tx, ch
+), tbytes AS (
+  SELECT doc_id, ty, tx, ch,
+         CASE WHEN m - floor(m) = 0.5
+              THEN CAST(floor(m) AS BIGINT) + CAST(floor(m) AS BIGINT) % 2
+              ELSE CAST(floor(m + 0.5) AS BIGINT) END AS r
+  FROM tcell
+), thumbs AS (
+  SELECT doc_id,
+         md5(string_agg(printf('%02x', r), '' ORDER BY ty, tx, ch))
+           AS thumb_md5
+  FROM tbytes GROUP BY doc_id
+)
+SELECT m.doc_id, m.w AS width, m.h AS height,
+       round(mr, 4) AS mean_r, round(mg, 4) AS mean_g,
+       round(mb, 4) AS mean_b, t.thumb_md5
+FROM means m JOIN thumbs t USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_ppm_decode", sql=PPM_DECODE_SQL,
+          tags=("multimodal", "pipeline"))
 def multimodal_ppm_decode(spark, sf_dir):
     """REAL image decode end-to-end: binary P6 PPM rasters are synthesized
     natively (scan-speed projection, every byte reproducible), then
     mapInPandas parses the header, reinterprets the pixel buffer, and
     emits true channel means + a 4×4 block-mean thumbnail. Unlike the
     codec-blocked PNG/JPEG path this decodes actual pixels — pinned
-    against an independent pure-Python construction+decode in
-    tests/test_multimodal.py. Rows-only driver check (byte-level outputs)."""
+    byte-exact against an independent pure-Python construction+decode in
+    tests/test_multimodal.py, and (round 5) against an exact DuckDB twin
+    that replays the decode from the same md5 pixel chain. The thumbnail
+    is reported as md5 of its lowercase-hex encoding (engine-portable;
+    DuckDB lacks md5 over blobs)."""
     from spark_sentiment_spark.operators.multimodal import (
         attach_ppm_content, decode_ppm_features)
 
@@ -1348,17 +1402,59 @@ def multimodal_ppm_decode(spark, sf_dir):
                     F.round("mean_r", 4).alias("mean_r"),
                     F.round("mean_g", 4).alias("mean_g"),
                     F.round("mean_b", 4).alias("mean_b"),
-                    F.md5("thumb").alias("thumb_md5"))
+                    F.md5(F.lower(F.hex("thumb"))).alias("thumb_md5"))
             .orderBy("doc_id"))
 
 
-@register("multimodal_wav_decode", tags=("multimodal", "pipeline"))
+# The WAV payload is the UTF-8 text bytes, so the int16-LE PCM stream,
+# RMS (exact integer sum of squares, one division, one sqrt) and peak
+# are all replayable from hex pairs; non-audio modalities yield nulls.
+WAV_DECODE_SQL = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+), audio AS (
+  SELECT doc_id, hx, n,
+         CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+         CAST(8000 + (doc_id % 5) * 8000 AS INTEGER) AS rate
+  FROM b WHERE doc_id % 3 = 1
+), pcm AS (
+  SELECT doc_id, ch, rate,
+         ('0x' || substr(hx, 4*i + 3, 2)
+               || substr(hx, 4*i + 1, 2))::INTEGER AS vr
+  FROM audio CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(0, n // 2 - 1)) AS i) g
+), signed AS (
+  SELECT doc_id, ch, rate,
+         CASE WHEN vr >= 32768 THEN vr - 65536 ELSE vr END AS v
+  FROM pcm
+), stats AS (
+  SELECT doc_id, ch, rate, count(*) AS npcm,
+         sqrt(sum(CAST(v AS DOUBLE) * v) / count(*)) AS rms,
+         max(abs(v)) AS peak
+  FROM signed GROUP BY doc_id, ch, rate
+)
+SELECT b.doc_id, s.ch AS channels, s.rate AS sample_rate,
+       CAST(s.npcm // s.ch AS BIGINT) AS n_samples,
+       round((s.npcm // s.ch) / s.rate, 6) AS duration_s,
+       round(s.rms, 4) AS rms,
+       CAST(s.peak AS INTEGER) AS peak
+FROM b LEFT JOIN stats s USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+@register("multimodal_wav_decode", sql=WAV_DECODE_SQL,
+          tags=("multimodal", "pipeline"))
 def multimodal_wav_decode(spark, sf_dir):
     """REAL audio decode over the natively constructed mixed-media table
     (`attach_media_content`): WAV rows chunk-walk to their PCM payload and
     report true sample counts/duration/RMS/peak; PNG/mp4 rows yield nulls
     (the mixed-modality shape). Pinned against an independent decode in
-    tests/test_multimodal.py; rows-only driver check."""
+    tests/test_multimodal.py, and (round 5) against an exact DuckDB twin
+    that replays the PCM reinterpret + RMS/peak from hex pairs of the
+    same payload bytes."""
     from spark_sentiment_spark.operators.multimodal import (
         attach_media_content, decode_wav_features)
 
@@ -1371,13 +1467,43 @@ def multimodal_wav_decode(spark, sf_dir):
             .orderBy("doc_id"))
 
 
-@register("multimodal_frame_sample", tags=("multimodal", "pipeline"))
+# Frames 0/2/4 of the 6-frame stream; each 8x8 frame's 192 pixel bytes
+# come from the (doc_id, frame)-keyed md5 chain, so channel means are
+# exact integer sums / 64 — replayable without touching the container.
+_FRAME_CHAIN = " || ".join(
+    f"md5(CAST(doc_id AS VARCHAR) || ':f' || frame || ':{k}')"
+    for k in range(12))
+
+FRAME_SAMPLE_SQL = f"""
+WITH fr AS (
+  SELECT doc_id, unnest([0, 2, 4]) AS frame FROM documents
+), d AS (
+  SELECT doc_id, frame, {_FRAME_CHAIN} AS hx FROM fr
+), px AS (
+  SELECT doc_id, frame,
+         ('0x' || substr(hx, 2*j + 1, 2))::INTEGER AS v, j % 3 AS ch
+  FROM d CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(0, 191)) AS j) g
+)
+SELECT doc_id, CAST(frame AS INTEGER) AS frame,
+       round(sum(CASE WHEN ch = 0 THEN v END) / 64, 4) AS mean_r,
+       round(sum(CASE WHEN ch = 1 THEN v END) / 64, 4) AS mean_g,
+       round(sum(CASE WHEN ch = 2 THEN v END) / 64, 4) AS mean_b
+FROM px
+GROUP BY doc_id, frame
+ORDER BY doc_id, frame
+"""
+
+
+@register("multimodal_frame_sample", sql=FRAME_SAMPLE_SQL,
+          tags=("multimodal", "pipeline"))
 def multimodal_frame_sample(spark, sf_dir):
     """REAL frame sampling: natively constructed PPMV frame streams (6
     uncompressed 8×8 frames per doc), every 2nd frame decoded to true
     channel means — the uncompressed-stream frame-sample path with nothing
-    faked. Rows-only driver check; byte-exact construction and decode
-    pinned in tests/test_multimodal.py."""
+    faked. Byte-exact construction and decode pinned in
+    tests/test_multimodal.py; (round 5) exact DuckDB twin replays the
+    sampled frames' channel means from the same md5 pixel chains."""
     from spark_sentiment_spark.operators.multimodal import (
         attach_ppm_video, sample_video_frames)
 
