@@ -115,16 +115,22 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # than an accident of import order. Round-5 window (the r4 VERDICT's
 # rotation plan, executed): (a) the 11 relational queries whose only
 # green row dated from round 1 — q8/q9/q11-q16/q19/q20/q22 — now three
-# rounds of shared-code churn stale; (b) the 3 queries upgraded from
+# rounds of shared-code churn stale; (b) the 6 queries upgraded from
 # rows-only to exact oracles this round (sample_stratified,
-# multimodal_decode_features, dedup_semantic — content-addressed
+# multimodal_decode_features, dedup_semantic, and the decode trio
+# multimodal_{ppm_decode,wav_decode,frame_sample} — content-addressed
 # sampling / byte-arithmetic replay / IVF-seeded cells made their SQL
-# twins possible); (c) token_pmi_bigrams and mixture_apply, whose r4
-# green rows predate this round's edits (broadcast-hint removal,
-# largest-remainder quotas); (d) all 34 queries whose latest green row
-# is round 2. Exactly 50. Sitting out: everything r3/r4-green and
-# untouched this round, and agg_approx_distinct (intentional no_oracle,
-# a re-run adds no signal).
+# twins possible), none of which has EVER had a green oracle row;
+# (c) token_pmi_bigrams and mixture_apply, whose r4 green rows predate
+# this round's edits (broadcast-hint removal, largest-remainder
+# quotas); (d) 31 of the 34 queries whose latest green row is round 2.
+# Exactly 50. Sitting out: everything r3/r4-green and untouched this
+# round; agg_approx_distinct (intentional no_oracle, a re-run adds no
+# signal); and three low-marginal r2 entries displaced by the decode
+# trio — wordlist_extraction_scaled (same plan as wordlist_extraction,
+# in-window), multimodal_fingerprints (shallow metadata next to the
+# trio's deep checks), events_daily_rollup (coarser twin of
+# events_tumbling_hour, in-window) — rotate them back next round.
 _WINDOW_PRIORITY = [
     # — (a) round-1-stale relational queries —
     "q8_market_share",
@@ -142,6 +148,9 @@ _WINDOW_PRIORITY = [
     "sample_stratified",
     "multimodal_decode_features",
     "dedup_semantic",
+    "multimodal_ppm_decode",
+    "multimodal_wav_decode",
+    "multimodal_frame_sample",
     # — (c) edited this round (r4 rows predate the change) —
     "token_pmi_bigrams",
     "mixture_apply",
@@ -153,7 +162,6 @@ _WINDOW_PRIORITY = [
     "doc_fingerprints",
     "events_asof_cogroup",
     "events_asof_join",
-    "events_daily_rollup",
     "events_funnel",
     "events_gap_fill",
     "events_json_extract",
@@ -166,7 +174,6 @@ _WINDOW_PRIORITY = [
     "events_tumbling_hour",
     "events_user_rates",
     "langid_stopword",
-    "multimodal_fingerprints",
     "quality_outlier_trim",
     "quality_repetition",
     "quality_scores",
@@ -178,7 +185,6 @@ _WINDOW_PRIORITY = [
     "text_tfidf_topk",
     "token_counts",
     "wordlist_extraction",
-    "wordlist_extraction_scaled",
     "wordscore_sentiment",
 ]
 

@@ -5,12 +5,16 @@ to the wrong module cannot silently evict an oracle-backed entry
 
 Round-5 window (the r4 VERDICT's rotation plan, executed): the 11
 relational queries green only in round 1 (three rounds of shared-code
-churn ago), the 3 upgraded from rows-only to exact oracles this round
-(sample_stratified, multimodal_decode_features, dedup_semantic), the 2
+churn ago), the 6 upgraded from rows-only to exact oracles this round
+(sample_stratified, multimodal_decode_features, dedup_semantic, and
+the multimodal decode trio — none ever had a green oracle row), the 2
 whose code changed this round after their r4 green rows
-(token_pmi_bigrams, mixture_apply), and all 34 queries whose latest
-green row is round 2. Everything r3/r4-green and untouched sits out;
-agg_approx_distinct stays out permanently (intentional no_oracle).
+(token_pmi_bigrams, mixture_apply), and 31 of the 34 queries whose
+latest green row is round 2 (wordlist_extraction_scaled,
+multimodal_fingerprints, events_daily_rollup sit out as low-marginal
+twins of in-window entries; rotate them back next round). Everything
+r3/r4-green and untouched sits out; agg_approx_distinct stays out
+permanently (intentional no_oracle).
 """
 
 WINDOW = [
@@ -30,6 +34,9 @@ WINDOW = [
     'sample_stratified',
     'multimodal_decode_features',
     'dedup_semantic',
+    'multimodal_ppm_decode',
+    'multimodal_wav_decode',
+    'multimodal_frame_sample',
     # edited this round (r4 rows predate the change)
     'token_pmi_bigrams',
     'mixture_apply',
@@ -41,7 +48,6 @@ WINDOW = [
     'doc_fingerprints',
     'events_asof_cogroup',
     'events_asof_join',
-    'events_daily_rollup',
     'events_funnel',
     'events_gap_fill',
     'events_json_extract',
@@ -54,7 +60,6 @@ WINDOW = [
     'events_tumbling_hour',
     'events_user_rates',
     'langid_stopword',
-    'multimodal_fingerprints',
     'quality_outlier_trim',
     'quality_repetition',
     'quality_scores',
@@ -66,7 +71,6 @@ WINDOW = [
     'text_tfidf_topk',
     'token_counts',
     'wordlist_extraction',
-    'wordlist_extraction_scaled',
     'wordscore_sentiment',
 ]
 
