@@ -710,3 +710,105 @@ def boilerplate_ngrams(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("ngram"))
         .limit(20)
     )
+
+
+# --- PII redaction over deterministically injected spans --------------------
+# The synthetic corpus carries no PII-like patterns (zero digits/@/http —
+# why functions/redact.py shipped unit-only until round 5), so the query
+# INJECTS deterministic doc_id-derived spans first: every output is then a
+# real differential of the two engines' regex pipelines. The patterns stay
+# inside the Java-regex/RE2 agreement subset (no lookaround/backrefs), as
+# functions/redact.py documents.
+
+from spark_sentiment_spark.functions.redact import (EMAIL_RE, IPV4_RE,
+                                                    PHONE_RE, URL_RE)
+
+PII_SQL = f"""
+WITH inj AS (
+  SELECT doc_id,
+    text || ' contact ' ||
+    CASE WHEN doc_id % 2 = 0
+         THEN 'user' || doc_id || '@mail' || (doc_id % 7) || '.example.com'
+         ELSE '' END || ' ' ||
+    CASE WHEN doc_id % 3 = 0
+         THEN 'https://example' || (doc_id % 5) || '.com/page/' || doc_id
+         ELSE '' END || ' ' ||
+    CASE WHEN doc_id % 5 = 0
+         THEN '10.' || (doc_id % 200) || '.' || (doc_id % 250) || '.'
+              || (doc_id % 100)
+         ELSE '' END || ' ' ||
+    CASE WHEN doc_id % 7 = 0
+         THEN '+1 415 555 ' || (1000 + doc_id % 9000)
+         ELSE '' END AS t
+  FROM documents WHERE text IS NOT NULL
+), c1 AS (
+  SELECT doc_id, len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_email,
+         regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g') AS t
+  FROM inj
+), c2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t, '{URL_RE}')) AS n_url,
+         regexp_replace(t, '{URL_RE}', '<URL>', 'g') AS t
+  FROM c1
+), c3 AS (
+  SELECT doc_id, n_email, n_url,
+         len(regexp_extract_all(t, '{IPV4_RE}')) AS n_ip,
+         regexp_replace(t, '{IPV4_RE}', '<IP>', 'g') AS t
+  FROM c2
+), c4 AS (
+  SELECT doc_id, n_email, n_url, n_ip,
+         len(regexp_extract_all(t, '{PHONE_RE}')) AS n_phone,
+         regexp_replace(t, '{PHONE_RE}', '<PHONE>', 'g') AS t
+  FROM c3
+)
+SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_url AS BIGINT) AS n_url, CAST(n_ip AS BIGINT) AS n_ip,
+       CAST(n_phone AS BIGINT) AS n_phone, md5(t) AS redacted_md5
+FROM c4
+ORDER BY doc_id
+"""
+
+
+@register("pii_redaction", sql=PII_SQL, tags=("text", "quality", "pii"))
+def pii_redaction(spark, sf_dir):
+    """PII scrub as a driver-checked differential (round 5): inject
+    deterministic doc_id-derived email/URL/IPv4/phone spans into the
+    (PII-free) corpus, then run the native regexp_replace redaction chain
+    and the per-category audit counts (`functions/redact.py`). The DuckDB
+    twin replays injection, counting, and rewriting with the identical
+    patterns (Java-regex/RE2 agreement subset), hashing the redacted text
+    — so tag placement, rule ordering (emails before URLs before IPs
+    before phones), and count attribution are all value-checked.
+
+    Scale: pure map-side column work — scan → concat → regex chain; no
+    shuffle, no Python. The injection is a test harness; production use
+    is `redact_pii(col)` on real text."""
+    from spark_sentiment_spark.functions.redact import pii_counts, redact_pii
+
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    email = F.when(did % 2 == 0, F.concat(
+        F.lit("user"), s(did), F.lit("@mail"), s(did % 7),
+        F.lit(".example.com"))).otherwise("")
+    url = F.when(did % 3 == 0, F.concat(
+        F.lit("https://example"), s(did % 5), F.lit(".com/page/"),
+        s(did))).otherwise("")
+    ip = F.when(did % 5 == 0, F.concat(
+        F.lit("10."), s(did % 200), F.lit("."), s(did % 250), F.lit("."),
+        s(did % 100))).otherwise("")
+    phone = F.when(did % 7 == 0, F.concat(
+        F.lit("+1 415 555 "), s(1000 + did % 9000))).otherwise("")
+    inj = F.concat(F.col("text"), F.lit(" contact "), email, F.lit(" "),
+                   url, F.lit(" "), ip, F.lit(" "), phone)
+    counted = docs.select(
+        "doc_id", pii_counts(inj).alias("c"),
+        F.md5(redact_pii(inj)).alias("redacted_md5"))
+    return (counted.select(
+        "doc_id",
+        F.col("c.email").cast("bigint").alias("n_email"),
+        F.col("c.url").cast("bigint").alias("n_url"),
+        F.col("c.ip").cast("bigint").alias("n_ip"),
+        F.col("c.phone").cast("bigint").alias("n_phone"),
+        "redacted_md5")
+        .orderBy("doc_id"))
