@@ -51,6 +51,9 @@ PROBES = {
     "source_overlap": {"documents": ["doc_id"]},
     "shard_balance": {"documents": ["doc_id"]},
     "mixture_apply": {"documents": ["doc_id"]},
+    # round-5 additions
+    "dedup_semantic": {"embeddings": ["vec_id"]},
+    "pii_redaction": {"documents": ["doc_id"]},
 }
 
 

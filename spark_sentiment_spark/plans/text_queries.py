@@ -769,7 +769,8 @@ ORDER BY doc_id
 """
 
 
-@register("pii_redaction", sql=PII_SQL, tags=("text", "quality", "pii"))
+@register("pii_redaction", sql=PII_SQL, bench=True,
+          tags=("text", "quality", "pii"))
 def pii_redaction(spark, sf_dir):
     """PII scrub as a driver-checked differential (round 5): inject
     deterministic doc_id-derived email/URL/IPv4/phone spans into the

@@ -231,3 +231,26 @@ def test_pmi_broadcasts_unigram_probes(spark):
     plan = _plan(spark, "token_pmi_bigrams")
     assert plan.count("BroadcastHashJoin") >= 2
     assert plan.count("BroadcastNestedLoopJoin") == 2  # 1-row scalars
+
+
+def test_pii_redaction_is_pure_mapside_jvm(spark):
+    """pii_redaction is scan → concat → native regexp chain: no Python,
+    no join of any kind, and the only exchange is the output sort."""
+    plan = _plan(spark, "pii_redaction")
+    assert "Python" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # rangepartition + sort for orderBy
+
+
+def test_dedup_semantic_native_no_cartesian(spark):
+    """dedup_semantic (round-5 IVF-seeded form): JVM-native end-to-end —
+    the centroid assignment is a broadcast-k cross join (BNLJ over the
+    bounded centroid table, never a CartesianProduct), and the pair
+    search joins on the cell key."""
+    from spark_sentiment_spark.plans.registry import release_caches
+
+    plan = _plan(spark, "dedup_semantic")
+    release_caches()
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the bounded centroid probe
