@@ -242,9 +242,62 @@ def _row_count(spark, path: str) -> int:
 
 ANN_LSH_TABLES = 12
 ANN_LSH_PLANES = 6
+ANN_LSH_DIM = 64
+
+# Exact twin (round 5): hyperplane entries are md5-derived dyadic
+# rationals — w(j, d) = int(md5("j:d")[:6], 16) / 2^24 - 0.5 — so BOTH
+# engines build bit-identical planes without an RNG or libm, the same
+# engine-independence trick that oracled minhash/simhash. Uniform-cube
+# directions replace Gaussian ones (measured recall@200 on the fixture:
+# 0.515 vs 0.535 — above the 0.45 floor; SimHash ships ±1 entries, so
+# the family tolerates non-spherical directions). Sign(dot) parity
+# across engines holds because a flip needs |dot| within last-ulp of 0
+# (~1e-15 against typical |dot| ≈ 0.3). The P=6 literal below matches
+# the adaptive-planes rule for n <= 16·2^6 = 1024, which covers every
+# oracle SF; larger corpora change P and fall back to the recall test.
+ANN_LSH_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), pw AS (
+  SELECT j // {ANN_LSH_DIM} AS jp,
+         j % {ANN_LSH_DIM} AS d,
+         ('0x' || substr(md5((j // {ANN_LSH_DIM}) || ':'
+                             || (j % {ANN_LSH_DIM})), 1, 6))::INTEGER
+           / 16777216.0 - 0.5 AS w
+  FROM (SELECT unnest(generate_series(
+          0, {ANN_LSH_TABLES * ANN_LSH_PLANES * ANN_LSH_DIM} - 1)) AS j)
+), planes AS (
+  SELECT jp, list(w ORDER BY d) AS pvec FROM pw GROUP BY jp
+), dots AS (
+  SELECT e.vec_id, planes.jp,
+         list_dot_product(e.v, planes.pvec) AS dp
+  FROM e CROSS JOIN planes
+), buckets AS (
+  SELECT vec_id, jp // {ANN_LSH_PLANES} AS t,
+         sum(CASE WHEN dp > 0
+             THEN 1 << ({ANN_LSH_PLANES} - 1 - (jp % {ANN_LSH_PLANES}))
+             ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id, jp // {ANN_LSH_PLANES}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), un AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+  FROM e
+)
+SELECT c.vec_a, c.vec_b,
+       round(list_dot_product(ua.u, ub.u), 6) AS cosine
+FROM cand c
+JOIN un ua ON c.vec_a = ua.vec_id
+JOIN un ub ON c.vec_b = ub.vec_id
+ORDER BY cosine DESC, vec_a, vec_b
+LIMIT 200
+"""
 
 
-@register("ann_lsh_topk", bench=True, tags=("similarity",))
+@register("ann_lsh_topk", sql=ANN_LSH_SQL, bench=True, tags=("similarity",))
 def ann_lsh_topk(spark, sf_dir, n_tables: int = ANN_LSH_TABLES,
                  n_planes: int | None = None):
     """Approximate NN via multi-table random-hyperplane LSH, fully native:
@@ -252,12 +305,12 @@ def ann_lsh_topk(spark, sf_dir, n_tables: int = ANN_LSH_TABLES,
     pairs share any table's bucket (posexplode + bucket-local self-join,
     no all-pairs) → exact cosine re-rank of the deduped candidates →
     global top-200 pairs. Brute force (`dedup_embedding_cosine` /
-    `knn_cosine_topk`) stays as the recall oracle. Rows-only check;
-    recall floor pinned by test."""
-    import random
-
+    `knn_cosine_topk`) stays as the recall oracle; since round 5 the
+    hyperplanes are md5-derived dyadic rationals (see ANN_LSH_SQL note),
+    which upgraded the driver check from rows-only to an exact DuckDB
+    twin reproducing buckets, candidates, and the re-ranked top-200."""
     emb = load(spark, sf_dir, "embeddings")
-    dim = 64
+    dim = ANN_LSH_DIM
     if n_planes is None:
         # The scale rule made executable: candidate pairs grow as n²/2^P
         # per table, so P tracks log2(n / bucket_target) and per-bucket
@@ -271,7 +324,6 @@ def ann_lsh_topk(spark, sf_dir, n_tables: int = ANN_LSH_TABLES,
         n = _row_count(spark, f"{sf_dir}/embeddings.parquet")
         n_planes = max(ANN_LSH_PLANES,
                        math.ceil(math.log2(max(n, 1) / 16 or 1)))
-    rng = random.Random(7)
 
     e = _as_double("embedding")
     # The T×P signature is one Arrow-batched matmul per partition:
@@ -281,12 +333,16 @@ def ann_lsh_topk(spark, sf_dir, n_tables: int = ANN_LSH_TABLES,
     # measured ~2s per run on 500 rows (boxed per-element lambda eval,
     # with or without codegen), while the BLAS-backed batch matmul is
     # sub-millisecond and scales per Arrow batch on executors.
+    import hashlib
+
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     planes_t = np.array(
-        [[rng.gauss(0.0, 1.0) for _ in range(dim)]
-         for _ in range(n_tables * n_planes)],
+        [[int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[:6], 16)
+          / 16777216.0 - 0.5
+          for d in range(dim)]
+         for j in range(n_tables * n_planes)],
         dtype=np.float64).T                      # dim × (T·P)
     radix = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
 
