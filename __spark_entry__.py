@@ -13,10 +13,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship on /root/testdata/sf0.001; driver checks rows>0.
+
+    Since round 5 this is the two-method comparison frame: the native
+    word-score plan joined with the MLlib model-scoring path
+    (train → save → analyze(method="mlib"), M12+S17), so the driver's
+    smoke run exercises BOTH analysis entry points every round —
+    (doc_id, sentiment, computed)."""
     from spark_sentiment_spark.plans.registry import all_queries
 
-    return all_queries()["wordscore_sentiment"](spark, "/root/testdata/sf0.001")
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    wordscore = qs["wordscore_sentiment"](spark, sf)
+    mlib = qs["mlib_score_documents"](spark, sf)
+    return wordscore.join(mlib, "doc_id").orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
