@@ -25,12 +25,19 @@ def test_minhash_lsh_full_recall_of_true_neardups(spark):
 
 
 def test_semantic_dedup_invariant_and_recall(spark):
-    """(a) No two KEPT vectors in the same cluster are within tau of each
-    other — the keep-policy's hard guarantee. (b) Cluster scoping still
-    catches most true near-dup pairs from the exact all-pairs oracle
-    (cross-cluster pairs are the accepted miss)."""
+    """(a) No two KEPT vectors sharing ANY probed cell are within tau of
+    each other — the keep-policy's hard guarantee at multi-probe
+    strength (probe assignments recomputed independently here from the
+    content-addressed definition: seeds = k smallest md5(vec_id), rank
+    by 6dp-rounded cosine, ties to the lower cell). (b) Cell scoping
+    still catches most true near-dup pairs from the exact all-pairs
+    oracle (cross-cell pairs are the accepted miss)."""
+    import hashlib
     import itertools
     import math
+
+    from spark_sentiment_spark.plans.pipeline_queries import (
+        SEMDEDUP_K, SEMDEDUP_PROBE)
 
     rows = REGISTRY["dedup_semantic"].fn(spark, SF_DIR).collect()
     exact = REGISTRY["dedup_embedding_cosine"].fn(spark, SF_DIR).collect()
@@ -40,19 +47,37 @@ def test_semantic_dedup_invariant_and_recall(spark):
     release_caches()
     assert exact, "fixture has no true cosine near-dup pairs"
 
-    def cos(a, b):
-        d = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return d / (na * nb)
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
 
-    by_cluster = {}
+    def cos(a, b):
+        ua, ub = unit(a), unit(b)
+        return sum(x * y for x, y in zip(ua, ub))
+
+    # independent replication of the content-addressed quantizer
+    seeds = sorted(sorted(
+        emb, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )[:SEMDEDUP_K])
+    cents = [unit(emb[s]) for s in seeds]
+    probes = {}
+    rank1 = {}
+    for vid, v in emb.items():
+        u = unit(v)
+        sims = [(round(sum(x * y for x, y in zip(u, c)), 6), ci)
+                for ci, c in enumerate(cents)]
+        ranked = sorted(sims, key=lambda t: (-t[0], t[1]))
+        probes[vid] = {ci for _, ci in ranked[:SEMDEDUP_PROBE]}
+        rank1[vid] = ranked[0][1]
+
+    # (a) the reported cell must equal the replicated rank-1 cell, and
+    # kept vectors sharing any probed cell must be tau-separated
     for r in rows:
-        if r.kept:
-            by_cluster.setdefault(r.cluster, []).append(r.vec_id)
-    for cluster, ids in by_cluster.items():
-        for i, j in itertools.combinations(ids, 2):
-            assert cos(emb[i], emb[j]) < 0.4, (cluster, i, j)
+        assert r.cluster == rank1[r.vec_id], (r.vec_id, r.cluster)
+    kept = [r.vec_id for r in rows if r.kept]
+    for i, j in itertools.combinations(sorted(kept), 2):
+        if probes[i] & probes[j]:
+            assert cos(emb[i], emb[j]) < 0.4, (i, j)
 
     dropped = {r.vec_id for r in rows if not r.kept}
     true_pairs = [(r.vec_a, r.vec_b) for r in exact]
