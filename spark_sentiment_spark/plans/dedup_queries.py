@@ -560,3 +560,71 @@ def decontaminate_minhash(spark, sf_dir):
             .select("train_doc", "eval_doc",
                     F.round(jac, 6).alias("jaccard"))
             .orderBy("train_doc", "eval_doc"))
+
+
+# --- Character-level repeated-span detection (substring-dedup signal) -------
+# The one dedup modality token shingles miss: verbatim spans that cross
+# token boundaries or hide inside otherwise-distinct documents (licenses,
+# templates, quoted passages). Exact substring dedup is a suffix-array
+# problem (Lee et al. 2021, arXiv:2107.06499); the scalable approximation
+# used in production pipelines is char-n-gram collision counting, which is
+# two hash aggregations.
+
+CHAR_NGRAM_LEN = 20
+
+CHAR_NGRAM_SQL = f"""
+WITH g AS (
+  SELECT DISTINCT doc_id, substr(text, i, {CHAR_NGRAM_LEN}) AS gram
+  FROM documents
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, length(text) - {CHAR_NGRAM_LEN} + 1))
+      AS i)
+  WHERE text IS NOT NULL AND length(text) >= {CHAR_NGRAM_LEN}
+), counts AS (
+  SELECT gram, count(*) AS nd FROM g GROUP BY gram
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       round(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS shared_ratio
+FROM g JOIN counts c USING (gram)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
+@register("dedup_char_ngrams", sql=CHAR_NGRAM_SQL, tags=("dedup", "text"))
+def dedup_char_ngrams(spark, sf_dir, n: int = CHAR_NGRAM_LEN):
+    """Per-document verbatim-span duplication signal: the fraction of a
+    doc's distinct character ``n``-grams that also appear in at least one
+    other document. High ``shared_ratio`` flags boilerplate/template/
+    quoted-passage duplication that token-level shingles miss because the
+    repeated span crosses token boundaries or sits inside otherwise
+    unique text; pipelines threshold it (or feed the flagged spans to an
+    exact suffix-array pass, Lee et al. 2021) before training.
+
+    Scale: the gram table is corpus-length × n bytes, but it collapses
+    through two map-side-combined hash aggregations (gram counts, then
+    per-doc rollup) — the same two-shuffle shape as every dedup query
+    here; no self-join, no all-pairs. At web scale raise the stride
+    (sample every s-th offset) to trade recall for an s× smaller
+    explode; the fixture runs stride 1."""
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") >= n))
+    grams = (docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(1, length(text) - {n} + 1),"
+            f" i -> substring(text, i, {n}))")).alias("gram"))
+        .distinct())
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
+    shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return (grams.join(counts, "gram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+                 shared.cast("bigint").alias("n_shared"),
+                 F.round(shared.cast("double") / F.count(F.lit(1)), 6)
+                 .alias("shared_ratio"))
+            .orderBy("doc_id"))

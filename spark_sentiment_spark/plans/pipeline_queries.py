@@ -1791,3 +1791,54 @@ def shard_balance(spark, sf_dir):
         F.round(F.col("n_tokens") / F.avg("n_tokens").over(w), 6)
         .alias("balance_ratio"))
         .orderBy("shard"))
+
+
+# --- Packing efficiency (padding-waste accounting per source) ---------------
+
+PACK_EFF_SQL = f"""
+WITH t AS (
+  SELECT source, CAST(length({_TOKENS_SQL}) AS BIGINT) AS n
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(sum(CAST(ceil(n / {PACK_BUDGET}.0) AS BIGINT)) AS BIGINT)
+         AS naive_windows,
+       CAST(ceil(sum(n) / {PACK_BUDGET}.0) AS BIGINT) AS packed_windows,
+       round(1 - sum(n) /
+             (sum(CAST(ceil(n / {PACK_BUDGET}.0) AS BIGINT))
+              * {PACK_BUDGET}.0), 6) AS naive_waste,
+       round(1 - sum(n) /
+             (CAST(ceil(sum(n) / {PACK_BUDGET}.0) AS BIGINT)
+              * {PACK_BUDGET}.0), 6) AS packed_waste
+FROM t GROUP BY source ORDER BY source
+"""
+
+
+@register("packing_efficiency", sql=PACK_EFF_SQL, tags=("pipeline",))
+def packing_efficiency(spark, sf_dir):
+    """Padding-waste accounting for the two batch layouts: one-doc-per-
+    window with right-padding (naive_waste = padded slots / capacity)
+    versus concat-and-chunk packing (`pack_sequences` — waste only in
+    the shard tail). The delta is the compute a training run burns on
+    pad tokens, per source — the go/no-go number for enabling packing.
+
+    Scale: one scan → per-source agg (bounded); everything else is
+    arithmetic on the aggregates."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    n = F.col("n")
+    naive_w = F.sum(F.ceil(n / float(PACK_BUDGET)).cast("bigint"))
+    packed_w = F.ceil(F.sum(n) / float(PACK_BUDGET)).cast("bigint")
+    return (docs.select("source", _n_tokens_col().alias("n"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum(n).cast("bigint").alias("total_tokens"),
+                 naive_w.cast("bigint").alias("naive_windows"),
+                 packed_w.alias("packed_windows"),
+                 F.round(1 - F.sum(n) / (naive_w * float(PACK_BUDGET)), 6)
+                 .alias("naive_waste"),
+                 F.round(1 - F.sum(n) / (packed_w.cast("double")
+                                         * PACK_BUDGET), 6)
+                 .alias("packed_waste"))
+            .orderBy("source"))
