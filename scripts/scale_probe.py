@@ -54,6 +54,8 @@ PROBES = {
     # round-5 additions
     "dedup_semantic": {"embeddings": ["vec_id"]},
     "pii_redaction": {"documents": ["doc_id"]},
+    "dedup_char_ngrams": {"documents": ["doc_id"]},
+    "packing_efficiency": {"documents": ["doc_id"]},
 }
 
 

@@ -595,6 +595,27 @@ ORDER BY g.doc_id
 """
 
 
+def char_ngram_stats(docs, n: int = CHAR_NGRAM_LEN):
+    """Core of dedup_char_ngrams over any (doc_id, text) DataFrame —
+    split out so tests can pin the semantics on hand-built corpora."""
+    live = docs.where(F.col("text").isNotNull() & (F.length("text") >= n))
+    grams = (live.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(1, length(text) - {n} + 1),"
+            f" i -> substring(text, i, {n}))")).alias("gram"))
+        .distinct())
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
+    shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return (grams.join(counts, "gram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+                 shared.cast("bigint").alias("n_shared"),
+                 F.round(shared.cast("double") / F.count(F.lit(1)), 6)
+                 .alias("shared_ratio"))
+            .orderBy("doc_id"))
+
+
 @register("dedup_char_ngrams", sql=CHAR_NGRAM_SQL, tags=("dedup", "text"))
 def dedup_char_ngrams(spark, sf_dir, n: int = CHAR_NGRAM_LEN):
     """Per-document verbatim-span duplication signal: the fraction of a
@@ -611,20 +632,4 @@ def dedup_char_ngrams(spark, sf_dir, n: int = CHAR_NGRAM_LEN):
     here; no self-join, no all-pairs. At web scale raise the stride
     (sample every s-th offset) to trade recall for an s× smaller
     explode; the fixture runs stride 1."""
-    docs = load(spark, sf_dir, "documents").where(
-        F.col("text").isNotNull() & (F.length("text") >= n))
-    grams = (docs.select(
-        "doc_id",
-        F.explode(F.expr(
-            f"transform(sequence(1, length(text) - {n} + 1),"
-            f" i -> substring(text, i, {n}))")).alias("gram"))
-        .distinct())
-    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
-    shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
-    return (grams.join(counts, "gram")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-                 shared.cast("bigint").alias("n_shared"),
-                 F.round(shared.cast("double") / F.count(F.lit(1)), 6)
-                 .alias("shared_ratio"))
-            .orderBy("doc_id"))
+    return char_ngram_stats(load(spark, sf_dir, "documents"), n)
