@@ -283,3 +283,46 @@ def streaming_multimodal_headers(spark, sf_dir):
     out = run_to_memory(header_metadata(attach_media_content(stream)),
                         _unique("stream_headers"), output_mode="append")
     return out.orderBy("doc_id")
+
+
+# --- Stream-stream time-interval join --------------------------------------
+
+STREAM_CONVERSIONS_SQL = """
+SELECT s.user_id,
+       strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       round(p.value, 4) AS purchase_value
+FROM events s
+JOIN events p
+  ON s.user_id = p.user_id
+ AND p.ts > s.ts
+ AND p.ts <= s.ts + INTERVAL 1 HOUR
+WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+ORDER BY s.user_id, signup_ts, purchase_ts, purchase_value
+"""
+
+
+@register("streaming_conversions", sql=STREAM_CONVERSIONS_SQL,
+          tags=("streaming", "events", "join"))
+def streaming_conversions(spark, sf_dir):
+    """Stream–stream time-interval join executed BY the streaming engine
+    (`streams.stream_stream_conversions`): purchases within 1 hour after
+    a signup by the same user, both sides watermarked so buffered state
+    expires once the watermark passes ``signup.ts + horizon``. Append
+    output mode (the only mode stream–stream inner joins support); over
+    the finite availableNow source the watermark never drops rows, so
+    the DuckDB interval-join twin is exact. Completes the
+    driver-routed streaming surface: windows, sessions, stream–static,
+    stateful, dedup-by-watermark, anomaly, and now stream–stream."""
+    from spark_sentiment_spark.streaming.streams import (
+        read_event_stream, run_to_memory, stream_stream_conversions)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = stream_stream_conversions(read_event_stream(spark, sf_dir))
+    out = run_to_memory(stream, _unique("stream_conv"),
+                        output_mode="append")
+    return (out.select("user_id", "signup_ts", "purchase_ts",
+                       F.round("purchase_value", 4)
+                       .alias("purchase_value"))
+            .orderBy("user_id", "signup_ts", "purchase_ts",
+                     "purchase_value"))
