@@ -326,3 +326,48 @@ def streaming_conversions(spark, sf_dir):
                        .alias("purchase_value"))
             .orderBy("user_id", "signup_ts", "purchase_ts",
                      "purchase_value"))
+
+
+# --- Watermarked streaming dedup (exactly-once ingest) ----------------------
+
+# event_id is unique in the fixture, so the self-union below manufactures
+# exactly one duplicate per event: the deduped stream must reproduce the
+# plain per-type aggregate of the ORIGINAL table for the oracle to match —
+# a non-vacuous exactly-once check.
+STREAM_DEDUP_SQL = """
+SELECT event_type,
+       count(*) AS n_unique,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("streaming_dedup", sql=STREAM_DEDUP_SQL,
+          tags=("streaming", "events", "dedup"))
+def streaming_dedup(spark, sf_dir):
+    """Watermarked streaming ingest dedup executed by the streaming
+    engine: the event stream unioned with a second read of itself (every
+    event duplicated by construction) flows through
+    ``dropDuplicatesWithinWatermark`` (`streams.dedup_stream` — state
+    bounded by the watermark window, the property that makes ingest
+    dedup viable at 100 TB/day) in append mode; the memory-sink output
+    is then aggregated per event_type and must equal the plain aggregate
+    of the original table (exactly-once emission). The streaming stage
+    is the dedup itself; the batch agg over the finite sink output keeps
+    the plan to one stateful operator."""
+    from spark_sentiment_spark.streaming.streams import (
+        dedup_stream, read_event_stream, run_to_memory)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    doubled = read_event_stream(spark, sf_dir).unionByName(
+        read_event_stream(spark, sf_dir))
+    deduped = dedup_stream(doubled).select("event_id", "event_type",
+                                           "value")
+    out = run_to_memory(deduped, _unique("stream_dedup"),
+                        output_mode="append")
+    return (out.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .orderBy("event_type"))
