@@ -371,3 +371,42 @@ def streaming_dedup(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_unique"),
                  F.round(F.sum("value"), 4).alias("total_value"))
             .orderBy("event_type"))
+
+
+# --- Sliding windows on the streaming engine --------------------------------
+
+# Same oracle as the batch twin (events_queries.SLIDE_SQL) — duplicated
+# literal for the registration-order reason documented at
+# STREAM_ANOMALY_SQL; tests pin the two strings together.
+STREAM_SLIDE_SQL = """
+WITH grid AS (
+  SELECT unnest(generate_series(
+    date_trunc('hour', (SELECT min(ts) FROM events)) - INTERVAL 30 MINUTE,
+    (SELECT max(ts) FROM events),
+    INTERVAL 30 MINUTE)) AS w_start
+)
+SELECT strftime(g.w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n,
+       round(sum(e.value), 4) AS total_value
+FROM grid g
+JOIN events e ON e.ts >= g.w_start AND e.ts < g.w_start + INTERVAL 1 HOUR
+GROUP BY g.w_start
+ORDER BY window_start
+"""
+
+
+@register("streaming_sliding_hour", sql=STREAM_SLIDE_SQL,
+          tags=("streaming", "events"))
+def streaming_sliding_hour(spark, sf_dir):
+    """1h window sliding by 30min executed BY the streaming engine
+    (`streams.sliding_hourly`): overlapping watermarked windows, complete
+    mode, memory sink — each event lands in two windows, the overlap
+    bookkeeping the tumbling query doesn't exercise. Oracle = the batch
+    twin's grid-join SQL (`events_sliding_hour`)."""
+    from spark_sentiment_spark.streaming.streams import (
+        read_event_stream, run_to_memory, sliding_hourly)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = sliding_hourly(read_event_stream(spark, sf_dir))
+    out = run_to_memory(stream, _unique("stream_slide"))
+    return out.orderBy("window_start")

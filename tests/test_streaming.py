@@ -303,3 +303,13 @@ def test_headers_oracle_twins_stay_in_sync():
         STREAM_HEADERS_SQL
 
     assert STREAM_HEADERS_SQL == HEADERS_SQL
+
+
+def test_sliding_oracle_twins_stay_in_sync():
+    """streaming_sliding_hour duplicates events_sliding_hour's oracle SQL
+    (registration-order hygiene); pin the literals together."""
+    from spark_sentiment_spark.plans.events_queries import SLIDE_SQL
+    from spark_sentiment_spark.plans.streaming_queries import \
+        STREAM_SLIDE_SQL
+
+    assert STREAM_SLIDE_SQL == SLIDE_SQL
