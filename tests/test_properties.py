@@ -205,3 +205,36 @@ def test_embedding_pca_matches_numpy(spark):
         want_cum = float(evals[: i + 1].sum() / total)
         assert abs(r.cum_explained - round(want_cum, 6)) < 2e-6, r
     assert rows[-1].cum_explained > rows[0].cum_explained
+
+
+@PROP
+@given(texts=st.lists(st.text(alphabet="ab ", min_size=0, max_size=40),
+                      min_size=0, max_size=8),
+       n=st.integers(3, 6))
+def test_char_ngram_stats_matches_naive(spark, texts, n):
+    """dedup_char_ngrams core vs a naive set-based formulation on random
+    low-alphabet corpora (high collision pressure): per-doc distinct gram
+    counts, cross-doc shared counts, and the 6dp ratio must all agree;
+    docs shorter than n must be absent."""
+    from spark_sentiment_spark.plans.dedup_queries import char_ngram_stats
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_grams, r.n_shared, r.shared_ratio)
+           for r in char_ngram_stats(df, n=n).collect()}
+
+    grams = {i: {t[j:j + n] for j in range(len(t) - n + 1)}
+             for i, t in rows if len(t) >= n}
+    from collections import Counter
+    owners = Counter(g for gs in grams.values() for g in gs)
+    want = {}
+    for i, gs in grams.items():
+        shared = sum(1 for g in gs if owners[g] >= 2)
+        want[i] = (len(gs), shared, shared / len(gs))
+    assert set(got) == set(want)
+    for i, (ng, ns, ratio) in want.items():
+        g_ng, g_ns, g_ratio = got[i]
+        assert (g_ng, g_ns) == (ng, ns), i
+        # Python round() is banker's, Spark F.round is HALF_UP — compare
+        # the ratio numerically instead of via the rounded literal
+        assert abs(g_ratio - ratio) < 1e-6, i
