@@ -595,6 +595,46 @@ ORDER BY g.doc_id
 """
 
 
+# Cluster-size histogram over the same recursive-CTE closure: strip
+# CLUSTERS_SQL's final SELECT/ORDER and re-aggregate.
+_CLUSTERS_CTE = CLUSTERS_SQL[:CLUSTERS_SQL.index("SELECT node AS doc_id")]
+
+CLUSTER_STATS_SQL = _CLUSTERS_CTE + """, comp AS (
+  SELECT node AS doc_id, least(node, min(r)) AS component
+  FROM reach GROUP BY node
+), csize AS (
+  SELECT component, count(*) AS sz FROM comp GROUP BY component
+)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(sum(sz - 1) AS BIGINT) AS n_removable
+FROM csize
+GROUP BY sz
+ORDER BY cluster_size
+"""
+
+
+@register("dedup_cluster_stats", sql=CLUSTER_STATS_SQL, tags=("dedup",))
+def dedup_cluster_stats(spark, sf_dir):
+    """Duplicate-group size histogram — the dashboard number a dedup run
+    reports: how many groups of each size exist, how many documents they
+    hold, and how many a keep-one-per-group policy removes
+    (``n_removable = sum(size - 1)``). Reuses the ``dedup_clusters``
+    component labeling (pointer-jumping connected components; note docs
+    with NO near-dup partner never enter the pair graph, so size-1 rows
+    here mean self-contained mutual-dup groups surfaced by closure, not
+    the unpaired corpus remainder). Aggregation over the bounded
+    component table — free once components exist."""
+    comp = dedup_clusters(spark, sf_dir)
+    csize = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return (csize.groupBy(F.col("sz").cast("bigint").alias("cluster_size"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+                 F.sum("sz").cast("bigint").alias("n_docs"),
+                 F.sum(F.col("sz") - 1).cast("bigint").alias("n_removable"))
+            .orderBy("cluster_size"))
+
+
 def char_ngram_stats(docs, n: int = CHAR_NGRAM_LEN):
     """Core of dedup_char_ngrams over any (doc_id, text) DataFrame —
     split out so tests can pin the semantics on hand-built corpora."""
