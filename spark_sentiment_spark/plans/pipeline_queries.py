@@ -244,6 +244,54 @@ def dedup_prefix(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+KEEP_BEST_SQL = f"""
+SELECT doc_id,
+       h AS prefix_hash,
+       CAST(cnt AS BIGINT) AS n_dups,
+       CAST(len AS BIGINT) AS doc_len
+FROM (
+  SELECT doc_id, h, len,
+         row_number() OVER (PARTITION BY h ORDER BY len DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY h) AS cnt
+  FROM (
+    SELECT doc_id,
+           md5(array_to_string((string_split(lower(text), ' '))[1:{PREFIX_K}],
+                               ' ')) AS h,
+           length(text) AS len
+    FROM documents WHERE text IS NOT NULL
+  )
+)
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@register("dedup_keep_best", sql=KEEP_BEST_SQL, tags=("dedup", "pipeline",))
+def dedup_keep_best(spark, sf_dir):
+    """Quality-aware canonical selection: within each prefix-duplicate
+    group keep the LONGEST member (ties to the lowest doc_id), not the
+    first-crawled one. Real curation pipelines keep the best-quality
+    cluster member — a truncated scrape and its full-length original
+    share a boilerplate prefix, and keep-first (`dedup_prefix`) would
+    keep whichever crawled earlier. Unlike exact-hash clusters (where
+    every member is byte-identical and "best" is vacuous), prefix
+    clusters genuinely differ after token {PREFIX_K}.
+
+    Same single-exchange shape as `dedup_prefix`: rank and group-count
+    share one window partitioning on the prefix hash; the ranking key is
+    (doc_len DESC, doc_id), computed before the shuffle."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    w = Window.partitionBy("prefix_hash").orderBy(F.desc("doc_len"), "doc_id")
+    wc = Window.partitionBy("prefix_hash")
+    return (docs.select("doc_id", _prefix_hash_col().alias("prefix_hash"),
+                        F.length("text").cast("bigint").alias("doc_len"))
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("n_dups", F.count("*").over(wc).cast("bigint"))
+            .where(F.col("rn") == 1)
+            .select("doc_id", "prefix_hash", "n_dups", "doc_len")
+            .orderBy("doc_id"))
+
+
 # --- Incremental dedup (new batch vs indexed corpus) ------------------------
 
 INCREMENTAL_SQL = f"""

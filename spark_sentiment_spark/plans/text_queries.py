@@ -263,6 +263,70 @@ def decontaminate_ngram(spark, sf_dir):
         .orderBy("doc_id")
     )
 
+NOVELTY_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+              || ' ' || w[i+4] AS g
+  FROM toks, LATERAL unnest(generate_series(1, len(w) - 4)) AS t(i)
+  WHERE len(w) >= 5
+),
+seen AS (
+  SELECT doc_id, g, min(doc_id) OVER (PARTITION BY g) AS first_doc
+  FROM grams
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+                                AS novel_grams,
+       round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6)     AS novelty
+FROM seen
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("ngram_novelty", sql=NOVELTY_SQL, tags=("text", "dedup"))
+def ngram_novelty(spark, sf_dir):
+    """Per-document novelty: the fraction of a doc's distinct word 5-grams
+    whose first corpus appearance (min doc_id) is this document. The
+    marginal-content signal an ingest pipeline ranks candidates by — a doc
+    full of already-seen spans adds little even when no single dedup rule
+    fires; complements `dedup_char_ngrams` (verbatim spans) and
+    `decontaminate_ngram` (benchmark overlap).
+
+    Plan: explode each doc's *distinct* 5-grams (array_distinct before the
+    explode, so the wire carries per-doc gram sets, not the token stream),
+    then a min-over-gram window instead of a grams⋈firsts self-join — one
+    shuffle on the high-cardinality gram key, one on doc_id for the final
+    agg. No driver state; gram keys are near-uniform so the window
+    partitioning has no skew at web scale."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ", -1)
+    grams = (
+        docs.where(F.col("text").isNotNull() & (F.size(w) >= 5))
+        .select("doc_id",
+                F.explode(F.array_distinct(_word_ngrams(w, 5))).alias("g"))
+    )
+    wg = Window.partitionBy("g")
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        grams.withColumn("first_doc", F.min("doc_id").over(wg))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             F.sum(novel).alias("novel_grams"))
+        .select("doc_id", "n_grams", "novel_grams",
+                F.round(F.col("novel_grams") / F.col("n_grams"), 6)
+                .alias("novelty"))
+        .orderBy("doc_id")
+    )
+
+
 WORDCOUNT_SQL = """
 SELECT lang,
        count(*) AS n_docs,

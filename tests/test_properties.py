@@ -238,3 +238,64 @@ def test_char_ngram_stats_matches_naive(spark, texts, n):
         # Python round() is banker's, Spark F.round is HALF_UP — compare
         # the ratio numerically instead of via the rounded literal
         assert abs(g_ratio - ratio) < 1e-6, i
+
+
+def test_keep_best_prefers_longest_then_lowest_id(spark, tmp_path):
+    """dedup_keep_best semantics on a constructed corpus: within a shared
+    4-token-prefix cluster the LONGEST doc survives regardless of crawl
+    order, and equal lengths tie to the lowest doc_id — exactly where it
+    diverges from dedup_prefix's keep-first."""
+    pre = "the same boring prefix"
+    rows = [
+        (1, f"{pre} short tail", "en", "web", 0),
+        (2, f"{pre} a much longer tail with more words", "en", "web", 0),
+        (3, f"{pre} short ta.l", "en", "web", 0),   # same length as doc 1
+        (4, "completely different text here", "en", "web", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    from spark_sentiment_spark.plans.pipeline_queries import dedup_keep_best
+    kept = {r.doc_id: r for r in
+            dedup_keep_best(spark, str(tmp_path)).collect()}
+    assert set(kept) == {2, 4}            # doc 2 beats 1 and 3 on length
+    assert kept[2].n_dups == 3
+    assert kept[2].doc_len == len(rows[1][1])
+
+    rows_tie = [(10, f"{pre} aaa", "en", "web", 0),
+                (11, f"{pre} bbb", "en", "web", 0)]
+    spark.createDataFrame(
+        rows_tie, "doc_id long, text string, lang string, source string, "
+                  "n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    kept = dedup_keep_best(spark, str(tmp_path)).collect()
+    assert [r.doc_id for r in kept] == [10]   # equal length -> lowest id
+
+
+def test_ngram_novelty_bounds_and_duplicate_collapse(spark, tmp_path):
+    """A verbatim duplicate of an earlier doc has novelty 0; a doc sharing
+    nothing has novelty 1; and novel_grams over the whole corpus sums to
+    the number of globally distinct 5-grams (each gram is 'novel' exactly
+    once, in its min-doc_id owner)."""
+    a = "alpha beta gamma delta epsilon zeta eta"
+    b = "one two three four five six seven eight"
+    rows = [(1, a, "en", "web", 0),
+            (2, a, "en", "web", 0),            # exact dup of doc 1
+            (3, b, "en", "web", 0)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    from spark_sentiment_spark.plans.text_queries import ngram_novelty
+    out = {r.doc_id: r for r in ngram_novelty(spark, str(tmp_path)).collect()}
+    assert out[1].novelty == 1.0
+    assert out[2].novelty == 0.0 and out[2].novel_grams == 0
+    assert out[3].novelty == 1.0
+    n_distinct = len({" ".join(a.split()[i:i + 5])
+                      for i in range(len(a.split()) - 4)} |
+                     {" ".join(b.split()[i:i + 5])
+                      for i in range(len(b.split()) - 4)})
+    assert sum(r.novel_grams for r in out.values()) == n_distinct
