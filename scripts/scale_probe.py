@@ -56,6 +56,8 @@ PROBES = {
     "pii_redaction": {"documents": ["doc_id"]},
     "dedup_char_ngrams": {"documents": ["doc_id"]},
     "packing_efficiency": {"documents": ["doc_id"]},
+    "ngram_novelty": {"documents": ["doc_id"]},
+    "dedup_keep_best": {"documents": ["doc_id"]},
 }
 
 

@@ -635,6 +635,66 @@ def dedup_cluster_stats(spark, sf_dir):
             .orderBy("cluster_size"))
 
 
+CLUSTER_CANONICAL_SQL = _CLUSTERS_CTE + """, comp AS (
+  SELECT node AS doc_id, least(node, min(r)) AS component
+  FROM reach GROUP BY node
+), corpus AS (
+  SELECT d.doc_id,
+         coalesce(c.component, d.doc_id) AS component,
+         length(d.text) AS len
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+  WHERE d.text IS NOT NULL
+), ranked AS (
+  SELECT doc_id, component, len,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY len DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY component) AS sz
+  FROM corpus
+)
+SELECT CAST(component AS BIGINT) AS component,
+       doc_id AS canonical_doc,
+       CAST(sz AS BIGINT)  AS n_members,
+       CAST(len AS BIGINT) AS doc_len
+FROM ranked
+WHERE rn = 1
+ORDER BY component
+"""
+
+
+@register("dedup_cluster_canonical", sql=CLUSTER_CANONICAL_SQL,
+          tags=("dedup",))
+def dedup_cluster_canonical(spark, sf_dir):
+    """The end of the near-dup pipeline: one surviving document per
+    duplicate component, chosen by QUALITY (longest text, ties to lowest
+    doc_id) rather than crawl order — `dedup_clusters` labels the groups,
+    this picks who lives. Docs outside the pair graph are their own
+    singleton component, so the output is the full deduplicated corpus
+    manifest (component, canonical_doc, n_members, doc_len), not just the
+    contested groups. Complements `dedup_keep_best` (prefix clusters) at
+    the stronger >= 0.9-Jaccard clustering.
+
+    Scale: components are O(corpus) rows of two longs; the left join to
+    the corpus is key-to-key on doc_id; rank and group-count share one
+    window partitioning on component (bounded occupancy — dup groups, not
+    the corpus). Nothing quadratic beyond what dedup_clusters already
+    bounded via LSH banding."""
+    comp = dedup_clusters(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    full = (docs.select("doc_id",
+                        F.length("text").cast("bigint").alias("doc_len"))
+            .join(comp, "doc_id", "left")
+            .withColumn("component",
+                        F.coalesce("component", "doc_id").cast("bigint")))
+    w = Window.partitionBy("component").orderBy(F.desc("doc_len"), "doc_id")
+    wc = Window.partitionBy("component")
+    return (full.withColumn("rn", F.row_number().over(w))
+            .withColumn("n_members", F.count("*").over(wc).cast("bigint"))
+            .where(F.col("rn") == 1)
+            .select("component", F.col("doc_id").alias("canonical_doc"),
+                    "n_members", "doc_len")
+            .orderBy("component"))
+
+
 def char_ngram_stats(docs, n: int = CHAR_NGRAM_LEN):
     """Core of dedup_char_ngrams over any (doc_id, text) DataFrame —
     split out so tests can pin the semantics on hand-built corpora."""

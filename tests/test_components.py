@@ -47,3 +47,26 @@ def test_adversarial_chain_logarithmic_rounds(spark):
     assert set(got.values()) == {0}
     assert len(got) == n
     assert rounds <= 2 * int(math.log2(n)) + 4, rounds
+
+
+def test_cluster_canonical_quality_overrides_crawl_order(spark):
+    """dedup_cluster_canonical must (a) cover the whole non-null corpus
+    exactly once per component, and (b) actually exercise keep-best: at
+    the sf0.001 fixture some multi-member component's longest doc is NOT
+    its min-doc_id member (10 such components in DuckDB), so keep-first
+    would pick a different survivor."""
+    from tests.conftest import SF_DIR
+    from spark_sentiment_spark.plans.dedup_queries import (
+        dedup_cluster_canonical, dedup_clusters)
+    from spark_sentiment_spark.plans.registry import load
+
+    rows = dedup_cluster_canonical(spark, SF_DIR).collect()
+    n_docs = (load(spark, SF_DIR, "documents")
+              .where("text IS NOT NULL").count())
+    assert sum(r.n_members for r in rows) == n_docs
+    assert len({r.component for r in rows}) == len(rows)
+
+    multi = [r for r in rows if r.n_members > 1]
+    assert multi, "fixture lost its duplicate components"
+    assert any(r.canonical_doc != r.component for r in multi), \
+        "keep-best never diverged from keep-first — vacuous fixture"
