@@ -549,6 +549,137 @@ def quality_gate(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+CURATE_SQL = rf"""
+WITH scored AS (
+  SELECT doc_id, text,
+         CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1)                    AS alpha_ratio,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / greatest(len(string_split(text, ' ')), 1)    AS distinct_ratio,
+         len(string_split(text, ' '))                     AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+gate AS (
+  SELECT doc_id, text,
+         n_tokens >= 16 AND n_tokens <= 4096
+           AND alpha_ratio >= 0.6 AND distinct_ratio >= 0.3 AS q_keep,
+         CASE WHEN n_tokens < 16 THEN 'too_short'
+              WHEN n_tokens > 4096 THEN 'too_long'
+              WHEN alpha_ratio < 0.6 THEN 'low_alpha'
+              WHEN distinct_ratio < 0.3 THEN 'repetitive'
+              ELSE 'ok' END AS q_reason
+  FROM scored
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (
+           PARTITION BY md5(array_to_string(
+             (string_split(lower(text), ' '))[1:{PREFIX_K}], ' '))
+           ORDER BY length(text) DESC, doc_id) AS rn
+  FROM gate WHERE q_keep AND doc_id >= 5
+),
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM toks, LATERAL unnest(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5),
+cont AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE doc_id >= 5 AND g IN (SELECT g FROM bench)
+),
+verdicts AS (
+  SELECT g.doc_id,
+         CASE WHEN g.doc_id < 5 THEN 'benchmark'
+              WHEN NOT g.q_keep THEN g.q_reason
+              WHEN r.rn > 1 THEN 'duplicate'
+              WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+              ELSE 'kept' END AS reason
+  FROM gate g
+  LEFT JOIN ranked r ON g.doc_id = r.doc_id
+  LEFT JOIN cont c ON g.doc_id = c.doc_id
+)
+SELECT doc_id, reason = 'kept' AS keep, reason
+FROM verdicts
+ORDER BY doc_id
+"""
+
+
+@register("curate_corpus", sql=CURATE_SQL, tags=("pipeline", "quality",
+                                                 "dedup"))
+def curate_corpus(spark, sf_dir):
+    """The whole curation pass as ONE declarative plan — the query a
+    pretraining-data user actually runs nightly, composed from the
+    catalog's stages in pipeline order with first-failing-stage verdicts:
+
+      1. benchmark exclusion (doc_id < 5 stands in for the eval suite),
+      2. quality gate (the `quality_gate` rules, sub-reason preserved),
+      3. prefix keep-best dedup among quality survivors (`dedup_keep_best`
+         semantics — dropping a low-quality doc must not also kill its
+         duplicate twin, so dedup ranks only gate-passing docs),
+      4. 3-gram benchmark decontamination (`decontaminate_ngram`).
+
+    Emits the per-doc manifest (doc_id, keep, reason) that drives both the
+    filtered write and the loss-rate dashboard. Composition stays one plan
+    (no materialization between stages): Catalyst pushes the shared scan,
+    the gate is scan-speed projection, the dedup rank is one window on the
+    prefix hash over gate survivors, and the contamination probe is the
+    broadcast-benchmark explode from `decontaminate_ngram` — three
+    shuffles end-to-end, all on bounded keys, nothing quadratic."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = F.split(F.col("text"), " ", -1)
+    alpha = (F.length(F.regexp_replace("text", "[^a-zA-Z ]", ""))
+             .cast("double") / F.greatest(F.length("text"), F.lit(1)))
+    distinct = (F.size(F.array_distinct(toks)).cast("double")
+                / F.greatest(F.size(toks), F.lit(1)))
+    n_tok = F.size(toks)
+    q_keep = ((n_tok >= 16) & (n_tok <= 4096)
+              & (alpha >= 0.6) & (distinct >= 0.3))
+    q_reason = (F.when(n_tok < 16, "too_short")
+                .when(n_tok > 4096, "too_long")
+                .when(alpha < 0.6, "low_alpha")
+                .when(distinct < 0.3, "repetitive")
+                .otherwise("ok"))
+    gate = docs.select("doc_id", "text", q_keep.alias("q_keep"),
+                       q_reason.alias("q_reason"))
+
+    w = (Window.partitionBy("prefix_hash")
+         .orderBy(F.desc(F.length("text")), "doc_id"))
+    ranked = (gate.where(F.col("q_keep") & (F.col("doc_id") >= 5))
+              .select("doc_id", "text",
+                      _prefix_hash_col().alias("prefix_hash"))
+              .withColumn("rn", F.row_number().over(w))
+              .select("doc_id", "rn"))
+
+    grams = (docs.select("doc_id", toks.alias("__t"))
+             .where(F.size("__t") >= 3)
+             .select("doc_id", F.explode(F.expr(
+                 "transform(sequence(0, size(__t) - 3),"
+                 " i -> concat(__t[i], ' ', __t[i+1], ' ', __t[i+2]))"
+             )).alias("g")))
+    bench = grams.where(F.col("doc_id") < 5).select("g").distinct()
+    cont = (grams.where(F.col("doc_id") >= 5)
+            .join(F.broadcast(bench), "g")
+            .select("doc_id").distinct()
+            .withColumn("is_cont", F.lit(True)))
+
+    reason = (F.when(F.col("doc_id") < 5, "benchmark")
+              .when(~F.col("q_keep"), F.col("q_reason"))
+              .when(F.col("rn") > 1, "duplicate")
+              .when(F.col("is_cont"), "contaminated")
+              .otherwise("kept"))
+    return (gate.join(ranked, "doc_id", "left")
+            .join(cont, "doc_id", "left")
+            .select("doc_id", reason.alias("reason"))
+            .select("doc_id", (F.col("reason") == "kept").alias("keep"),
+                    "reason")
+            .orderBy("doc_id"))
+
+
 # --- Snapshot merge / upsert (SCD-1 "MERGE INTO" as a plain plan) -----------
 
 MERGE_SQL = """

@@ -299,3 +299,31 @@ def test_ngram_novelty_bounds_and_duplicate_collapse(spark, tmp_path):
                      {" ".join(b.split()[i:i + 5])
                       for i in range(len(b.split()) - 4)})
     assert sum(r.novel_grams for r in out.values()) == n_distinct
+
+
+def test_curate_corpus_composes_its_stage_queries(spark):
+    """curate_corpus's verdicts must agree with the standalone stage
+    queries it composes: quality sub-reasons match quality_gate's
+    verdicts exactly, and every reason class fires on the fixture
+    (benchmark, >=2 quality reasons, duplicate, contaminated, kept)."""
+    from tests.conftest import SF_DIR
+    from spark_sentiment_spark.plans.pipeline_queries import (curate_corpus,
+                                                              quality_gate)
+
+    verdicts = {r.doc_id: r for r in curate_corpus(spark, SF_DIR).collect()}
+    gate = {r.doc_id: r for r in quality_gate(spark, SF_DIR).collect()}
+
+    q_reasons = {"too_short", "too_long", "low_alpha", "repetitive"}
+    for doc_id, v in verdicts.items():
+        assert v.keep == (v.reason == "kept")
+        if doc_id < 5:
+            assert v.reason == "benchmark"
+        elif v.reason in q_reasons:
+            assert not gate[doc_id].keep
+            assert gate[doc_id].reason == v.reason
+        else:  # duplicate/contaminated/kept all passed the gate
+            assert gate[doc_id].keep, (doc_id, v.reason)
+
+    seen = {v.reason for v in verdicts.values()}
+    assert {"benchmark", "duplicate", "contaminated", "kept"} <= seen
+    assert len(seen & q_reasons) >= 2, seen
