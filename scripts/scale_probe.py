@@ -58,6 +58,7 @@ PROBES = {
     "packing_efficiency": {"documents": ["doc_id"]},
     "ngram_novelty": {"documents": ["doc_id"]},
     "dedup_keep_best": {"documents": ["doc_id"]},
+    "curate_corpus": {"documents": ["doc_id"]},
 }
 
 
