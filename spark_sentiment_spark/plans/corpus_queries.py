@@ -14,7 +14,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_sentiment_spark.plans.registry import load, register
+from spark_sentiment_spark.plans.registry import (load, register,
+                                                  track_persist)
 
 _TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
 
@@ -647,3 +648,129 @@ def mixture_apply(spark, sf_dir):
             .where(F.col("pick") <= F.col("q"))
             .select("doc_id", "source", "pick")
             .orderBy("source", "pick"))
+
+
+# --- TextRank token centrality (integer fixed-point PageRank) ---------------
+
+PAGERANK_ITERS = 10
+PAGERANK_SCALE = 1_000_000_000  # rank unit: 1e-9 (fits every product in int64)
+
+
+def _pagerank_sql(iters: int = PAGERANK_ITERS,
+                  scale: int = PAGERANK_SCALE) -> str:
+    """Generated chained-CTE oracle: one CTE per power iteration (the
+    SimHash generated-twin trick — recursive CTEs cannot aggregate in the
+    recursive term, but a FIXED iteration count unrolls). All arithmetic
+    is BIGINT with floor division (`//` in DuckDB == `div` in Spark for
+    the non-negative values here), so both engines produce bit-identical
+    ranks — no float summation order anywhere."""
+    base = (15 * scale) // 100
+    sql = f"""
+WITH t AS (
+  SELECT {_TOKENS_SQL} AS l
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+), bg AS (
+  SELECT z.bg[1] AS w1, z.bg[2] AS w2, count(*) AS c12
+  FROM (SELECT unnest(list_zip(list_slice(l, 1, len(l) - 1), l[2:])) AS bg
+        FROM t WHERE len(l) > 1) z
+  GROUP BY 1, 2
+), edges AS (
+  SELECT src, dst, CAST(sum(c) AS BIGINT) AS w FROM (
+    SELECT w1 AS src, w2 AS dst, c12 AS c FROM bg
+    UNION ALL
+    SELECT w2 AS src, w1 AS dst, c12 AS c FROM bg
+  )
+  GROUP BY src, dst
+), wout AS (
+  SELECT src, CAST(sum(w) AS BIGINT) AS wt FROM edges GROUP BY src
+), e AS (
+  SELECT edges.src, edges.dst, edges.w, wout.wt
+  FROM edges JOIN wout ON edges.src = wout.src
+), nodes AS (SELECT DISTINCT src AS v FROM edges),
+pr0 AS (SELECT v, CAST({scale} AS BIGINT) AS r FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+pr{i} AS (
+  SELECT n.v,
+         CAST({base} + 85 * coalesce(s.s, 0) // 100 AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst AS v, sum(pr{i - 1}.r * e.w // e.wt) AS s
+    FROM e JOIN pr{i - 1} ON e.src = pr{i - 1}.v
+    GROUP BY e.dst
+  ) s ON n.v = s.v
+)"""
+    sql += f"""
+SELECT p.v AS token, w.wt AS w_out, p.r AS rank_fp
+FROM pr{iters} p JOIN wout w ON p.v = w.src
+ORDER BY token
+"""
+    return sql
+
+
+PAGERANK_SQL = _pagerank_sql()
+
+
+@register("token_pagerank", sql=PAGERANK_SQL, tags=("pipeline", "text"))
+def token_pagerank(spark, sf_dir, iters: int = PAGERANK_ITERS):
+    """TextRank (Mihalcea & Tarau 2004) centrality of the token
+    co-occurrence graph — the keyword-importance signal behind extractive
+    keyword/keyphrase mining, here over the symmetrized adjacent-bigram
+    graph (nodes = tokens seen in >= 1 bigram, edge weight = co-occurrence
+    count). A new capability class for the catalog: iterative *numeric*
+    graph analytics, where `dedup_clusters` is iterative label propagation.
+
+    Determinism: floats would make the fixpoint engine-dependent (sum
+    order), so ranks are INTEGER fixed-point (1e-9 units): per iteration
+    contrib = (r*w) div W(src), r' = (0.15*SCALE) + (85*sum) div 100 —
+    floor division everywhere, identical in Spark (`div`) and DuckDB
+    (`//`) on non-negative ints, so the generated {PAGERANK_ITERS}-stage
+    CTE twin reproduces ranks BIT-FOR-BIT. Magnitudes: total rank mass
+    ~ V*SCALE; r*w stays < 2^63 for any corpus where V*max_pair_count
+    < ~9e9 — comfortably true for vocab-capped TextRank.
+
+    Scale posture: the corpus explodes once into an *aggregated* bigram
+    count table; every iteration is one edges⋈ranks shuffle join + one
+    dst aggregation over the vocab-bounded graph (the Pregel pattern) —
+    corpus-size-independent after the first agg. At web scale TextRank
+    standardly caps the graph to the top-V vocabulary; the fixture's
+    whitespace vocab is already bounded. 10 fixed iterations (TextRank
+    converges in 20-30 on large graphs; the rank ORDER is stable well
+    before that), plan depth ~3 joins/iter over tiny tables."""
+    docs = load(spark, sf_dir, "documents")
+    t = (docs.where(F.col("text").isNotNull() & (F.trim("text") != ""))
+         .select(_tokens_col().alias("l")))
+    bg = (t.where(F.size("l") > 1)
+          .select(F.explode(F.expr(
+              "zip_with(slice(l, 1, size(l)-1), slice(l, 2, size(l)-1),"
+              " (a, b) -> struct(a AS w1, b AS w2))")).alias("bg"))
+          .select("bg.w1", "bg.w2")
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")))
+    edges = (bg.select(F.col("w1").alias("src"), F.col("w2").alias("dst"),
+                       "c")
+             .unionByName(bg.select(F.col("w2").alias("src"),
+                                    F.col("w1").alias("dst"), "c"))
+             .groupBy("src", "dst").agg(F.sum("c").alias("w")))
+    wout = edges.groupBy("src").agg(F.sum("w").alias("wt"))
+    e = track_persist(edges.join(wout, "src")
+                      .select("src", "dst", "w", "wt"))
+    nodes = track_persist(e.select(F.col("src").alias("v")).distinct())
+
+    base = (15 * PAGERANK_SCALE) // 100
+    ranks = nodes.select(
+        "v", F.lit(PAGERANK_SCALE).cast("bigint").alias("r"))
+    for _ in range(iters):
+        contrib = (e.join(ranks, e.src == ranks.v)
+                   .select(F.col("dst").alias("cv"),
+                           F.expr("r * w div wt").alias("c")))
+        agg = contrib.groupBy("cv").agg(F.sum("c").alias("s"))
+        ranks = (nodes.join(agg, nodes.v == agg.cv, "left")
+                 .select("v", (F.lit(base) +
+                               F.expr("85 * coalesce(s, 0L) div 100"))
+                         .cast("bigint").alias("r")))
+    return (ranks.join(wout, ranks.v == wout.src)
+            .select(F.col("v").alias("token"),
+                    F.col("wt").cast("bigint").alias("w_out"),
+                    F.col("r").alias("rank_fp"))
+            .orderBy("token"))

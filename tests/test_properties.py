@@ -327,3 +327,54 @@ def test_curate_corpus_composes_its_stage_queries(spark):
     seen = {v.reason for v in verdicts.values()}
     assert {"benchmark", "duplicate", "contaminated", "kept"} <= seen
     assert len(seen & q_reasons) >= 2, seen
+
+
+def test_token_pagerank_matches_naive_fixed_point(spark, tmp_path):
+    """token_pagerank vs an independent dict-based transcription of the
+    same integer fixed-point iteration on a constructed corpus (star +
+    chain + isolated doc). Also pins the TextRank ordering claim: the
+    star hub outranks its leaves."""
+    rows = [
+        (1, "hub a hub b hub c hub d", "en", "web", 0),       # star on hub
+        (2, "p q r s p q r s", "en", "web", 0),               # chain/cycle
+        (3, "loner", "en", "web", 0),                         # no bigrams
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    from spark_sentiment_spark.plans.corpus_queries import (PAGERANK_ITERS,
+                                                            PAGERANK_SCALE,
+                                                            token_pagerank)
+    got = {r.token: (r.w_out, r.rank_fp)
+           for r in token_pagerank(spark, str(tmp_path)).collect()}
+
+    # independent naive implementation
+    from collections import Counter
+    bigrams = Counter()
+    for _, text, *_ in rows:
+        toks = text.strip().split()
+        for a, b in zip(toks, toks[1:]):
+            bigrams[(a, b)] += 1
+    edges = Counter()
+    for (a, b), c in bigrams.items():
+        edges[(a, b)] += c
+        edges[(b, a)] += c
+    wout = Counter()
+    for (s, d), w in edges.items():
+        wout[s] += w
+    nodes = sorted(wout)
+    r = {v: PAGERANK_SCALE for v in nodes}
+    base = (15 * PAGERANK_SCALE) // 100
+    for _ in range(PAGERANK_ITERS):
+        agg = {v: 0 for v in nodes}
+        for (s, d), w in edges.items():
+            agg[d] += (r[s] * w) // wout[s]
+        r = {v: base + (85 * agg[v]) // 100 for v in nodes}
+
+    assert "loner" not in got                  # no bigram -> not a node
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v] == (wout[v], r[v]), (v, got[v], (wout[v], r[v]))
+    assert all(got["hub"][1] > got[leaf][1] for leaf in "abcd")
