@@ -737,7 +737,13 @@ def token_pagerank(spark, sf_dir, iters: int = PAGERANK_ITERS):
     standardly caps the graph to the top-V vocabulary; the fixture's
     whitespace vocab is already bounded. 10 fixed iterations (TextRank
     converges in 20-30 on large graphs; the rank ORDER is stable well
-    before that), plan depth ~3 joins/iter over tiny tables."""
+    before that). `localCheckpoint(eager=True)` truncates lineage per
+    iteration exactly as `operators/components.py` does — without it the
+    analyzed plan grows per round and dominates wall time. The ranks
+    table carries NO broadcast hint for the same reason
+    `token_pmi_bigrams` dropped its unigram hints: a web-scale token
+    vocabulary is not broadcast-safe, so join strategy is left to size
+    estimates + AQE."""
     docs = load(spark, sf_dir, "documents")
     t = (docs.where(F.col("text").isNotNull() & (F.trim("text") != ""))
          .select(_tokens_col().alias("l")))
@@ -752,10 +758,11 @@ def token_pagerank(spark, sf_dir, iters: int = PAGERANK_ITERS):
              .unionByName(bg.select(F.col("w2").alias("src"),
                                     F.col("w1").alias("dst"), "c"))
              .groupBy("src", "dst").agg(F.sum("c").alias("w")))
-    wout = edges.groupBy("src").agg(F.sum("w").alias("wt"))
+    wout = track_persist(edges.groupBy("src").agg(F.sum("w").alias("wt")))
     e = track_persist(edges.join(wout, "src")
                       .select("src", "dst", "w", "wt"))
-    nodes = track_persist(e.select(F.col("src").alias("v")).distinct())
+    nodes = e.select(F.col("src").alias("v")).distinct() \
+             .localCheckpoint(eager=True)
 
     base = (15 * PAGERANK_SCALE) // 100
     ranks = nodes.select(
@@ -768,7 +775,8 @@ def token_pagerank(spark, sf_dir, iters: int = PAGERANK_ITERS):
         ranks = (nodes.join(agg, nodes.v == agg.cv, "left")
                  .select("v", (F.lit(base) +
                                F.expr("85 * coalesce(s, 0L) div 100"))
-                         .cast("bigint").alias("r")))
+                         .cast("bigint").alias("r"))
+                 .localCheckpoint(eager=True))
     return (ranks.join(wout, ranks.v == wout.src)
             .select(F.col("v").alias("token"),
                     F.col("wt").cast("bigint").alias("w_out"),
