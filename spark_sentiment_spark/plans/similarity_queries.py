@@ -498,27 +498,124 @@ PQ_M = 8
 PQ_K = 16
 
 
-@register("ann_pq_topk", tags=("similarity",))
-def ann_pq_topk(spark, sf_dir, topk: int = 10, rerank: int = 100):
+PQ_RERANK = 200
+PQ_SUB = 64 // PQ_M  # subspace dim (embeddings are dim-64)
+
+
+def _pq_sql(topk: int = 10, rerank: int = PQ_RERANK) -> str:
+    sub = PQ_SUB
+    return f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), un AS (
+  SELECT vec_id,
+         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
+  FROM c
+), seeds AS (
+  SELECT vec_id, u
+  FROM un ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {PQ_K}
+), cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, u AS cu
+  FROM seeds
+), enc AS (
+  SELECT un.vec_id, m.m, cb.code,
+         list_dot_product(
+           list_transform(generate_series(1, {sub}),
+                          s -> un.u[m.m * {sub} + s]
+                               - cb.cu[m.m * {sub} + s]),
+           list_transform(generate_series(1, {sub}),
+                          s -> un.u[m.m * {sub} + s]
+                               - cb.cu[m.m * {sub} + s])) AS d2
+  FROM un
+  CROSS JOIN generate_series(0, {PQ_M - 1}) AS m(m)
+  CROSS JOIN cb
+), codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2, code) AS rn
+    FROM enc)
+  WHERE rn = 1
+), qt AS (
+  SELECT q.vec_id AS qid, m.m, cb.code,
+         CAST(floor(list_dot_product(
+           list_transform(generate_series(1, {sub}),
+                          s -> q.u[m.m * {sub} + s]),
+           list_transform(generate_series(1, {sub}),
+                          s -> cb.cu[m.m * {sub} + s])) * 1000000)
+           AS BIGINT) AS ip_fp
+  FROM un q
+  CROSS JOIN generate_series(0, {PQ_M - 1}) AS m(m)
+  CROSS JOIN cb
+  WHERE q.vec_id < 5
+), adc AS (
+  SELECT qt.qid, codes.vec_id, sum(qt.ip_fp) AS adc_fp
+  FROM codes JOIN qt ON codes.m = qt.m AND codes.code = qt.code
+  WHERE codes.vec_id <> qt.qid
+  GROUP BY qt.qid, codes.vec_id
+), cand AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY adc_fp DESC, vec_id) AS rn
+    FROM adc)
+  WHERE rn <= {rerank}
+), rer AS (
+  SELECT cand.qid, cand.vec_id,
+         list_dot_product(q.u, v.u) AS cos
+  FROM cand
+  JOIN un q ON cand.qid = q.vec_id
+  JOIN un v ON cand.vec_id = v.vec_id
+)
+SELECT qid, vec_id, round(cos, 6) AS cosine, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, vec_id) AS rn
+  FROM rer)
+WHERE rn <= {topk}
+ORDER BY qid, rn
+"""
+
+
+ANN_PQ_SQL = _pq_sql()
+
+
+@register("ann_pq_topk", sql=ANN_PQ_SQL, tags=("similarity",))
+def ann_pq_topk(spark, sf_dir, topk: int = 10, rerank: int = PQ_RERANK):
     """Product-quantization ANN (the IVF-PQ memory-compression path):
 
-    1. L2-normalize; train per-subspace codebooks (Lloyd, fixed seed) on a
-       bounded driver-side sample — FAISS-style: codebooks are trained on
-       a sample, applied to the full corpus.
+    1. L2-normalize; codebooks are CONTENT-ADDRESSED since round 5: per
+       subspace m, the 16 codewords are the m-th sub-vectors of the 16
+       corpus vectors with smallest md5(vec_id) (sampled codebooks, 0
+       Lloyd iterations) — the same upgrade that made `dedup_semantic`
+       and `ann_ivf_topk` exactly oracle-checkable. Encoding, ADC
+       scoring, and re-rank are pure arithmetic any engine reproduces,
+       so the check went rows-only → EXACT DuckDB oracle.
     2. Encode every vector to M 4-bit codes via one Arrow-batched argmin
-       per partition (batch × M×K distance matmul, BLAS).
+       per partition. The per-code distance accumulates over subspace
+       dims SEQUENTIALLY (a dim-loop of vectorized +=, not np.sum, whose
+       pairwise blocking would diverge from DuckDB's left-to-right
+       list_dot_product fold in the last ulp).
     3. Score queries by asymmetric distance (ADC): each query precomputes
-       an M×K inner-product table (tiny, broadcast); corpus cost is M
-       table lookups per vector — never touching the original floats.
+       an M×K inner-product table (tiny, broadcast) — held as FIXED-POINT
+       INTEGERS (floor(ip·1e6)): candidate ADC scores are then integer
+       sums, immune to aggregation order on both engines. Corpus cost is
+       M table lookups per vector — never touching the original floats.
     4. Exact re-rank of the ADC top-``rerank`` from the uncompressed
-       vectors; emit top-``topk``. The default re-ranks 5% of this corpus
-       — measured recall@10 vs brute force: 0.84 mean at rerank=100, 0.96
-       at 200, on a near-uniform-similarity corpus (PQ's hardest regime;
-       real near-dup workloads with high-cosine structure recall higher).
+       vectors; emit top-``topk``. Sampled codebooks quantize worse than
+       Lloyd-trained ones, so the default re-rank depth doubled to 200:
+       measured recall@10 vs brute force is a DETERMINISTIC 0.86 (0.64
+       at 100) on the near-uniform-similarity fixture (PQ's hardest
+       regime), pinned >= 0.7 in tests/test_similarity_recall.py —
+       content-addressed reproducibility means the number cannot
+       drift.
 
-    Rows-only check (codebooks are implementation-specific); recall floor
-    vs brute-force `knn_cosine_topk` pinned in
-    tests/test_similarity_recall.py."""
+    Scale: codebook fetch is a 16-row TakeOrdered (bounded control
+    plane); encode is Arrow-batched and embarrassingly parallel; the ADC
+    scan is linear with a per-qid top-``rerank`` window; re-rank touches
+    rerank×queries rows."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -527,50 +624,48 @@ def ann_pq_topk(spark, sf_dir, topk: int = 10, rerank: int = 100):
     unit = F.transform(e, lambda x: x / _norm(e))
     vecs = track_persist(emb.select("vec_id", unit.alias("e")))
 
-    # -- codebook training: bounded sample, deterministic Lloyd ----------
-    sample = np.array(
-        [r["e"] for r in vecs.limit(4096).collect()], dtype=np.float64)
-    dim = sample.shape[1]
-    sub = dim // PQ_M
-    rng = np.random.default_rng(7)
-    codebooks = np.empty((PQ_M, PQ_K, sub))
-    for m in range(PQ_M):
-        x = sample[:, m * sub:(m + 1) * sub]
-        cb = x[rng.choice(len(x), PQ_K, replace=False)]
-        for _ in range(10):                      # Lloyd iterations
-            d2 = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
-            assign = d2.argmin(1)
-            for c in range(PQ_K):
-                pts = x[assign == c]
-                if len(pts):
-                    cb[c] = pts.mean(0)
-        codebooks[m] = cb
+    # -- content-addressed codebooks: 16-row bounded driver fetch --------
+    sub = PQ_SUB
+    seed_rows = (vecs
+                 .select("vec_id", "e",
+                         F.md5(F.col("vec_id").cast("string")).alias("h"))
+                 .orderBy("h", "vec_id").limit(PQ_K)
+                 .select("vec_id", "e").collect())
+    seed_rows.sort(key=lambda r: r["vec_id"])   # code order = vec_id order
+    cbmat = np.asarray([r["e"] for r in seed_rows], dtype=np.float64)
+    codebooks = np.ascontiguousarray(
+        cbmat.reshape(PQ_K, PQ_M, sub).transpose(1, 0, 2))  # M × K × s
 
-    # -- encode: one Arrow batched distance-argmin per partition ---------
+    # -- encode: Arrow batched argmin, sequential-dim accumulation -------
     @pandas_udf("array<int>")
     def _encode(embs: pd.Series) -> pd.Series:
         V = np.asarray(embs.tolist(), dtype=np.float64)     # batch × dim
         parts = V.reshape(len(V), PQ_M, sub)                # b × M × s
-        # d2[b,m,k] = ||parts[b,m] - codebooks[m,k]||², vectorized
-        d2 = ((parts[:, :, None, :] - codebooks[None, :, :, :]) ** 2).sum(-1)
+        d2 = np.zeros((len(V), PQ_M, PQ_K))
+        for s in range(sub):  # sequential over dims == DuckDB fold order
+            diff = parts[:, :, None, s] - codebooks[None, :, :, s]
+            d2 += diff * diff
         return pd.Series(d2.argmin(-1).astype(np.int32).tolist())
 
     encoded = track_persist(vecs.select("vec_id", _encode("e").alias("codes")))
 
-    # -- per-query ADC tables (M×K inner products, broadcast) ------------
+    # -- per-query integer ADC tables (M×K, broadcast) -------------------
     queries = vecs.where(F.col("vec_id") < 5) \
         .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe")).collect()
     probe_rows = []
     for q in queries:
-        qv = np.asarray(q["qe"]).reshape(PQ_M, sub)
-        tbl = np.einsum("ms,mks->mk", qv, codebooks).reshape(-1)
-        probe_rows.append((q["qid"], [float(x) for x in tbl],
+        qv = np.asarray(q["qe"], dtype=np.float64).reshape(PQ_M, sub)
+        ip = np.zeros((PQ_M, PQ_K))
+        for s in range(sub):  # sequential fold, then fixed-point floor
+            ip += qv[:, None, s] * codebooks[:, :, s]
+        tbl = np.floor(ip * 1e6).astype(np.int64).reshape(-1)
+        probe_rows.append((q["qid"], [int(x) for x in tbl],
                            [float(x) for x in q["qe"]]))
     probes = spark.createDataFrame(
-        probe_rows, "qid long, tbl array<double>, qe array<double>")
+        probe_rows, "qid long, tbl array<long>, qe array<double>")
 
     adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(PQ_M - 1)), F.lit(0.0),
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)), F.lit(0).cast("bigint"),
         lambda acc, m: acc + F.element_at(
             F.col("tbl"), (m * PQ_K
                            + F.element_at(F.col("codes"), m + 1) + 1)
