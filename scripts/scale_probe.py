@@ -59,6 +59,9 @@ PROBES = {
     "ngram_novelty": {"documents": ["doc_id"]},
     "dedup_keep_best": {"documents": ["doc_id"]},
     "curate_corpus": {"documents": ["doc_id"]},
+    "token_pagerank": {"documents": ["doc_id"]},
+    "ann_ivf_topk": {"embeddings": ["vec_id"]},
+    "ann_pq_topk": {"embeddings": ["vec_id"]},
 }
 
 
