@@ -131,6 +131,17 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # in-window), multimodal_fingerprints (shallow metadata next to the
 # trio's deep checks), events_daily_rollup (coarser twin of
 # events_tumbling_hour, in-window) — rotate them back next round.
+#
+# ROUND-6 ROTATION PAYLOAD (pre-staged): (a) the SEVEN exact-oracle
+# queries added after this window froze, none of which has a driver row
+# yet — ngram_novelty, dedup_keep_best, dedup_cluster_canonical,
+# curate_corpus, token_pagerank, ann_ivf_topk, ann_pq_topk (the last
+# two upgraded rows-only → exact this round); (b) the three entries
+# displaced above (wordlist_extraction_scaled, multimodal_fingerprints,
+# events_daily_rollup); (c) backfill remaining slots with the oldest
+# green rows at that point (the r3-green set, then r4). All seven new
+# queries are locally oracle-checked by tests/test_oracle.py and
+# scripts/driver_replica.py in the meantime.
 _WINDOW_PRIORITY = [
     # — (a) round-1-stale relational queries —
     "q8_market_share",
