@@ -1225,6 +1225,123 @@ def quality_perplexity(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+BACKOFF_ALPHA = 0.4  # Stupid Backoff discount (Brants et al. 2007)
+
+BIGRAM_PPL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+  FROM documents WHERE text IS NOT NULL
+),
+train_uni AS (
+  SELECT w, count(*) AS c FROM (
+    SELECT unnest(l) AS w FROM toks WHERE doc_id % 5 <> 4) GROUP BY w
+),
+train_bi AS (
+  SELECT w1, w2, count(*) AS c12 FROM (
+    SELECT z.bg[1] AS w1, z.bg[2] AS w2
+    FROM (SELECT unnest(list_zip(list_slice(l, 1, len(l) - 1), l[2:])) AS bg
+          FROM toks WHERE doc_id % 5 <> 4 AND len(l) > 1) z)
+  GROUP BY w1, w2
+),
+nv AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+  FROM train_uni
+),
+score_bi AS (
+  SELECT doc_id, z.bg[1] AS w1, z.bg[2] AS w2
+  FROM (SELECT doc_id,
+               unnest(list_zip(list_slice(l, 1, len(l) - 1), l[2:])) AS bg
+        FROM toks WHERE doc_id % 5 = 4 AND len(l) > 1) z
+),
+scored AS (
+  SELECT s.doc_id,
+         CASE WHEN b.c12 IS NOT NULL AND u1.c IS NOT NULL
+              THEN b.c12 * 1.0 / u1.c
+              ELSE {BACKOFF_ALPHA} * (coalesce(u2.c, 0) + 1) / (nv.n + nv.v)
+         END AS p,
+         (b.c12 IS NULL) AS backed_off
+  FROM score_bi s
+  LEFT JOIN train_bi b ON s.w1 = b.w1 AND s.w2 = b.w2
+  LEFT JOIN train_uni u1 ON s.w1 = u1.w
+  LEFT JOIN train_uni u2 ON s.w2 = u2.w
+  CROSS JOIN nv
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN backed_off THEN 1 ELSE 0 END) AS BIGINT)
+                                 AS n_backoff,
+       round(avg(-log2(p)), 4)   AS bits_per_bigram
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("quality_bigram_backoff", sql=BIGRAM_PPL_SQL,
+          tags=("pipeline", "text", "quality"))
+def quality_bigram_backoff(spark, sf_dir):
+    """Bigram LM quality scoring with Stupid Backoff (Brants et al. 2007,
+    the web-scale scheme: S(w2|w1) = c12/c1 when the bigram was seen,
+    else α·P(w2) with α=0.4 and an add-one-smoothed unigram so OOV
+    tokens stay finite) — the natural next step past `quality_perplexity`'s
+    unigram model: it penalizes improbable *transitions*, catching
+    shuffled/garbled text a unigram LM scores as normal. Trains on the
+    80% split (doc_id % 5 != 4, the `dedup_incremental` convention) and
+    scores the held-out 20%, so backoff genuinely fires (unseen bigrams
+    exist only off-train).
+
+    Plan shape: one tokenized scan feeds train-unigram, train-bigram and
+    score-bigram tables (persisted token arrays, corpus read once);
+    scoring is three left joins against vocab-bounded count tables (no
+    broadcast hints — web-scale vocabularies are not broadcast-safe,
+    AQE/size estimates decide) plus the 1-row (N,V) scalar broadcast;
+    one doc_id aggregation. bits_per_bigram rounds to 4dp like the
+    unigram query."""
+    from spark_sentiment_spark.plans.registry import track_persist
+
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = track_persist(docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("l")))
+    bg_expr = F.expr(
+        "zip_with(slice(l, 1, size(l)-1), slice(l, 2, size(l)-1),"
+        " (a, b) -> struct(a AS w1, b AS w2))")
+    is_train = F.col("doc_id") % 5 != 4
+
+    train_uni = (toks.where(is_train)
+                 .select(F.explode("l").alias("w"))
+                 .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    train_bi = (toks.where(is_train & (F.size("l") > 1))
+                .select(F.explode(bg_expr).alias("bg"))
+                .select("bg.w1", "bg.w2")
+                .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
+    nv = train_uni.agg(F.sum("c").cast("double").alias("n"),
+                       F.count(F.lit(1)).cast("double").alias("v"))
+
+    score_bi = (toks.where(~is_train & (F.size("l") > 1))
+                .select("doc_id", F.explode(bg_expr).alias("bg"))
+                .select("doc_id", "bg.w1", "bg.w2"))
+    u1 = train_uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = train_uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    p = (F.when(F.col("c12").isNotNull() & F.col("c1").isNotNull(),
+                F.col("c12") / F.col("c1"))
+         .otherwise(F.lit(BACKOFF_ALPHA)
+                    * (F.coalesce(F.col("c2"), F.lit(0)) + 1)
+                    / (F.col("n") + F.col("v"))))
+    backed_off = F.col("c12").isNull()
+    return (score_bi
+            .join(train_bi, ["w1", "w2"], "left")
+            .join(u1, "w1", "left")
+            .join(u2, "w2", "left")
+            .crossJoin(F.broadcast(nv))
+            .select("doc_id", p.alias("p"),
+                    backed_off.cast("int").alias("bo"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum("bo").cast("bigint").alias("n_backoff"),
+                 F.round(F.avg(-F.log2("p")), 4).alias("bits_per_bigram"))
+            .orderBy("doc_id"))
+
+
 # --- Hybrid retrieval: lexical + vector with reciprocal-rank fusion ---------
 # vec_id aligns 1:1 with doc_id in the testdata, giving each document both
 # a text body and an embedding — the two retrieval modalities RRF fuses.

@@ -378,3 +378,41 @@ def test_token_pagerank_matches_naive_fixed_point(spark, tmp_path):
     for v in nodes:
         assert got[v] == (wout[v], r[v]), (v, got[v], (wout[v], r[v]))
     assert all(got["hub"][1] > got[leaf][1] for leaf in "abcd")
+
+
+def test_bigram_backoff_branches_on_constructed_corpus(spark, tmp_path):
+    """All three Stupid-Backoff branches pinned by hand computation:
+    seen bigram -> c12/c1; unseen bigram of seen unigrams ->
+    a*(c2+1)/(N+V); unseen w2 entirely (OOV) -> a*1/(N+V). Train docs
+    are doc_id % 5 != 4; doc 4 and 9 are the held-out scored set."""
+    import math
+    rows = [
+        (0, "a b a b", "en", "web", 0),       # train: bigrams ab,ba,ab
+        (1, "c c", "en", "web", 0),           # train: cc
+        (4, "a b", "en", "web", 0),           # held out: seen bigram
+        (9, "b a c x", "en", "web", 0),       # held out: ba seen; "a c"
+                                              # unseen-bigram; "c x" OOV w2
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    from spark_sentiment_spark.plans.pipeline_queries import (
+        BACKOFF_ALPHA, quality_bigram_backoff)
+    got = {r.doc_id: r for r in
+           quality_bigram_backoff(spark, str(tmp_path)).collect()}
+
+    # train counts: unigrams a:2 b:2 c:2 (N=6, V=3); bigrams ab:2 ba:1 cc:1
+    N, V = 6.0, 3.0
+    a = BACKOFF_ALPHA
+    p_ab = 2 / 2                      # seen bigram: c12/c1
+    p_ba = 1 / 2
+    p_ac = a * (2 + 1) / (N + V)      # unseen bigram, c("c")=2
+    p_cx = a * (0 + 1) / (N + V)      # OOV w2 "x"
+    assert got[4].n_bigrams == 1 and got[4].n_backoff == 0
+    assert got[4].bits_per_bigram == round(-math.log2(p_ab), 4)
+    assert got[9].n_bigrams == 3 and got[9].n_backoff == 2
+    expect = round(-(math.log2(p_ba) + math.log2(p_ac) + math.log2(p_cx))
+                   / 3, 4)
+    assert got[9].bits_per_bigram == expect
