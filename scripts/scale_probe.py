@@ -62,6 +62,7 @@ PROBES = {
     "token_pagerank": {"documents": ["doc_id"]},
     "ann_ivf_topk": {"embeddings": ["vec_id"]},
     "ann_pq_topk": {"embeddings": ["vec_id"]},
+    "quality_bigram_backoff": {"documents": ["doc_id"]},
 }
 
 
