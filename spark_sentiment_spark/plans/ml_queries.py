@@ -35,6 +35,10 @@ def mlib_score_documents(spark, sf_dir):
     labeled = docs.select(
         "doc_id", "text",
         (F.col("doc_id") % 2).cast("double").alias("score"))
+    if labeled.isEmpty():
+        # Nothing to train on: scoring an empty table is an empty table
+        # (engine-grade empty-input contract, tests/test_empty_tables.py).
+        return spark.createDataFrame([], "doc_id long, computed double")
     trained = train(labeled, "text", classifier="naivebayes", sweep=False)
 
     tmp = tempfile.mkdtemp(prefix="spark_sentiment_mlib_")

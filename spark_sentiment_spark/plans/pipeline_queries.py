@@ -1944,6 +1944,11 @@ def embedding_pca(spark, sf_dir, topk: int = 8):
         F.array(F.col("n").cast("double")), "s", "g")).alias("pos", "v"))
     reduced = {r["pos"]: r["t"] for r in
                flat.groupBy("pos").agg(F.sum("v").alias("t")).collect()}
+    out_schema = "component long, eigenvalue double, cum_explained double"
+    if not reduced or reduced.get(0, 0) < 2:
+        # <2 vectors: no covariance exists — empty profile, stable schema
+        # (tests/test_empty_tables.py).
+        return spark.createDataFrame([], out_schema)
     # flattened layout is [n, s(d), g(d*d)] — derive d from the total
     # length rather than assuming the fixture's embedding width.
     # len = 1 + d + d^2  →  d = (-1 + sqrt(4*len - 3)) / 2

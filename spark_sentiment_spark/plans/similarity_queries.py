@@ -632,16 +632,22 @@ def ann_pq_topk(spark, sf_dir, topk: int = 10, rerank: int = PQ_RERANK):
                  .orderBy("h", "vec_id").limit(PQ_K)
                  .select("vec_id", "e").collect())
     seed_rows.sort(key=lambda r: r["vec_id"])   # code order = vec_id order
+    n_codes = len(seed_rows)   # min(corpus, PQ_K), like the oracle's LIMIT
+    if n_codes == 0:
+        # empty corpus: no quantizer exists — empty result, stable schema
+        # (tests/test_empty_tables.py).
+        return spark.createDataFrame(
+            [], "qid long, vec_id long, cosine double, rn long")
     cbmat = np.asarray([r["e"] for r in seed_rows], dtype=np.float64)
     codebooks = np.ascontiguousarray(
-        cbmat.reshape(PQ_K, PQ_M, sub).transpose(1, 0, 2))  # M × K × s
+        cbmat.reshape(n_codes, PQ_M, sub).transpose(1, 0, 2))  # M × K × s
 
     # -- encode: Arrow batched argmin, sequential-dim accumulation -------
     @pandas_udf("array<int>")
     def _encode(embs: pd.Series) -> pd.Series:
         V = np.asarray(embs.tolist(), dtype=np.float64)     # batch × dim
         parts = V.reshape(len(V), PQ_M, sub)                # b × M × s
-        d2 = np.zeros((len(V), PQ_M, PQ_K))
+        d2 = np.zeros((len(V), PQ_M, n_codes))
         for s in range(sub):  # sequential over dims == DuckDB fold order
             diff = parts[:, :, None, s] - codebooks[None, :, :, s]
             d2 += diff * diff
@@ -655,7 +661,7 @@ def ann_pq_topk(spark, sf_dir, topk: int = 10, rerank: int = PQ_RERANK):
     probe_rows = []
     for q in queries:
         qv = np.asarray(q["qe"], dtype=np.float64).reshape(PQ_M, sub)
-        ip = np.zeros((PQ_M, PQ_K))
+        ip = np.zeros((PQ_M, n_codes))
         for s in range(sub):  # sequential fold, then fixed-point floor
             ip += qv[:, None, s] * codebooks[:, :, s]
         tbl = np.floor(ip * 1e6).astype(np.int64).reshape(-1)
@@ -667,7 +673,7 @@ def ann_pq_topk(spark, sf_dir, topk: int = 10, rerank: int = PQ_RERANK):
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(PQ_M - 1)), F.lit(0).cast("bigint"),
         lambda acc, m: acc + F.element_at(
-            F.col("tbl"), (m * PQ_K
+            F.col("tbl"), (m * F.lit(n_codes)
                            + F.element_at(F.col("codes"), m + 1) + 1)
             .cast("int")))
     w = Window.partitionBy("qid").orderBy(F.desc("adc"), F.asc("vec_id"))

@@ -26,13 +26,16 @@ from pyspark.sql.types import LongType, TimestampNTZType
 def _stage_dir(path: str) -> str:
     """The file stream source requires a *directory*; the testdata ships one
     bare parquet file per table. Stage it into a per-source temp dir via
-    hardlink (fallback: copy). Real deployments stream a directory or a
-    Kafka topic and skip this shim entirely."""
+    hardlink (fallback: copy). A path that already IS a directory (the
+    standard Spark table layout) streams as-is — real deployments stream a
+    directory or a Kafka topic and skip this shim entirely."""
     import hashlib
     import os
     import shutil
     import tempfile
 
+    if os.path.isdir(path):
+        return path
     key = hashlib.md5(path.encode()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"evstream_{key}")
     target = os.path.join(d, os.path.basename(path))
