@@ -35,9 +35,11 @@ def mlib_score_documents(spark, sf_dir):
     labeled = docs.select(
         "doc_id", "text",
         (F.col("doc_id") % 2).cast("double").alias("score"))
-    if labeled.isEmpty():
-        # Nothing to train on: scoring an empty table is an empty table
-        # (engine-grade empty-input contract, tests/test_empty_tables.py).
+    # Training needs both parity classes present; a degenerate (empty or
+    # single-class) corpus cannot fit a model, so scoring it yields the
+    # empty frame (engine-grade degenerate-input contract,
+    # tests/test_empty_tables.py).
+    if labeled.select("score").distinct().count() < 2:
         return spark.createDataFrame([], "doc_id long, computed double")
     trained = train(labeled, "text", classifier="naivebayes", sweep=False)
 

@@ -1526,8 +1526,12 @@ def profile_columns(spark, sf_dir):
             F.countDistinct(c).alias(f"d_{c}"),
             F.round(F.min(c), 4).alias(f"mn_{c}"),
             F.round(F.max(c), 4).alias(f"mx_{c}"),
-            F.round(s1 / n, 6).alias(f"mean_{c}"),
-            F.round(F.sqrt((s2 - F.pow(s1, 2) / n) / (n - 1)), 4)
+            # n<=1 guards: mean of zero rows / sd of one row are NULL,
+            # not a divide-by-zero (ANSI mode aborts the job otherwise;
+            # single-row contract, tests/test_empty_tables.py).
+            F.round(F.when(n > 0, s1 / n), 6).alias(f"mean_{c}"),
+            F.round(F.when(n > 1,
+                           F.sqrt((s2 - F.pow(s1, 2) / n) / (n - 1))), 4)
              .alias(f"sd_{c}"),
         ]
     one = li.agg(*aggs)

@@ -44,3 +44,32 @@ def test_every_query_survives_empty_tables(spark, empty_sf):
         finally:
             release_caches()
     assert not failures, "\n".join(failures)
+
+
+@pytest.fixture(scope="module")
+def single_row_sf(spark):
+    """One row per table — the other canonical degenerate: exercises
+    n-1 variance denominators, single-class training, and quantizers
+    with fewer points than codewords."""
+    tmp = tempfile.mkdtemp(prefix="single_sf_")
+    for t in TABLES:
+        (spark.read.parquet(f"{SF_DIR}/{t}.parquet").limit(1)
+         .write.parquet(f"{tmp}/{t}.parquet"))
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_every_query_survives_single_row_tables(spark, single_row_sf):
+    all_queries()
+    failures = []
+    for name, q in REGISTRY.items():
+        try:
+            df = q.fn(spark, single_row_sf)
+            df.count()
+            assert len(df.schema.fields) > 0
+        except Exception as ex:
+            failures.append(f"{name}: {type(ex).__name__}: "
+                            f"{str(ex).splitlines()[0][:90]}")
+        finally:
+            release_caches()
+    assert not failures, "\n".join(failures)
