@@ -416,3 +416,63 @@ def test_bigram_backoff_branches_on_constructed_corpus(spark, tmp_path):
     expect = round(-(math.log2(p_ba) + math.log2(p_ac) + math.log2(p_cx))
                    / 3, 4)
     assert got[9].bits_per_bigram == expect
+
+
+corpus_docs = st.lists(
+    st.lists(st.sampled_from("abcde"), min_size=1, max_size=6),
+    min_size=1, max_size=12)
+
+
+@PROP
+@given(docs=corpus_docs)
+def test_cluster_canonical_matches_naive_union_find(spark, docs, tmp_path):
+    """dedup_cluster_canonical vs an independent naive pipeline on random
+    tiny-vocab corpora: exact shingle-set Jaccard >= 0.9 graph ->
+    union-find -> keep longest (ties lowest id) per component, singletons
+    included."""
+    import shutil
+    rows = [(i, " ".join(toks), "en", "web", 0)
+            for i, toks in enumerate(docs)]
+    out = str(tmp_path / "cc")
+    shutil.rmtree(out, ignore_errors=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    from spark_sentiment_spark.plans.dedup_queries import (
+        dedup_cluster_canonical)
+    from spark_sentiment_spark.plans.registry import release_caches
+    got = {(r.component, r.canonical_doc, r.n_members, r.doc_len)
+           for r in dedup_cluster_canonical(spark, out).collect()}
+    release_caches()
+
+    def shingles(toks):
+        if len(toks) >= 3:
+            return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)}
+
+    sh = {i: shingles(t) for i, t in enumerate(docs)}
+    parent = list(range(len(docs)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            inter = len(sh[i] & sh[j])
+            if inter and inter / len(sh[i] | sh[j]) >= 0.9:
+                parent[find(j)] = find(i)
+    comps: dict = {}
+    for i in range(len(docs)):
+        comps.setdefault(find(i), []).append(i)
+    expect = set()
+    for members in comps.values():
+        label = min(members)
+        text_len = {i: len(" ".join(docs[i])) for i in members}
+        best = sorted(members, key=lambda i: (-text_len[i], i))[0]
+        expect.add((label, best, len(members), text_len[best]))
+    assert got == expect, (sorted(got), sorted(expect))
