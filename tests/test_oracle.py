@@ -41,14 +41,25 @@ def test_rows_only_runs(spark, name):
 def test_release_caches_leaves_nothing_cached(spark):
     """After a consuming action + release_caches(), the query's cached
     RDDs are gone — the long-lived-session contract for plans that persist
-    intermediates. Asserted relative to the session's pre-existing cache
-    count (other components, e.g. MLlib fits, cache outside the tracker)."""
+    intermediates. Tracked by RDD *id set*, not count: the async
+    ContextCleaner may concurrently free localCheckpoint RDDs left by
+    earlier tests' iterative queries, so absolute counts flake — only the
+    ids THIS query added must appear and then disappear."""
     from spark_sentiment_spark.plans.registry import REGISTRY
 
     release_caches()  # drain anything tracked by earlier tests
     jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+
+    def cached_ids():
+        it = jsc.getPersistentRDDs().keysIterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    before = cached_ids()
     REGISTRY["dedup_minhash_lsh"].fn(spark, SF_DIR).count()
-    assert jsc.getPersistentRDDs().size() > before
+    added = cached_ids() - before
+    assert added, "query persisted nothing"
     assert release_caches() >= 1
-    assert jsc.getPersistentRDDs().size() == before
+    assert not (added & cached_ids()), "tracked persists survived release"
