@@ -654,6 +654,10 @@ def mixture_apply(spark, sf_dir):
 
 PAGERANK_ITERS = 10
 PAGERANK_SCALE = 1_000_000_000  # rank unit: 1e-9 (fits every product in int64)
+PAGERANK_VOCAB_CAP = 100_000  # top-V tokens kept in the graph (TextRank
+#   standard: cap the co-occurrence graph; an uncapped web-scale
+#   whitespace vocabulary would make the graph hapax-dominated AND
+#   overflow the int64 rank-mass bound V*SCALE*wmax < 2^63)
 
 
 def _pagerank_sql(iters: int = PAGERANK_ITERS,
@@ -713,7 +717,8 @@ PAGERANK_SQL = _pagerank_sql()
 
 
 @register("token_pagerank", sql=PAGERANK_SQL, tags=("pipeline", "text"))
-def token_pagerank(spark, sf_dir, iters: int = PAGERANK_ITERS):
+def token_pagerank(spark, sf_dir, iters: int = PAGERANK_ITERS,
+                   vocab_cap: int = PAGERANK_VOCAB_CAP):
     """TextRank (Mihalcea & Tarau 2004) centrality of the token
     co-occurrence graph — the keyword-importance signal behind extractive
     keyword/keyphrase mining, here over the symmetrized adjacent-bigram
@@ -734,8 +739,12 @@ def token_pagerank(spark, sf_dir, iters: int = PAGERANK_ITERS):
     count table; every iteration is one edges⋈ranks shuffle join + one
     dst aggregation over the vocab-bounded graph (the Pregel pattern) —
     corpus-size-independent after the first agg. At web scale TextRank
-    standardly caps the graph to the top-V vocabulary; the fixture's
-    whitespace vocab is already bounded. 10 fixed iterations (TextRank
+    standardly caps the graph to the top-V vocabulary — ``vocab_cap``
+    (default 100k) keeps only the top-V tokens by corpus frequency (ties
+    to the lexicographically smaller token, so the cap is deterministic)
+    and drops edges touching the tail; far below the cap, as on the
+    fixture (31 tokens), the filter is the identity and the oracle is
+    unaffected. 10 fixed iterations (TextRank
     converges in 20-30 on large graphs; the rank ORDER is stable well
     before that). `localCheckpoint(eager=True)` truncates lineage per
     iteration exactly as `operators/components.py` does — without it the
@@ -753,6 +762,15 @@ def token_pagerank(spark, sf_dir, iters: int = PAGERANK_ITERS):
               " (a, b) -> struct(a AS w1, b AS w2))")).alias("bg"))
           .select("bg.w1", "bg.w2")
           .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")))
+    # top-V vocabulary cap: distributed TakeOrdered on the aggregated
+    # unigram counts (V rows of (token, freq) — never the corpus), then a
+    # semi-join drops tail-touching edges. Inactive when vocab <= cap.
+    keep = (t.select(F.explode("l").alias("w"))
+            .groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+            .orderBy(F.desc("f"), "w").limit(vocab_cap)
+            .select("w"))
+    bg = (bg.join(keep.select(F.col("w").alias("w1")), "w1", "semi")
+          .join(keep.select(F.col("w").alias("w2")), "w2", "semi"))
     edges = (bg.select(F.col("w1").alias("src"), F.col("w2").alias("dst"),
                        "c")
              .unionByName(bg.select(F.col("w2").alias("src"),

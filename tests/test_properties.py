@@ -476,3 +476,29 @@ def test_cluster_canonical_matches_naive_union_find(spark, docs, tmp_path):
         best = sorted(members, key=lambda i: (-text_len[i], i))[0]
         expect.add((label, best, len(members), text_len[best]))
     assert got == expect, (sorted(got), sorted(expect))
+
+
+def test_token_pagerank_vocab_cap_bounds_the_graph(spark):
+    """vocab_cap must restrict the graph to the top-V tokens by corpus
+    frequency (deterministic ties) and stay the identity above the
+    vocabulary size."""
+    from tests.conftest import SF_DIR
+    from spark_sentiment_spark.plans.corpus_queries import token_pagerank
+    from spark_sentiment_spark.plans.registry import (load, release_caches)
+    from pyspark.sql import functions as F
+
+    capped = token_pagerank(spark, SF_DIR, vocab_cap=5).collect()
+    release_caches()
+    assert 0 < len(capped) <= 5
+
+    docs = load(spark, SF_DIR, "documents")
+    freq = (docs.where("text IS NOT NULL AND trim(text) <> ''")
+            .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+            .groupBy("w").count()
+            .orderBy(F.desc("count"), "w").limit(5).collect())
+    top5 = {r.w for r in freq}
+    assert {r.token for r in capped} <= top5
+
+    full = token_pagerank(spark, SF_DIR).collect()   # default cap 100k
+    release_caches()
+    assert len(full) > 5   # cap far above vocab -> identity
