@@ -675,9 +675,13 @@ def dedup_cluster_canonical(spark, sf_dir):
 
     Scale: components are O(corpus) rows of two longs; the left join to
     the corpus is key-to-key on doc_id; rank and group-count share one
-    window partitioning on component (bounded occupancy — dup groups, not
-    the corpus). Nothing quadratic beyond what dedup_clusters already
-    bounded via LSH banding."""
+    window partitioning on component (bounded occupancy — dup groups,
+    not the corpus). The pair graph feeding the components is
+    `dedup_jaccard_pairs` — the EXACT inverted-index formulation, chosen
+    here because it is what the recursive-CTE oracle can replay; at
+    100 TB swap that one input for the `dedup_minhash_lsh` candidate
+    pairs (identical downstream plan), exactly as the embedding-cosine
+    family documents its exact-vs-LSH split."""
     comp = dedup_clusters(spark, sf_dir)
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     full = (docs.select("doc_id",
