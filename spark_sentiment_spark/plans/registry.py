@@ -132,11 +132,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # trio's deep checks), events_daily_rollup (coarser twin of
 # events_tumbling_hour, in-window) — rotate them back next round.
 #
-# ROUND-6 ROTATION PAYLOAD (pre-staged): (a) the SEVEN exact-oracle
+# ROUND-6 ROTATION PAYLOAD (pre-staged): (a) the ELEVEN exact-oracle
 # queries added after this window froze, none of which has a driver row
 # yet — ngram_novelty, dedup_keep_best, dedup_cluster_canonical,
 # curate_corpus, token_pagerank, ann_ivf_topk, ann_pq_topk (the last
-# two upgraded rows-only → exact this round); (b) the three entries
+# two upgraded rows-only → exact this round), and the sketch/layout
+# quartet agg_hll_sketch, token_cms_topk, zorder_layout,
+# join_skew_salted; (b) the three entries
 # displaced above (wordlist_extraction_scaled, multimodal_fingerprints,
 # events_daily_rollup); (c) backfill remaining slots with the oldest
 # green rows at that point (the r3-green set, then r4). All seven new
@@ -215,6 +217,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import spark_sentiment_spark.plans.pipeline_queries  # noqa: F401
     import spark_sentiment_spark.plans.corpus_queries  # noqa: F401
     import spark_sentiment_spark.plans.ml_queries  # noqa: F401
+    import spark_sentiment_spark.plans.sketch_queries  # noqa: F401
 
     ordered = {n: REGISTRY[n] for n in _WINDOW_PRIORITY if n in REGISTRY}
     ordered.update((n, q) for n, q in REGISTRY.items() if n not in ordered)

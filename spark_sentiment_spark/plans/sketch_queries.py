@@ -1,0 +1,337 @@
+"""Sketch & layout queries (SURVEY.md §7.4 extension surface): streaming
+sketches (HyperLogLog-style distinct, count-min heavy hitters), Z-order
+data layout, and the salted shuffle join — the remaining scale tools a
+100 TB curation pipeline leans on when exact global state is too big.
+
+Every query here is engine-independent BY CONSTRUCTION and ships an exact
+DuckDB oracle: all hashing is md5-derived (identical text in both engines),
+all bucket/bit arithmetic is integer-exact (generated hex polynomials and
+power-of-two CASE tables, never libm pow/log), and every double that
+reaches the output is either a rounded ratio or the quotient of two
+integer-exact operands (IEEE division is correctly rounded in both
+engines). The sketch *estimates* are therefore bit-reproducible — the
+oracle replays the sketch, it does not merely approve an approximation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_sentiment_spark.plans.registry import (load, register,
+                                                  track_persist)
+
+
+def _hexpoly(col: str, start: int, n: int) -> str:
+    """Integer value of hex chars [start, start+n) of ``col`` (1-based),
+    as SQL text valid and identical in Spark SQL and DuckDB (instr /
+    substring / integer arithmetic only)."""
+    terms = " + ".join(
+        f"CAST(instr('0123456789abcdef', substring({col}, {start + i}, 1))"
+        f" - 1 AS BIGINT) * {16 ** (n - 1 - i)}"
+        for i in range(n))
+    return f"({terms})"
+
+
+# --- HyperLogLog-style distinct-count sketch --------------------------------
+
+_HLL_M = 256          # 2^8 buckets (first 2 hex chars)
+_HLL_BITS = 40        # tail width: next 10 hex chars
+# alpha_m * m^2 * 2^BITS+1 pre-folded into one double literal; both engines
+# parse the identical decimal literal, so the final division A / S is one
+# correctly-rounded IEEE op on identical operands.
+_HLL_A = repr(0.7213 / (1 + 1.079 / _HLL_M) * _HLL_M * _HLL_M
+              * float(2 ** (_HLL_BITS + 1)))
+
+_HLL_BUCKET = _hexpoly("h", 1, 2)
+_HLL_TAIL = _hexpoly("h", 3, 10)
+# rho = 1 + leading zeros of the 40-bit tail = 41 - bit_length(tail);
+# bin() strips leading zeros identically in both engines (bin(0)='0',
+# handled by the CASE).
+_HLL_RHO = (f"CASE WHEN {_HLL_TAIL} = 0 THEN {_HLL_BITS + 1} "
+            f"ELSE {_HLL_BITS + 1} - length(bin(CAST({_HLL_TAIL} AS BIGINT)))"
+            f" END")
+# 2^(41 - mj) as an integer CASE table: no pow(), no shift operator
+# (DuckDB and Spark disagree on << / div syntax; a literal table is exact
+# everywhere). Empty buckets contribute 2^41 each (rho = 0).
+_HLL_POW2 = ("CASE mj " + " ".join(
+    f"WHEN {k} THEN {2 ** (_HLL_BITS + 1 - k)}"
+    for k in range(1, _HLL_BITS + 2)) + " END")
+
+HLL_SQL = f"""
+WITH keyed AS (
+  SELECT l_orderkey AS k, md5(CAST(l_orderkey AS VARCHAR)) AS h
+  FROM lineitem
+), buckets AS (
+  SELECT {_HLL_BUCKET} AS bucket, max({_HLL_RHO}) AS mj
+  FROM keyed GROUP BY 1
+), sketch AS (
+  SELECT CAST(sum({_HLL_POW2}) AS BIGINT)
+         + ({_HLL_M} - count(*)) * {2 ** (_HLL_BITS + 1)} AS s,
+         CAST(count(*) AS BIGINT) AS n_buckets
+  FROM buckets
+), exact AS (
+  SELECT CAST(count(DISTINCT k) AS BIGINT) AS n_exact FROM keyed
+)
+SELECT n_exact,
+       round({_HLL_A} / CAST(s AS DOUBLE), 2) AS n_est,
+       n_buckets,
+       round(abs(round({_HLL_A} / CAST(s AS DOUBLE), 2) - n_exact)
+             / n_exact, 4) AS rel_err
+FROM sketch CROSS JOIN exact
+"""
+
+
+@register("agg_hll_sketch", sql=HLL_SQL, tags=("sketch",))
+def agg_hll_sketch(spark, sf_dir):
+    """Distinct l_orderkey count two ways: exact, and via a 256-bucket
+    HyperLogLog built from md5 — bucket = first 8 hash bits, rho = leading
+    zeros of the next 40. The estimate itself is bit-reproducible (integer
+    bucket maxima, a power-of-two CASE table instead of pow(), one IEEE
+    division), so the oracle replays the sketch exactly rather than
+    approving a tolerance. Raw HLL estimator, no small-range linear
+    counting: at any scale worth sketching n >> 2.5m, and the sf0.01
+    corpus is already past that knee.
+
+    Scale: the sketch side is one narrow map + a 256-group aggregate —
+    O(1) state per executor, mergeable across 1000 nodes; at 100 TB you
+    keep only that branch and drop the exact COUNT(DISTINCT) twin (a
+    full shuffle) that exists here to measure the sketch's error."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        F.md5(F.col("l_orderkey").cast("string")).alias("h"))
+    buckets = (li.select(F.expr(_HLL_BUCKET).alias("bucket"),
+                         F.expr(_HLL_RHO).alias("rho"))
+               .groupBy("bucket").agg(F.max("rho").alias("mj")))
+    sketch = buckets.agg(
+        (F.sum(F.expr(_HLL_POW2)).cast("bigint")
+         + (F.lit(_HLL_M) - F.count(F.lit(1)))
+         * F.lit(2 ** (_HLL_BITS + 1))).alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"))
+    exact = li.agg(F.countDistinct("k").cast("bigint").alias("n_exact"))
+    est = F.round(F.lit(float(_HLL_A)) / F.col("s").cast("double"), 2)
+    return (sketch.crossJoin(F.broadcast(exact))
+            .select("n_exact", est.alias("n_est"), "n_buckets",
+                    F.round(F.abs(est - F.col("n_exact"))
+                            / F.col("n_exact"), 4).alias("rel_err")))
+
+
+# --- Count-min sketch heavy hitters -----------------------------------------
+
+_CMS_W = 1024   # buckets per hash row
+_CMS_D = 4      # independent hash rows ('0'..'3' salts)
+_CMS_TOPK = 20
+
+_CMS_HASH = "md5(concat(r, '|', w))"
+_CMS_BUCKET = f"({_hexpoly('hh', 1, 5)} % {_CMS_W})"
+
+_TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+CMS_SQL = f"""
+WITH tf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest({_TOKENS_SQL}) AS w
+        FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> '')
+  GROUP BY w
+), salts AS (
+  SELECT CAST(s AS VARCHAR) AS r FROM (VALUES (0), (1), (2), (3)) v(s)
+), cms AS (
+  SELECT r, {_CMS_BUCKET} AS bucket, sum(c) AS bc
+  FROM (SELECT r, w, c, {_CMS_HASH} AS hh FROM tf CROSS JOIN salts)
+  GROUP BY 1, 2
+), topk AS (
+  SELECT w, c FROM tf ORDER BY c DESC, w LIMIT {_CMS_TOPK}
+), probes AS (
+  SELECT w, c, r, {_CMS_BUCKET} AS bucket
+  FROM (SELECT w, c, r, {_CMS_HASH} AS hh FROM topk CROSS JOIN salts)
+)
+SELECT p.w AS token, p.c AS n_exact,
+       CAST(min(cms.bc) AS BIGINT) AS n_est,
+       CAST(min(cms.bc) - p.c AS BIGINT) AS overcount
+FROM probes p JOIN cms ON p.r = cms.r AND p.bucket = cms.bucket
+GROUP BY p.w, p.c
+ORDER BY n_exact DESC, token
+"""
+
+
+@register("token_cms_topk", sql=CMS_SQL, tags=("sketch", "text"))
+def token_cms_topk(spark, sf_dir):
+    """Count-min sketch (d=4 rows x w=1024 buckets, md5-derived hashes)
+    probed at the exact top-20 tokens: per token the exact count, the CMS
+    estimate (min over rows of bucket sums — always >= exact), and the
+    overcount. Deterministic end to end, so the DuckDB twin replays the
+    sketch bit-for-bit.
+
+    Scale: the sketch is a 4096-cell aggregate — constant state, mergeable
+    map-side, the standard way to track heavy hitters over a 100 TB token
+    stream without materializing the vocabulary. The exact tf table and
+    top-k exist here as the error-measurement twin; at scale the candidate
+    set comes from per-partition top-k merge and tf is never built."""
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim("text") != ""))
+    tf = track_persist(
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    salts = F.array([F.lit(str(i)) for i in range(_CMS_D)])
+    cms = (tf.select("w", "c", F.explode(salts).alias("r"))
+           .withColumn("hh", F.expr(_CMS_HASH))
+           .select("r", F.expr(_CMS_BUCKET).alias("bucket"), "c")
+           .groupBy("r", "bucket").agg(F.sum("c").alias("bc")))
+    topk = tf.orderBy(F.col("c").desc(), "w").limit(_CMS_TOPK)
+    probes = (topk.select("w", "c", F.explode(salts).alias("r"))
+              .withColumn("hh", F.expr(_CMS_HASH))
+              .select("w", "c", "r", F.expr(_CMS_BUCKET).alias("bucket")))
+    return (probes.join(F.broadcast(cms), ["r", "bucket"])
+            .groupBy(F.col("w").alias("token"),
+                     F.col("c").alias("n_exact"))
+            .agg(F.min("bc").cast("bigint").alias("n_est"))
+            .select("token", "n_exact", "n_est",
+                    (F.col("n_est") - F.col("n_exact")).cast("bigint")
+                    .alias("overcount"))
+            .orderBy(F.col("n_exact").desc(), "token"))
+
+
+# --- Z-order data layout ----------------------------------------------------
+
+_Z_BITS = 8            # 256 quantized cells per dimension
+_Z_CELLS = 1 << _Z_BITS
+_Z_FILES = 64          # 2^16 z-values div 1024 -> 64 files
+
+
+def _zbit_terms(xcol: str, ycol: str) -> str:
+    """Interleave the low 8 bits of two integer columns into a 16-bit
+    Z-value, as integer-only SQL (modulo tests against literal powers of
+    two — no shift operators, whose syntax differs across engines)."""
+    terms = []
+    for k in range(_Z_BITS):
+        bx = (f"(CASE WHEN ({xcol} % {2 ** (k + 1)}) >= {2 ** k} "
+              f"THEN 1 ELSE 0 END)")
+        by = (f"(CASE WHEN ({ycol} % {2 ** (k + 1)}) >= {2 ** k} "
+              f"THEN 1 ELSE 0 END)")
+        terms.append(f"{bx} * {2 ** (2 * k + 1)}")
+        terms.append(f"{by} * {2 ** (2 * k)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+# Value -> cell quantization: integer numerator scaled by 256, one IEEE
+# double division (correctly rounded, identical both engines), floored.
+_Z_XB = (f"CAST(floor(CAST((l_partkey - min_x) * {_Z_CELLS} AS DOUBLE)"
+         f" / (max_x - min_x + 1)) AS BIGINT)")
+_Z_YB = (f"CAST(floor(CAST((l_suppkey - min_y) * {_Z_CELLS} AS DOUBLE)"
+         f" / (max_y - min_y + 1)) AS BIGINT)")
+_Z_FILE = (f"CAST(floor(CAST(zkey AS DOUBLE) / {65536 // _Z_FILES})"
+           f" AS BIGINT)")
+
+ZORDER_SQL = f"""
+WITH bounds AS (
+  SELECT min(l_partkey) AS min_x, max(l_partkey) AS max_x,
+         min(l_suppkey) AS min_y, max(l_suppkey) AS max_y
+  FROM lineitem
+), cells AS (
+  SELECT l_partkey, l_suppkey, {_Z_XB} AS xb, {_Z_YB} AS yb
+  FROM lineitem CROSS JOIN bounds
+), zkeys AS (
+  SELECT l_partkey, l_suppkey, {_zbit_terms('xb', 'yb')} AS zkey
+  FROM cells
+)
+SELECT {_Z_FILE} AS file_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(l_partkey) AS BIGINT) AS min_part,
+       CAST(max(l_partkey) AS BIGINT) AS max_part,
+       CAST(min(l_suppkey) AS BIGINT) AS min_supp,
+       CAST(max(l_suppkey) AS BIGINT) AS max_supp,
+       round(CAST(max(l_partkey) - min(l_partkey) AS DOUBLE)
+             / (max(max_x) - min(min_x) + 1), 6) AS part_span,
+       round(CAST(max(l_suppkey) - min(l_suppkey) AS DOUBLE)
+             / (max(max_y) - min(min_y) + 1), 6) AS supp_span
+FROM zkeys CROSS JOIN bounds
+GROUP BY 1
+ORDER BY file_id
+"""
+
+
+@register("zorder_layout", sql=ZORDER_SQL, tags=("layout",))
+def zorder_layout(spark, sf_dir):
+    """Z-order (Morton) layout planner: quantize (l_partkey, l_suppkey)
+    into a 256x256 grid via integer range buckets, interleave the bits
+    into a 16-bit Z-value, and bin rows into 64 Z-range files. Emits per
+    file exactly what a parquet footer would carry — row count and
+    min/max of both dimensions — plus each file's span as a fraction of
+    the global range. A Z-range file covers a compact square of the grid,
+    so both spans land near 1/8 instead of the ~1.0 a row-order layout
+    gives: that is the multi-dimensional pruning win (a predicate on
+    EITHER column skips ~7/8 of files by footer stats alone).
+
+    Scale: one bounded min/max aggregate broadcast back (no global sort,
+    no window over the fact table), a narrow per-row map, and a 64-group
+    aggregate. On a real table the same zkey feeds
+    ``df.repartitionByRange(N, "zkey").sortWithinPartitions("zkey")``
+    before the parquet write; this query IS that plan's stats audit."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bounds = li.agg(
+        F.min("l_partkey").alias("min_x"), F.max("l_partkey").alias("max_x"),
+        F.min("l_suppkey").alias("min_y"), F.max("l_suppkey").alias("max_y"))
+    cells = (li.crossJoin(F.broadcast(bounds))
+             .withColumn("xb", F.expr(_Z_XB))
+             .withColumn("yb", F.expr(_Z_YB)))
+    zkeys = cells.withColumn("zkey", F.expr(_zbit_terms("xb", "yb")))
+    stats = (zkeys.withColumn("file_id", F.expr(_Z_FILE))
+             .groupBy("file_id")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                  F.min("l_partkey").cast("bigint").alias("min_part"),
+                  F.max("l_partkey").cast("bigint").alias("max_part"),
+                  F.min("l_suppkey").cast("bigint").alias("min_supp"),
+                  F.max("l_suppkey").cast("bigint").alias("max_supp"),
+                  F.max("max_x").alias("gx"), F.min("min_x").alias("gnx"),
+                  F.max("max_y").alias("gy"), F.min("min_y").alias("gny")))
+    return (stats.select(
+        "file_id", "n_rows", "min_part", "max_part", "min_supp", "max_supp",
+        F.round((F.col("max_part") - F.col("min_part")).cast("double")
+                / (F.col("gx") - F.col("gnx") + 1), 6).alias("part_span"),
+        F.round((F.col("max_supp") - F.col("min_supp")).cast("double")
+                / (F.col("gy") - F.col("gny") + 1), 6).alias("supp_span"))
+        .orderBy("file_id"))
+
+
+# --- Salted shuffle join ----------------------------------------------------
+
+SALTED_JOIN_SQL = """
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(27,4))), 2)::DOUBLE AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+@register("join_skew_salted", sql=SALTED_JOIN_SQL, tags=("skew", "join"))
+def join_skew_salted(spark, sf_dir):
+    """Brand revenue through ``operators/skew.py::salted_join``: lineitem
+    rows take a per-row salt in [0,8), part is replicated once per salt,
+    and the join key becomes (partkey, salt) — a hot part's probes spread
+    over 8 reducers instead of one. The oracle is the PLAIN join+group-by,
+    proving the salt is semantically invisible (the companion to
+    ``skew_salted_agg``, which proves the same for aggregation).
+
+    Scale: at 100 TB the dim side of a skewed fact join is often too big
+    to broadcast but cheap to replicate 8x; salting is the manual fallback
+    when AQE's skew splitting can't help (e.g. the skew is in the build
+    side of a sort-merge join). Money sums run in DECIMAL(27,4) so the
+    re-grouped partials are order-independent."""
+    from spark_sentiment_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(
+        li, part.withColumnRenamed("p_partkey", "l_partkey"),
+        ["l_partkey"], n_salts=8)
+    return (joined.groupBy("p_brand")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                 F.round(F.sum((F.col("l_extendedprice")
+                                * (1 - F.col("l_discount")))
+                               .cast("decimal(27,4)")), 2)
+                 .cast("double").alias("revenue"))
+            .orderBy("p_brand"))
