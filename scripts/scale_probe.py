@@ -63,12 +63,19 @@ PROBES = {
     "ann_ivf_topk": {"embeddings": ["vec_id"]},
     "ann_pq_topk": {"embeddings": ["vec_id"]},
     "quality_bigram_backoff": {"documents": ["doc_id"]},
+    # round-5 sketch/layout family
+    "agg_hll_sketch": {"lineitem": ["l_orderkey"]},
+    "token_cms_topk": {"documents": ["doc_id"]},
+    "zorder_layout": {"lineitem": ["l_orderkey"]},
+    "join_skew_salted": {"lineitem": ["l_orderkey"], "part": None},
 }
 
 
-def replicate(spark, table: str, keys: list[str], k: int, out_dir: str):
+def replicate(spark, table: str, keys, k: int, out_dir: str):
+    """keys=None marks a fixed dimension table: copied as-is at every K
+    (the fact-grows-dim-fixed shape a real cluster sees)."""
     df = spark.read.parquet(f"{BASE_SF}/{table}.parquet")
-    if k > 1:
+    if k > 1 and keys is not None:
         reps = spark.range(k).withColumnRenamed("id", "__rep")
         df = df.crossJoin(F.broadcast(reps))
         for key in keys:

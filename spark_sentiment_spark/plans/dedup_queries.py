@@ -737,3 +737,128 @@ def dedup_char_ngrams(spark, sf_dir, n: int = CHAR_NGRAM_LEN):
     (sample every s-th offset) to trade recall for an s× smaller
     explode; the fixture runs stride 1."""
     return char_ngram_stats(load(spark, sf_dir, "documents"), n)
+
+
+# --- Prefix-filtered exact similarity join (PPJoin-style) -------------------
+
+# Threshold 3/5 kept as an integer fraction end-to-end: membership tests
+# are the cross-multiplication 5*i >= 3*(na+nb-i), never a float compare
+# one ulp from the boundary.
+_SIMJOIN_NUM = 3
+_SIMJOIN_DEN = 5
+
+SIMJOIN_PREFIX_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+), grams AS (
+  SELECT doc_id, CASE WHEN len(t) >= 2
+         THEN list_transform(generate_series(1, len(t) - 1),
+                             i -> array_to_string(t[i:i+1], ' '))
+         ELSE [array_to_string(t, ' ')] END AS gs
+  FROM toks
+), tok AS (
+  SELECT DISTINCT doc_id, unnest(gs) AS w FROM grams
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, i AS n_shared,
+       sa.n + sb.n - i AS n_union,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE {_SIMJOIN_DEN} * i >= {_SIMJOIN_NUM} * (sa.n + sb.n - i)
+ORDER BY doc_a, doc_b
+"""
+
+
+def _simjoin_grams(docs):
+    """Distinct (doc_id, bigram) rows over the lowercased space-split
+    tokens (whole text as one gram for single-token docs)."""
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), " ", -1).alias("__t"))
+    grams = F.when(
+        F.size("__t") >= 2,
+        F.expr("transform(sequence(0, size(__t) - 2),"
+               " i -> concat(__t[i], ' ', __t[i + 1]))")
+    ).otherwise(F.array(F.concat_ws(" ", F.col("__t"))))
+    return toks.select("doc_id", F.explode(grams).alias("w")).distinct()
+
+
+def _simjoin_candidates(tok):
+    """PPJoin prefix-filter candidate pairs: rank each doc's grams by
+    global rarity (df asc, gram asc), keep the first
+    L - ceil(t*L) + 1, and self-join the prefixes. Lossless for
+    Jaccard >= _SIMJOIN_NUM/_SIMJOIN_DEN; prefix length is integer-exact
+    (ceil as (num*L + den - 1) div den)."""
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    # one doc_id-partitioned window pass yields rank AND set size
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "w")
+    wall = Window.partitionBy("doc_id")
+    ranked = (tok.join(dfreq, "w")
+              .select("doc_id", "w",
+                      F.row_number().over(wdoc).alias("rn"),
+                      F.count(F.lit(1)).over(wall).alias("n")))
+    plen = F.expr(f"n - (({_SIMJOIN_NUM} * n + {_SIMJOIN_DEN} - 1)"
+                  f" div {_SIMJOIN_DEN}) + 1")
+    prefix = ranked.where(F.col("rn") <= plen).select("doc_id", "w")
+    return (prefix.alias("pa")
+            .join(prefix.alias("pb"),
+                  (F.col("pa.w") == F.col("pb.w"))
+                  & (F.col("pa.doc_id") < F.col("pb.doc_id")))
+            .select(F.col("pa.doc_id").alias("doc_a"),
+                    F.col("pb.doc_id").alias("doc_b"))
+            .distinct())
+
+
+@register("dedup_simjoin_prefix", sql=SIMJOIN_PREFIX_SQL, tags=("dedup",))
+def dedup_simjoin_prefix(spark, sf_dir):
+    """EXACT bigram-set similarity join at Jaccard >= 3/5 via prefix
+    filtering (PPJoin's candidate rule): order every doc's token bigrams
+    by global rarity (document frequency asc, gram asc — a total order),
+    keep only the first L - ceil(t*L) + 1 grams as the doc's PREFIX,
+    and generate candidates from the prefix⋈prefix self-join. The filter
+    is LOSSLESS — two sets with Jaccard >= t must share a prefix token
+    under any common total order — so the oracle is the NAIVE all-token
+    self-join and the outputs are identical; only the candidate set
+    shrinks. Every verified pair then recomputes the exact intersection.
+
+    This is the third exact-similarity strategy next to the LSH band
+    join (probabilistic recall) and the naive inverted index (quadratic):
+    exact answers with sub-quadratic candidates. The rarity-first order
+    is also the skew killer — stopword-grade hot tokens sort to the END
+    of each doc's list and fall OUT of the prefixes, so the candidate
+    join never sees the posting lists that blow up the naive plan at
+    100 TB. Prefix length stays integer-exact (ceil as (num*L + den - 1)
+    div den); the final threshold is the same cross-multiplication the
+    oracle uses."""
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim("text") != ""))
+    tok = track_persist(_simjoin_grams(docs))
+    cand = _simjoin_candidates(tok)
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "w")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "w")
+    inter = (cand.join(ta, "doc_a").join(tb, ["doc_b", "w"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("i")))
+    sizes = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    union = F.col("sa.n") + F.col("sb.n") - F.col("i")
+    return (inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+            .where(F.lit(_SIMJOIN_DEN) * F.col("i")
+                   >= F.lit(_SIMJOIN_NUM) * union)
+            .select("doc_a", "doc_b",
+                    F.col("i").alias("n_shared"),
+                    union.cast("bigint").alias("n_union"),
+                    F.round(F.col("i").cast("double") / union, 6)
+                    .alias("jaccard"))
+            .orderBy("doc_a", "doc_b"))
