@@ -690,3 +690,81 @@ def events_session_sequences(spark, sf_dir):
         .drop("sid")
         .orderBy("user_id", "session_start")
     )
+
+
+# --- Incremental rollup maintenance (IVM over additive aggregate state) -----
+
+ROLLUP_INCR_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(CAST(value AS DECIMAL(27,6))), 4)::DOUBLE AS total_value,
+       min(event_id) AS min_id,
+       max(event_id) AS max_id
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
+@register("events_rollup_incremental", sql=ROLLUP_INCR_SQL, tags=("events",))
+def events_rollup_incremental(spark, sf_dir):
+    """Incremental VIEW MAINTENANCE of the daily rollup: everything
+    after the last day's noon plays the incoming batch, everything
+    before it the already-materialized base rollup — deliberately NOT a
+    day-aligned split, so the final day's groups genuinely merge state
+    from BOTH sides (a day-boundary split would only ever exercise the
+    pass-through and insert paths). Both sides aggregate to additive
+    partial state (count, DECIMAL sum, min/max witnesses), then a
+    FULL OUTER join on (day, event_type) merges them — count+count,
+    sum+sum, least/greatest — which is the update a nightly pipeline
+    applies to a stored rollup WITHOUT rescanning history: only groups
+    the delta touches get new values, untouched base rows pass through
+    the outer join unchanged. The oracle recomputes from raw events,
+    proving merged == recomputed.
+
+    Every merged aggregate must be re-aggregable; AVG-style state would
+    need (sum, count) pairs and COUNT DISTINCT would need a sketch
+    (agg_hll_sketch is the mergeable tool for that). Value sums run in
+    DECIMAL(27,6) so base+delta addition is order-independent. NULL
+    semantics survive the merge: a group whose values are all NULL sums
+    to NULL, not 0 (the CASE guard), matching plain SQL.
+
+    Scale: two bounded-key aggregations and one bounded-key outer join —
+    at 100 TB the base side is the stored rollup table (days x types
+    rows, not events), so the maintenance cost is proportional to the
+    DELTA, which is the entire point."""
+    ev = load(spark, sf_dir, "events")
+    split = ev.agg(
+        (F.date_trunc("day", F.max("ts"))
+         + F.expr("INTERVAL 12 HOURS")).alias("split_ts"))
+    tagged = ev.crossJoin(F.broadcast(split))
+
+    def rollup(df):
+        return (df.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+            .alias("day"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(27,6)")).alias("sv"),
+                 F.min("event_id").alias("mn"),
+                 F.max("event_id").alias("mx")))
+
+    base = rollup(tagged.where(F.col("ts") < F.col("split_ts"))).alias("b")
+    delta = rollup(tagged.where(F.col("ts") >= F.col("split_ts"))).alias("d")
+    b, d = F.col("b.sv"), F.col("d.sv")
+    merged_sum = (F.when(b.isNull() & d.isNull(), F.lit(None))
+                  .otherwise(F.coalesce(b, F.lit(0).cast("decimal(27,6)"))
+                             + F.coalesce(d, F.lit(0).cast("decimal(27,6)"))))
+    return (base.join(delta, ["day", "event_type"], "full_outer")
+            .select(
+                "day", "event_type",
+                (F.coalesce(F.col("b.n"), F.lit(0))
+                 + F.coalesce(F.col("d.n"), F.lit(0)))
+                .cast("bigint").alias("n_events"),
+                F.round(merged_sum, 4).cast("double").alias("total_value"),
+                F.least(F.coalesce(F.col("b.mn"), F.col("d.mn")),
+                        F.coalesce(F.col("d.mn"), F.col("b.mn")))
+                .alias("min_id"),
+                F.greatest(F.coalesce(F.col("b.mx"), F.col("d.mx")),
+                           F.coalesce(F.col("d.mx"), F.col("b.mx")))
+                .alias("max_id"))
+            .orderBy("day", "event_type"))

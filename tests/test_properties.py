@@ -502,3 +502,37 @@ def test_token_pagerank_vocab_cap_bounds_the_graph(spark):
     full = token_pagerank(spark, SF_DIR).collect()   # default cap 100k
     release_caches()
     assert len(full) > 5   # cap far above vocab -> identity
+
+
+def test_rollup_incremental_merge_semantics(spark, tmp_path):
+    """Constructed stream pinning the three merge paths the oracle can't
+    isolate: a group updated by the delta (count+count, sum+sum), a
+    base-only group passing through the outer join, a delta-only group
+    inserted, and an all-NULL-value group staying NULL (not 0)."""
+    from datetime import datetime
+
+    from spark_sentiment_spark.plans.events_queries import (
+        events_rollup_incremental)
+
+    rows = [
+        # (event_id, ts, user_id, event_type, value); split = Jan 2 noon
+        (1, datetime(2024, 1, 1, 9), 1, "a", 1.5),    # base
+        (2, datetime(2024, 1, 1, 10), 1, "a", 2.5),   # base
+        (3, datetime(2024, 1, 1, 11), 1, "b", None),  # base, NULL-only group
+        (4, datetime(2024, 1, 2, 8), 2, "a", 4.0),    # base (pre-noon)
+        (5, datetime(2024, 1, 2, 13), 2, "a", 6.0),   # delta: MERGES (02,a)
+        (6, datetime(2024, 1, 2, 14), 2, "c", 7.0),   # delta-only group
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double") \
+        .write.parquet(str(tmp_path / "events.parquet"))
+    got = {(r["day"], r["event_type"]):
+           (r["n_events"], r["total_value"], r["min_id"], r["max_id"])
+           for r in events_rollup_incremental(spark, str(tmp_path)).collect()}
+    assert got == {
+        ("2024-01-01", "a"): (2, 4.0, 1, 2),     # base-only, passes through
+        ("2024-01-01", "b"): (1, None, 3, 3),    # all-NULL sum stays NULL
+        ("2024-01-02", "a"): (2, 10.0, 4, 5),    # merged from BOTH sides
+        ("2024-01-02", "c"): (1, 7.0, 6, 6),     # delta-only insert
+    }
