@@ -16,6 +16,7 @@ oracle replays the sketch, it does not merely approve an approximation.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from spark_sentiment_spark.plans.registry import (load, register,
                                                   track_persist)
@@ -335,3 +336,101 @@ def join_skew_salted(spark, sf_dir):
                                .cast("decimal(27,4)")), 2)
                  .cast("double").alias("revenue"))
             .orderBy("p_brand"))
+
+
+# --- Histogram quantile sketch ----------------------------------------------
+
+_QH_BINS = 128
+# quantiles as integer fractions: rank targets are ceil(num*N/den),
+# computed with (num*N + den - 1) integer arithmetic — no float rank.
+_QH_QUANTILES = [("0.50", 1, 2), ("0.95", 19, 20), ("0.99", 99, 100)]
+
+_QH_BIN = (f"CAST(floor(CAST((n_chars - min_v) * {_QH_BINS} AS DOUBLE)"
+           f" / (max_v - min_v + 1)) AS BIGINT)")
+
+# integer floor-division for the rank target: DuckDB's / on integers is
+# FLOAT division and CAST(double AS BIGINT) *rounds*, while Spark's cast
+# truncates — // and div keep both engines in exact integer arithmetic.
+_QH_QSEL = "\nUNION ALL\n".join(
+    f"SELECT '{lbl}' AS quantile, "
+    f"CAST(({num} * n_rows + {den} - 1) // {den} AS BIGINT) AS target "
+    f"FROM total" for lbl, num, den in _QH_QUANTILES)
+
+QHIST_SQL = f"""
+WITH bounds AS (
+  SELECT min(n_chars) AS min_v, max(n_chars) AS max_v FROM documents
+), total AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows FROM documents
+), hist AS (
+  SELECT {_QH_BIN} AS bin, CAST(count(*) AS BIGINT) AS c
+  FROM documents CROSS JOIN bounds
+  GROUP BY 1
+), cum AS (
+  SELECT bin, c,
+         sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_c
+  FROM hist
+), targets AS (
+  {_QH_QSEL}
+), hit AS (
+  SELECT t.quantile, t.target, min(cum.bin) AS bin
+  FROM targets t JOIN cum ON cum.cum_c >= t.target
+  GROUP BY 1, 2
+)
+SELECT h.quantile, h.target,
+       round(min_v + (h.bin + CAST(h.target - (cum.cum_c - cum.c) AS DOUBLE)
+                              / cum.c)
+                     * (CAST(max_v - min_v + 1 AS DOUBLE) / {_QH_BINS}), 4)
+         AS est_value
+FROM hit h
+JOIN cum ON h.bin = cum.bin
+CROSS JOIN bounds
+ORDER BY quantile
+"""
+
+
+@register("quantile_histogram_sketch", sql=QHIST_SQL, tags=("sketch",))
+def quantile_histogram_sketch(spark, sf_dir):
+    """p50/p95/p99 of documents.n_chars from a 128-bin equi-width
+    histogram — the mergeable fixed-state quantile estimator (each
+    executor emits 128 counts; bins add across 1000 nodes), with
+    rank-targeted linear interpolation inside the hit bin. Rank targets
+    are integer-exact (ceil(q*N) as (num*N+den-1) div den); bin edges
+    and interpolation are each ONE correctly-rounded IEEE division on
+    integer operands, so the DuckDB twin replays the estimate
+    bit-for-bit — the oracle checks the sketch, not a tolerance band.
+    (The exact-percentile counterpart lives in agg_percentiles; the
+    error between the two is test-pinned, not part of this output.)
+
+    Scale: one bounded min/max + count aggregate broadcast back, one
+    128-group aggregate, a window over <=128 rows. Nothing about the
+    plan changes at 100 TB; contrast with exact percentiles, whose
+    value-ranked cumulative window grows with the distinct-value
+    count."""
+    docs = load(spark, sf_dir, "documents").select("n_chars")
+    bounds = docs.agg(F.min("n_chars").alias("min_v"),
+                      F.max("n_chars").alias("max_v"),
+                      F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    hist = (docs.crossJoin(F.broadcast(bounds))
+            .select(F.expr(_QH_BIN).alias("bin"))
+            .groupBy("bin").agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    wcum = (Window.orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.select("bin", "c", F.sum("c").over(wcum).alias("cum_c"))
+    targets = None
+    for lbl, num, den in _QH_QUANTILES:
+        t = bounds.select(
+            F.lit(lbl).alias("quantile"),
+            F.expr(f"({num} * n_rows + {den - 1}) div {den}")
+            .cast("bigint").alias("target"))
+        targets = t if targets is None else targets.union(t)
+    hit = (targets.join(cum, F.col("cum_c") >= F.col("target"))
+           .groupBy("quantile", "target").agg(F.min("bin").alias("bin")))
+    width = (F.col("max_v") - F.col("min_v") + 1).cast("double") / _QH_BINS
+    frac = ((F.col("target") - (F.col("cum_c") - F.col("c"))).cast("double")
+            / F.col("c"))
+    return (hit.join(cum, "bin")
+            .crossJoin(F.broadcast(bounds.select("min_v", "max_v")))
+            .select("quantile", "target",
+                    F.round(F.col("min_v") + (F.col("bin") + frac) * width, 4)
+                    .alias("est_value"))
+            .orderBy("quantile"))

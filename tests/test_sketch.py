@@ -79,3 +79,23 @@ def test_salted_join_spreads_keys(spark):
     n_salts = salted.select("_salt").distinct().count()
     assert n_salts == 8
     assert out.count() == li.join(part, "l_partkey").count()
+
+
+def test_quantile_histogram_within_one_bin(spark):
+    """The rank-target value lives in the hit bin and the interpolated
+    estimate also lies inside that bin, so |est - exact| < bin width is a
+    theorem, not a tolerance — check it for all three quantiles."""
+    df = REGISTRY["quantile_histogram_sketch"].fn(spark, SF_DIR)
+    rows = {r["quantile"]: r for r in df.collect()}
+    assert set(rows) == {"0.50", "0.95", "0.99"}
+
+    vals = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("n_chars").toPandas()["n_chars"])
+    lo, hi, n = int(vals.min()), int(vals.max()), len(vals)
+    width = (hi - lo + 1) / 128.0
+    s = vals.sort_values().reset_index(drop=True)
+    for lbl, num, den in [("0.50", 1, 2), ("0.95", 19, 20), ("0.99", 99, 100)]:
+        target = -(-num * n // den)          # ceil(num*n/den)
+        assert rows[lbl]["target"] == target
+        exact = float(s.iloc[target - 1])    # target-th smallest
+        assert abs(rows[lbl]["est_value"] - exact) < width, (lbl, exact)
