@@ -877,3 +877,109 @@ def pii_redaction(spark, sf_dir):
         F.col("c.phone").cast("bigint").alias("n_phone"),
         "redacted_md5")
         .orderBy("doc_id"))
+
+
+# --- Char-trigram language ID (Cavnar-Trenkle-style ranked profiles) --------
+
+_LCN_P = 100   # profile size: top-P trigrams per language
+
+
+LANGID_NGRAM_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, lower(text) AS s FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+), tri AS (
+  SELECT DISTINCT doc_id, lang, unnest(
+    CASE WHEN length(s) >= 3
+         THEN list_transform(generate_series(1, length(s) - 2),
+                             i -> substr(s, i, 3))
+         ELSE [s] END) AS g
+  FROM base
+), prof_counts AS (
+  SELECT lang AS plang, g, count(*) AS c
+  FROM tri WHERE doc_id % 2 = 0
+  GROUP BY 1, 2
+), prof AS (
+  SELECT plang, g,
+         row_number() OVER (PARTITION BY plang ORDER BY c DESC, g) AS rnk
+  FROM prof_counts
+), profk AS (
+  SELECT plang, g, {_LCN_P + 1} - rnk AS wgt FROM prof WHERE rnk <= {_LCN_P}
+), test AS (
+  SELECT doc_id, lang, g FROM tri WHERE doc_id % 2 = 1
+), scores AS (
+  SELECT t.doc_id, t.lang, p.plang, sum(p.wgt) AS score
+  FROM test t JOIN profk p ON t.g = p.g
+  GROUP BY 1, 2, 3
+), best AS (
+  SELECT doc_id, lang, plang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, plang) AS rn
+  FROM scores
+), pred AS (
+  SELECT d.doc_id, d.lang,
+         coalesce(b.plang, 'unknown') AS predicted_lang
+  FROM (SELECT DISTINCT doc_id, lang FROM test) d
+  LEFT JOIN (SELECT doc_id, plang FROM best WHERE rn = 1) b USING (doc_id)
+)
+SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2
+ORDER BY lang, predicted_lang
+"""
+
+
+@register("langid_char_ngram", sql=LANGID_NGRAM_SQL, tags=("text", "eval"))
+def langid_char_ngram(spark, sf_dir):
+    """Second language-ID method next to the stop-word voter: ranked
+    char-TRIGRAM profiles (Cavnar-Trenkle's n-gram-frequency scheme with
+    integer rank weights). Even doc_ids train — per language, the top-100
+    trigrams by document frequency, rank r carrying weight 101-r — and
+    odd doc_ids are classified by the profile-weight sum of their
+    distinct trigrams, argmax with a (score desc, lang) total order so
+    ties are deterministic; docs hitting no profile fall back to
+    'unknown'. Output is the same long-format confusion matrix as
+    langid_confusion, making the two methods directly comparable.
+
+    Everything is count arithmetic — no floats anywhere — so the DuckDB
+    twin reproduces scores exactly. Scale: profiles are bounded
+    (|langs| x 100 rows) and broadcast into the scoring join; the corpus
+    explodes to distinct (doc, trigram) pairs exactly once; the argmax
+    window partitions by doc_id. Char trigrams need no tokenizer, which
+    is why this family is the standard cheap first-pass filter before
+    any model-based language ID at web scale."""
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim("text") != ""))
+    base = docs.select("doc_id", "lang", F.lower("text").alias("s"))
+    grams = F.when(
+        F.length("s") >= 3,
+        F.expr("transform(sequence(1, length(s) - 2),"
+               " i -> substring(s, i, 3))")
+    ).otherwise(F.array(F.col("s")))
+    tri = track_persist(
+        base.select("doc_id", "lang", F.explode(grams).alias("g"))
+        .distinct())
+    wprof = Window.partitionBy("plang").orderBy(F.col("c").desc(), "g")
+    profk = (tri.where(F.col("doc_id") % 2 == 0)
+             .groupBy(F.col("lang").alias("plang"), "g")
+             .agg(F.count(F.lit(1)).alias("c"))
+             .select("plang", "g", F.row_number().over(wprof).alias("rnk"))
+             .where(F.col("rnk") <= _LCN_P)
+             .select("plang", "g", (F.lit(_LCN_P + 1) - F.col("rnk"))
+                     .alias("wgt")))
+    test = tri.where(F.col("doc_id") % 2 == 1)
+    scores = (test.join(F.broadcast(profk), "g")
+              .groupBy("doc_id", "lang", "plang")
+              .agg(F.sum("wgt").alias("score")))
+    wbest = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), "plang")
+    best = (scores.select("doc_id", "plang",
+                          F.row_number().over(wbest).alias("rn"))
+            .where(F.col("rn") == 1)
+            .select("doc_id", "plang"))
+    pred = (test.select("doc_id", "lang").distinct()
+            .join(best, "doc_id", "left")
+            .select("lang", F.coalesce("plang", F.lit("unknown"))
+                    .alias("predicted_lang")))
+    return (pred.groupBy("lang", "predicted_lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .orderBy("lang", "predicted_lang"))

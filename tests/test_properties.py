@@ -536,3 +536,29 @@ def test_rollup_incremental_merge_semantics(spark, tmp_path):
         ("2024-01-02", "a"): (2, 10.0, 4, 5),    # merged from BOTH sides
         ("2024-01-02", "c"): (1, 7.0, 6, 6),     # delta-only insert
     }
+
+
+def test_langid_char_ngram_separates_constructed_languages(spark, tmp_path):
+    """The synthetic corpus's lang labels are content-free, so the real
+    check is on a constructed corpus with genuinely distinct character
+    distributions: profiles trained on even doc_ids must classify every
+    odd doc of each 'language' correctly (perfect diagonal), and a test
+    doc sharing no trigram with any profile must fall back to 'unknown'."""
+    from spark_sentiment_spark.plans.registry import release_caches
+    from spark_sentiment_spark.plans.text_queries import langid_char_ngram
+
+    xx = "xqx qxq xqx qxq"
+    zz = "zwz wzw zwz wzw"
+    rows = [
+        (0, xx, "X"), (2, xx + " xqq", "X"),      # train X
+        (1, xx, "X"), (3, "qxq xqx", "X"),        # test X
+        (10, zz, "Z"), (12, zz + " zww", "Z"),    # train Z
+        (11, zz, "Z"), (13, "wzw zwz", "Z"),      # test Z
+        (5, "777 888 999", "X"),                  # test, no profile overlap
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    got = {(r["lang"], r["predicted_lang"]): r["n"]
+           for r in langid_char_ngram(spark, str(tmp_path)).collect()}
+    release_caches()
+    assert got == {("X", "X"): 2, ("Z", "Z"): 2, ("X", "unknown"): 1}
