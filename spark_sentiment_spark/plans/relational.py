@@ -763,8 +763,13 @@ ORDER BY l_returnflag
 @register("agg_approx_distinct", tags=("agg",))
 def agg_approx_distinct(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++) next to the exact count —
-    rows-only check (sketch estimates are engine-specific); the relative
-    error bound (<2% at default rsd) is asserted in tests."""
+    rows-only check (Spark's HLL++ register layout is engine-specific,
+    so no SQL twin can replay it); the relative error bound (<2% at
+    default rsd) is asserted in tests. The oracle-backed counterpart is
+    ``agg_hll_sketch`` (plans/sketch_queries.py), which builds the HLL
+    from md5 so the DuckDB twin reproduces the estimate bit-for-bit —
+    use that when the estimate itself must be auditable, this native
+    form when you just want Tungsten's fastest sketch."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")

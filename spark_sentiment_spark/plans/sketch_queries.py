@@ -1,7 +1,8 @@
 """Sketch & layout queries (SURVEY.md §7.4 extension surface): streaming
-sketches (HyperLogLog-style distinct, count-min heavy hitters), Z-order
-data layout, and the salted shuffle join — the remaining scale tools a
-100 TB curation pipeline leans on when exact global state is too big.
+sketches (HyperLogLog-style distinct, count-min heavy hitters, histogram
+quantiles), Z-order data layout, the salted shuffle join, and the
+join-key skew profiler — the remaining scale tools a 100 TB curation
+pipeline leans on when exact global state is too big.
 
 Every query here is engine-independent BY CONSTRUCTION and ships an exact
 DuckDB oracle: all hashing is md5-derived (identical text in both engines),
@@ -434,3 +435,80 @@ def quantile_histogram_sketch(spark, sf_dir):
                     F.round(F.col("min_v") + (F.col("bin") + frac) * width, 4)
                     .alias("est_value"))
             .orderBy("quantile"))
+
+
+# --- Join-key skew profiler -------------------------------------------------
+
+_SKEW_COLS = [("lineitem", "l_partkey"), ("lineitem", "l_suppkey"),
+              ("orders", "o_custkey")]
+
+
+def _skew_block(table: str, col: str) -> str:
+    freq = f"(SELECT {col} AS k, count(*) AS c FROM {table} GROUP BY 1)"
+    return f"""
+SELECT '{col}' AS key_col, s.n_rows, s.n_keys, s.max_freq, p.p99_freq,
+       round(CAST(s.max_freq AS DOUBLE) / s.n_rows, 6) AS top1_share,
+       round(CAST(s.max_freq * s.n_keys AS DOUBLE) / s.n_rows, 4)
+         AS skew_ratio
+FROM (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(c) AS BIGINT) AS max_freq
+      FROM {freq} f) s
+CROSS JOIN
+     (SELECT CAST(min(c) AS BIGINT) AS p99_freq
+      FROM (SELECT c, sum(m) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+                      AS cum
+            FROM (SELECT c, count(*) AS m FROM {freq} f2 GROUP BY c) fc) cc
+      CROSS JOIN (SELECT (99 * count(*) + 99) // 100 AS tgt
+                  FROM {freq} f3) t
+      WHERE cc.cum >= t.tgt) p"""
+
+
+SKEW_PROFILE_SQL = ("\nUNION ALL\n".join(
+    _skew_block(t, c) for t, c in _SKEW_COLS)
+    + "\nORDER BY key_col")
+
+
+@register("skew_profile", sql=SKEW_PROFILE_SQL, tags=("sketch", "skew"))
+def skew_profile(spark, sf_dir):
+    """Join-key skew diagnostic over the three fact join keys: per key
+    column the row/key counts, the hottest key's frequency, the p99
+    frequency (integer rank target over the frequency-of-frequencies
+    table), the hottest key's share of all rows, and skew_ratio =
+    max_freq * n_keys / n_rows (1.0 = perfectly uniform; the factor by
+    which the hottest reducer exceeds the average under hash
+    partitioning). This is the measurement that DECIDES between a plain
+    shuffle join, AQE skew splitting, and the explicit salted join
+    (join_skew_salted) — you profile before you salt.
+
+    Scale: each block is one hash aggregate to the key's cardinality,
+    one aggregate over frequency-of-frequencies (bounded by the number
+    of DISTINCT frequencies, far smaller than the key count), and 1-row
+    cross joins; nothing global, nothing quadratic."""
+    out = None
+    for table, col in _SKEW_COLS:
+        df = load(spark, sf_dir, table)
+        freq = df.groupBy(F.col(col).alias("k")).agg(
+            F.count(F.lit(1)).alias("c"))
+        stats = freq.agg(F.sum("c").cast("bigint").alias("n_rows"),
+                         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                         F.max("c").cast("bigint").alias("max_freq"))
+        fc = freq.groupBy("c").agg(F.count(F.lit(1)).alias("m"))
+        wcum = (Window.orderBy("c")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        cum = fc.select("c", F.sum("m").over(wcum).alias("cum"))
+        tgt = freq.agg(
+            F.expr("(99 * count(1) + 99) div 100").alias("tgt"))
+        p99 = (cum.crossJoin(F.broadcast(tgt))
+               .where(F.col("cum") >= F.col("tgt"))
+               .agg(F.min("c").cast("bigint").alias("p99_freq")))
+        row = (stats.crossJoin(F.broadcast(p99))
+               .select(F.lit(col).alias("key_col"),
+                       "n_rows", "n_keys", "max_freq", "p99_freq",
+                       F.round(F.col("max_freq").cast("double")
+                               / F.col("n_rows"), 6).alias("top1_share"),
+                       F.round((F.col("max_freq") * F.col("n_keys"))
+                               .cast("double") / F.col("n_rows"), 4)
+                       .alias("skew_ratio")))
+        out = row if out is None else out.union(row)
+    return out.orderBy("key_col")

@@ -99,3 +99,20 @@ def test_quantile_histogram_within_one_bin(spark):
         assert rows[lbl]["target"] == target
         exact = float(s.iloc[target - 1])    # target-th smallest
         assert abs(rows[lbl]["est_value"] - exact) < width, (lbl, exact)
+
+
+def test_skew_profile_invariants(spark):
+    """Structural invariants of the skew diagnostic: totals reconcile
+    with the raw tables, the frequency order max >= p99 >= 1 holds, and
+    skew_ratio >= 1 (equality only for a perfectly uniform key)."""
+    rows = {r["key_col"]: r
+            for r in REGISTRY["skew_profile"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == {"l_partkey", "l_suppkey", "o_custkey"}
+    li_n = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    ord_n = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    for col, r in rows.items():
+        assert r["n_rows"] == (ord_n if col == "o_custkey" else li_n)
+        assert r["max_freq"] >= r["p99_freq"] >= 1
+        assert 0 < r["top1_share"] <= 1
+        assert r["skew_ratio"] >= 1.0, r
+        assert r["n_keys"] <= r["n_rows"]
