@@ -549,3 +549,70 @@ def sample_video_frames(df: DataFrame, stride: int = 2,
                                              "mean_g", "mean_b"])
 
     return df.mapInPandas(run, schema)
+
+
+# --- Perceptual hash (aHash) over the real PPM decode -----------------------
+
+PHASH_GROUP = 7    # docs per planted near-dup group (image keyed by gid)
+PHASH_PERTURB = 40  # per-member shift of the first pixel byte (mod 256)
+PHASH_BLOCKS = 12  # 12 md5 blocks x 16 bytes = the exact 8*8*3 buffer
+
+
+def attach_ppm_group_content(df: DataFrame,
+                             id_col: str = "doc_id") -> DataFrame:
+    """Synthesize 8x8 P6 PPM images with PLANTED near-duplicates: the
+    pixel chain is keyed by gid = id div PHASH_GROUP (so group members
+    share a base image) and member m = id % PHASH_GROUP shifts the first
+    pixel byte by PHASH_PERTURB*m mod 256 — a one-byte perturbation that
+    leaves perceptual hashes within a few bits of each other. Same
+    native construction discipline as attach_ppm_content: every byte is
+    md5-reproducible, the whole thing a scan-speed projection."""
+    id_c = F.col(id_col)
+    gid = F.expr(f"{id_col} div {PHASH_GROUP}")
+    m = (id_c % PHASH_GROUP).cast("int")
+    blocks = F.concat(*[
+        F.unhex(F.md5(F.concat(F.lit("g:"), gid.cast("string"),
+                               F.lit(f":{k}"))))
+        for k in range(PHASH_BLOCKS)])
+    v0 = F.conv(F.substring(F.hex(blocks), 1, 2), 16, 10).cast("int")
+    v0p = (v0 + F.lit(PHASH_PERTURB) * m) % 256
+    pixels = F.concat(F.unhex(F.lpad(F.hex(v0p), 2, "0")),
+                      blocks.substr(F.lit(2), F.lit(191)))
+    header = F.lit(b"P6\n8 8\n255\n")
+    return df.select(id_c, F.concat(header, pixels).alias("content"))
+
+
+def decode_ppm_ahash(df: DataFrame, content_col: str = "content",
+                     id_col: str = "doc_id") -> DataFrame:
+    """REAL decode to a 64-bit average hash: parse the P6 header,
+    reinterpret the raster, integer grayscale (r+g+b) div 3 per pixel,
+    bit_p = [64*gray_p > sum(gray)] (integer cross-multiplication — no
+    mean division, so the bit is engine-exact), packed row-major into
+    four 16-bit band integers b0..b3. Arrow-batched mapInPandas, one
+    batch in, one out."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    schema = f"{id_col} long, b0 long, b1 long, b2 long, b3 long"
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for did, buf in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(buf)
+                m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", b)
+                w, h, _ = (int(g) for g in m.groups())
+                px = (np.frombuffer(b, np.uint8, count=w * h * 3,
+                                    offset=m.end())
+                      .astype(np.int64))
+                gray = (px[0::3] + px[1::3] + px[2::3]) // 3
+                s = int(gray.sum())
+                bits = (64 * gray > s).astype(np.int64)
+                bands = [int((bits[16 * i:16 * (i + 1)]
+                              << np.arange(16)).sum()) for i in range(4)]
+                out.append((int(did), *bands))
+            yield pd.DataFrame(out, columns=[id_col, "b0", "b1", "b2", "b3"])
+
+    return df.mapInPandas(run, schema)

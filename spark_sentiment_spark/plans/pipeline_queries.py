@@ -2147,3 +2147,116 @@ def packing_efficiency(spark, sf_dir):
                                          * PACK_BUDGET), 6)
                  .alias("packed_waste"))
             .orderBy("source"))
+
+
+# --- Perceptual-hash near-dup over the real image decode --------------------
+
+_PH_CHAIN = " || ".join(
+    f"md5('g:' || CAST(doc_id // 7 AS VARCHAR) || ':{k}')"
+    for k in range(12))
+_PH_POW2 = ("CASE p % 16 " + " ".join(
+    f"WHEN {k} THEN {1 << k}" for k in range(16)) + " END")
+_PH_HAM = ("bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))"
+           " + bit_count(xor(ha.b2, hb.b2))"
+           " + bit_count(xor(ha.b3, hb.b3))")
+
+PHASH_DEDUP_SQL = f"""
+WITH d AS (
+  SELECT doc_id, doc_id % 7 AS m, {_PH_CHAIN} AS hx FROM documents
+), px AS (
+  SELECT doc_id, j,
+         CASE WHEN j = 0
+              THEN (('0x' || substr(hx, 1, 2))::INTEGER + 40 * m) % 256
+              ELSE ('0x' || substr(hx, 2*j + 1, 2))::INTEGER END AS v
+  FROM d CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(0, 191)) AS j) g
+), gray AS (
+  SELECT doc_id, j // 3 AS p, sum(v) // 3 AS gv
+  FROM px GROUP BY doc_id, j // 3
+), tot AS (
+  SELECT doc_id, sum(gv) AS s FROM gray GROUP BY doc_id
+), bits AS (
+  SELECT g.doc_id, p, CASE WHEN 64 * gv > s THEN 1 ELSE 0 END AS bit
+  FROM gray g JOIN tot t USING (doc_id)
+), bands AS (
+  SELECT doc_id, p // 16 AS bi,
+         CAST(sum(bit * {_PH_POW2}) AS BIGINT) AS bv
+  FROM bits GROUP BY doc_id, p // 16
+), hs AS (
+  SELECT doc_id,
+         max(CASE WHEN bi = 0 THEN bv END) AS b0,
+         max(CASE WHEN bi = 1 THEN bv END) AS b1,
+         max(CASE WHEN bi = 2 THEN bv END) AS b2,
+         max(CASE WHEN bi = 3 THEN bv END) AS b3
+  FROM bands GROUP BY doc_id
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, CAST({_PH_HAM} AS BIGINT) AS hamming
+FROM cand c
+JOIN hs ha ON c.doc_a = ha.doc_id
+JOIN hs hb ON c.doc_b = hb.doc_id
+WHERE {_PH_HAM} <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("multimodal_phash_dedup", sql=PHASH_DEDUP_SQL,
+          tags=("multimodal", "dedup"))
+def multimodal_phash_dedup(spark, sf_dir):
+    """Near-duplicate IMAGES by perceptual hash — the multimodal arm of
+    the dedup family: synthesize 8x8 P6 PPMs with planted near-dup
+    groups (shared md5 pixel chain per gid = doc_id div 7, one pixel
+    byte perturbed per member), REALLY decode them (mapInPandas raster
+    parse, operators/multimodal.py::decode_ppm_ahash), hash each to a
+    64-bit aHash with integer cross-multiplied mean bits, and find pairs
+    at Hamming distance <= 3 via 4x16-bit band buckets: by pigeonhole,
+    two hashes within 3 bit flips MUST agree on at least one band, so
+    the band join is a LOSSLESS candidate filter (the image-space twin
+    of dedup_simjoin_prefix's prefix rule and the SimHash band trick).
+    Verification XORs the band integers and sums bit_count — no
+    per-bit table, no all-pairs join anywhere.
+
+    The DuckDB oracle replays construction, decode, hashing, banding and
+    verification from the same md5 chains — the estimate chain is
+    engine-exact end to end. At sf0.01 the 500 docs form ~71 groups and
+    ~1.47k of the 1494 planted within-group pairs land at hamming <= 3
+    (the perturbation occasionally flips >3 bits when the mean shifts —
+    those misses are the hash's real behavior, identically reproduced).
+
+    Scale: hashing is one Arrow pass over the rasters; state per image
+    is 8 bytes; the band self-join is bucket-local (the LSH shape), and
+    hamming verification touches candidates only."""
+    from spark_sentiment_spark.operators.multimodal import (
+        attach_ppm_group_content, decode_ppm_ahash)
+    from spark_sentiment_spark.plans.registry import track_persist
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    hashes = track_persist(
+        decode_ppm_ahash(attach_ppm_group_content(docs)))
+    bands = hashes.selectExpr(
+        "doc_id", "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (bi, bv)")
+    cand = (bands.alias("a")
+            .join(bands.alias("b"),
+                  (F.col("a.bi") == F.col("b.bi"))
+                  & (F.col("a.bv") == F.col("b.bv"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    ha = hashes.select(F.col("doc_id").alias("doc_a"),
+                       F.col("b0").alias("a0"), F.col("b1").alias("a1"),
+                       F.col("b2").alias("a2"), F.col("b3").alias("a3"))
+    hb = hashes.select(F.col("doc_id").alias("doc_b"),
+                       F.col("b0").alias("c0"), F.col("b1").alias("c1"),
+                       F.col("b2").alias("c2"), F.col("b3").alias("c3"))
+    ham = (F.bit_count(F.col("a0").bitwiseXOR(F.col("c0")))
+           + F.bit_count(F.col("a1").bitwiseXOR(F.col("c1")))
+           + F.bit_count(F.col("a2").bitwiseXOR(F.col("c2")))
+           + F.bit_count(F.col("a3").bitwiseXOR(F.col("c3"))))
+    return (cand.join(ha, "doc_a").join(hb, "doc_b")
+            .where(ham <= 3)
+            .select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
+            .orderBy("doc_a", "doc_b"))

@@ -368,3 +368,46 @@ def test_video_frame_sampling_matches_independent_decode(spark):
             assert abs(r.mean_r - want[0]) < 1e-9
             assert abs(r.mean_g - want[1]) < 1e-9
             assert abs(r.mean_b - want[2]) < 1e-9
+
+
+def test_phash_dedup_matches_brute_force(spark):
+    """multimodal_phash_dedup (band-pruned) against an independent
+    pure-Python construct→decode→hash→ALL-PAIRS hamming implementation:
+    identical pair sets and distances. This doubles as the empirical
+    losslessness proof of the 4x16-bit pigeonhole band filter at
+    hamming <= 3."""
+    import hashlib
+
+    import numpy as np
+
+    from spark_sentiment_spark.plans.pipeline_queries import (
+        multimodal_phash_dedup)
+    from spark_sentiment_spark.plans.registry import release_caches
+    from tests.conftest import SF_DIR
+
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in multimodal_phash_dedup(spark, SF_DIR).collect()}
+    release_caches()
+
+    ids = [r["doc_id"] for r in spark.read.parquet(
+        f"{SF_DIR}/documents.parquet").select("doc_id").collect()]
+
+    def ahash(doc_id):
+        raw = b"".join(hashlib.md5(f"g:{doc_id // 7}:{k}".encode()).digest()
+                       for k in range(12))[:192]
+        b = bytearray(raw)
+        b[0] = (b[0] + 40 * (doc_id % 7)) % 256
+        v = np.frombuffer(bytes(b), np.uint8).astype(np.int64)
+        gray = (v[0::3] + v[1::3] + v[2::3]) // 3
+        return (64 * gray > gray.sum()).astype(np.int64)
+
+    hashes = {i: ahash(i) for i in ids}
+    want = {}
+    srt = sorted(ids)
+    for ai, a in enumerate(srt):
+        for b in srt[ai + 1:]:
+            ham = int(np.sum(hashes[a] != hashes[b]))
+            if ham <= 3:
+                want[(a, b)] = ham
+    assert got == want
+    assert len(want) > 100   # the planted groups actually fire
