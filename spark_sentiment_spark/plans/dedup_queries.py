@@ -862,3 +862,92 @@ def dedup_simjoin_prefix(spark, sf_dir):
                     F.round(F.col("i").cast("double") / union, 6)
                     .alias("jaccard"))
             .orderBy("doc_a", "doc_b"))
+
+
+# --- Directional containment join (quote / superset detection) --------------
+
+# Containment threshold 3/4 as an integer fraction (4*i >= 3*n_src).
+_CONT_NUM = 3
+_CONT_DEN = 4
+
+CONTAINMENT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+), grams AS (
+  SELECT doc_id, CASE WHEN len(t) >= 2
+         THEN list_transform(generate_series(1, len(t) - 1),
+                             i -> array_to_string(t[i:i+1], ' '))
+         ELSE [array_to_string(t, ' ')] END AS gs
+  FROM toks
+), tok AS (
+  SELECT DISTINCT doc_id, unnest(gs) AS w FROM grams
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, CAST(count(*) AS BIGINT) AS i
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT src, dst, i AS n_shared, ss.n AS n_src,
+       round(CAST(i AS DOUBLE) / ss.n, 6) AS containment
+FROM inter
+JOIN sizes ss ON src = ss.doc_id
+WHERE {_CONT_DEN} * i >= {_CONT_NUM} * ss.n
+ORDER BY src, dst
+"""
+
+
+@register("dedup_containment_prefix", sql=CONTAINMENT_SQL, tags=("dedup",))
+def dedup_containment_prefix(spark, sf_dir):
+    """DIRECTIONAL near-dup: containment c(src->dst) = |src ∩ dst| /
+    |src| >= 3/4 over the same bigram sets as dedup_simjoin_prefix —
+    the asymmetric relation Jaccard cannot see (a quote, excerpt, or
+    subset document sits INSIDE a larger one at high containment but
+    low Jaccard). Candidates come from the one-sided prefix rule: if
+    dst holds >= ceil(t*L_src) of src's grams, it must hold one of
+    src's first L_src - ceil(t*L_src) + 1 rarity-ordered grams
+    (pigeonhole), so joining src PREFIXES against dst FULL sets is a
+    lossless filter — only the probe side is pruned, which is exactly
+    what the asymmetry permits. Exact intersection verify with the
+    integer cross-multiplication 4*i >= 3*n_src; oracle is the naive
+    directed all-pairs join, outputs identical.
+
+    Scale: src prefixes shrink the probe stream by 1/t-ish; the full-set
+    side stays an inverted index as in any posting-list join, and the
+    rarity order again drops stopword-grade grams from every prefix."""
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim("text") != ""))
+    tok = track_persist(_simjoin_grams(docs))
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "w")
+    wall = Window.partitionBy("doc_id")
+    ranked = (tok.join(dfreq, "w")
+              .select("doc_id", "w",
+                      F.row_number().over(wdoc).alias("rn"),
+                      F.count(F.lit(1)).over(wall).alias("n")))
+    plen = F.expr(f"n - (({_CONT_NUM} * n + {_CONT_DEN} - 1)"
+                  f" div {_CONT_DEN}) + 1")
+    prefix = ranked.where(F.col("rn") <= plen).select(
+        F.col("doc_id").alias("src"), "w")
+    full = tok.select(F.col("doc_id").alias("dst"), "w")
+    cand = (prefix.join(full, "w")
+            .where(F.col("src") != F.col("dst"))
+            .select("src", "dst").distinct())
+    ts = tok.select(F.col("doc_id").alias("src"), "w")
+    td = tok.select(F.col("doc_id").alias("dst"), "w")
+    inter = (cand.join(ts, "src").join(td, ["dst", "w"])
+             .groupBy("src", "dst")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("i")))
+    sizes = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (inter.join(sizes.withColumnRenamed("doc_id", "src"), "src")
+            .where(F.lit(_CONT_DEN) * F.col("i")
+                   >= F.lit(_CONT_NUM) * F.col("n"))
+            .select("src", "dst",
+                    F.col("i").alias("n_shared"),
+                    F.col("n").alias("n_src"),
+                    F.round(F.col("i").cast("double") / F.col("n"), 6)
+                    .alias("containment"))
+            .orderBy("src", "dst"))

@@ -77,3 +77,24 @@ def test_prefix_filter_shrinks_candidates(spark):
     finally:
         tok.unpersist()
         cand.unpersist()
+
+
+def test_containment_is_directional(spark, tmp_path):
+    """A short doc quoted inside a long one must fire src=short -> dst=long
+    (containment 1.0) but NOT the reverse (the long doc is mostly novel),
+    and a doc overlapping below 3/4 fires in neither direction."""
+    from spark_sentiment_spark.plans.dedup_queries import (
+        dedup_containment_prefix)
+    from spark_sentiment_spark.plans.registry import release_caches
+
+    rows = [
+        (1, "a b c d"),                         # grams {ab,bc,cd}: the quote
+        (2, "a b c d x1 x2 x3 x4 x5 x6 x7"),    # contains all of d1's grams
+        (3, "a b q r s t"),                     # shares 1/3 of d1 -> below t
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    got = {(r["src"], r["dst"]): r["containment"]
+           for r in dedup_containment_prefix(spark, str(tmp_path)).collect()}
+    release_caches()
+    assert got == {(1, 2): 1.0}
