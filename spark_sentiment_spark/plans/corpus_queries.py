@@ -800,3 +800,100 @@ def token_pagerank(spark, sf_dir, iters: int = PAGERANK_ITERS,
                     F.col("wt").cast("bigint").alias("w_out"),
                     F.col("r").alias("rank_fp"))
             .orderBy("token"))
+
+
+# --- Vocabulary growth curve (Heaps' law over content-addressed shards) -----
+
+_VG_SHARD_SQL = ("(strpos('0123456789abcdef',"
+                 " substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)")
+
+VOCAB_GROWTH_SQL = f"""
+WITH tok AS (
+  SELECT {_VG_SHARD_SQL} AS shard, unnest({_TOKENS_SQL}) AS w
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+), occ AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY shard
+), news AS (
+  SELECT fs AS shard, CAST(count(*) AS BIGINT) AS n_new
+  FROM (SELECT w, min(shard) AS fs FROM tok GROUP BY w) f
+  GROUP BY fs
+), grid AS (
+  SELECT unnest(generate_series(0, 15)) AS shard
+), joined AS (
+  SELECT g.shard,
+         coalesce(o.n_tokens, 0) AS n_tokens,
+         coalesce(n.n_new, 0) AS n_new
+  FROM grid g
+  LEFT JOIN occ o ON g.shard = o.shard
+  LEFT JOIN news n ON g.shard = n.shard
+), cums AS (
+  SELECT shard, n_tokens, n_new,
+         sum(n_tokens) OVER (ORDER BY shard ROWS UNBOUNDED PRECEDING)
+           AS cum_tokens,
+         sum(n_new) OVER (ORDER BY shard ROWS UNBOUNDED PRECEDING)
+           AS cum_types
+  FROM joined
+)
+SELECT CAST(shard AS BIGINT) AS shard, n_tokens, n_new,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(cum_types AS BIGINT) AS cum_types,
+       CASE WHEN cum_tokens = 0 THEN NULL
+            ELSE round(CAST(cum_types AS DOUBLE) / cum_tokens, 6)
+       END AS type_token_ratio
+FROM cums
+ORDER BY shard
+"""
+
+
+@register("vocab_growth_curve", sql=VOCAB_GROWTH_SQL, tags=("corpus",))
+def vocab_growth_curve(spark, sf_dir):
+    """Heaps'-law vocabulary growth: stream the corpus in 16
+    content-addressed shards (first md5 hex digit of doc_id — a
+    deterministic, engine-identical "ingest order" with NO global sort)
+    and report per shard the token mass, the NEW types first seen there,
+    and the cumulative type/token curve. The flattening rate is the
+    curation signal: a heavily-duplicated corpus stops producing new
+    types almost immediately, a diverse one keeps the Heaps exponent up
+    — and the marginal-value-of-more-data question ("is shard 17 worth
+    ingesting?") reads straight off n_new. Complements vocab_coverage
+    (Zipf mass of the TOP of the distribution) by measuring the TAIL's
+    growth instead.
+
+    Scale: one explode, one (shard) aggregate, one vocab-sized min
+    aggregate, then windows over exactly 16 rows. Each token's
+    first-shard is a min — mergeable, so the curve maintains
+    incrementally as new shards arrive (the events_rollup_incremental
+    pattern applied to vocabulary state)."""
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim("text") != ""))
+    shard = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+                    16, 10).cast("int"))
+    tok = docs.select(shard.alias("shard"),
+                      F.explode(_tokens_col()).alias("w"))
+    occ = tok.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    news = (tok.groupBy("w").agg(F.min("shard").alias("shard"))
+            .groupBy("shard").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_new")))
+    grid = spark.range(16).select(F.col("id").cast("int").alias("shard"))
+    joined = (grid.join(occ, "shard", "left").join(news, "shard", "left")
+              .select("shard",
+                      F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                      F.coalesce("n_new", F.lit(0)).alias("n_new")))
+    wcum = (Window.orderBy("shard")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cums = joined.select(
+        "shard", "n_tokens", "n_new",
+        F.sum("n_tokens").over(wcum).alias("cum_tokens"),
+        F.sum("n_new").over(wcum).alias("cum_types"))
+    return (cums.select(
+        F.col("shard").cast("bigint").alias("shard"),
+        "n_tokens", "n_new",
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.col("cum_types").cast("bigint").alias("cum_types"),
+        F.when(F.col("cum_tokens") == 0, F.lit(None))
+        .otherwise(F.round(F.col("cum_types").cast("double")
+                           / F.col("cum_tokens"), 6))
+        .alias("type_token_ratio"))
+        .orderBy("shard"))

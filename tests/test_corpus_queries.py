@@ -111,3 +111,31 @@ def test_mixture_apply_quota_and_determinism(spark):
         assert sorted(picks) == list(range(1, len(picks) + 1)), src
     again = REGISTRY["mixture_apply"].fn(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_vocab_growth_curve_invariants(spark):
+    """Structural truths of the Heaps curve: cum_types is nondecreasing,
+    final cum_types equals the corpus's distinct token count, final
+    cum_tokens equals the total token count, and n_new sums to the
+    vocabulary (every type is first-seen exactly once)."""
+    from pyspark.sql import functions as F
+
+    from spark_sentiment_spark.plans.corpus_queries import (
+        _tokens_col, vocab_growth_curve)
+    from spark_sentiment_spark.plans.registry import load, release_caches
+    from tests.conftest import SF_DIR
+
+    rows = vocab_growth_curve(spark, SF_DIR).collect()
+    release_caches()
+    assert [r["shard"] for r in rows] == list(range(16))
+    cts = [r["cum_types"] for r in rows]
+    assert cts == sorted(cts)
+
+    docs = (load(spark, SF_DIR, "documents")
+            .where("text IS NOT NULL AND trim(text) <> ''"))
+    tok = docs.select(F.explode(_tokens_col()).alias("w"))
+    n_tokens = tok.count()
+    n_types = tok.distinct().count()
+    assert rows[-1]["cum_tokens"] == n_tokens
+    assert rows[-1]["cum_types"] == n_types
+    assert sum(r["n_new"] for r in rows) == n_types
