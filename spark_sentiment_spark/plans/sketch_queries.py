@@ -488,8 +488,12 @@ def skew_profile(spark, sf_dir):
     out = None
     for table, col in _SKEW_COLS:
         df = load(spark, sf_dir, table)
-        freq = df.groupBy(F.col(col).alias("k")).agg(
-            F.count(F.lit(1)).alias("c"))
+        # each block derives stats, freq-of-freq AND the rank target from
+        # freq — persist it so the key-cardinality aggregate runs once per
+        # column, not three times
+        freq = track_persist(
+            df.groupBy(F.col(col).alias("k")).agg(
+                F.count(F.lit(1)).alias("c")))
         stats = freq.agg(F.sum("c").cast("bigint").alias("n_rows"),
                          F.count(F.lit(1)).cast("bigint").alias("n_keys"),
                          F.max("c").cast("bigint").alias("max_freq"))
