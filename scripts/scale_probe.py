@@ -68,6 +68,18 @@ PROBES = {
     "token_cms_topk": {"documents": ["doc_id"]},
     "zorder_layout": {"lineitem": ["l_orderkey"]},
     "join_skew_salted": {"lineitem": ["l_orderkey"], "part": None},
+    # round-5 late additions. dedup_simjoin_prefix and
+    # dedup_containment_prefix are deliberately NOT probed: replication
+    # copies identical texts, so their PAIR OUTPUT grows quadratically in
+    # K by construction (k copies of a dup group -> k^2 pairs) — a
+    # replication artifact, not an operator slope; their scale posture is
+    # the lossless prefix pruning documented in their docstrings.
+    "quantile_histogram_sketch": {"documents": ["doc_id"]},
+    "skew_profile": {"lineitem": ["l_orderkey"], "orders": ["o_orderkey"]},
+    "vocab_growth_curve": {"documents": ["doc_id"]},
+    "langid_char_ngram": {"documents": ["doc_id"]},
+    "events_rollup_incremental": {"events": ["event_id"]},
+    "multimodal_phash_dedup": {"documents": ["doc_id"]},
 }
 
 

@@ -768,3 +768,78 @@ def events_rollup_incremental(spark, sf_dir):
                            F.coalesce(F.col("d.mx"), F.col("b.mx")))
                 .alias("max_id"))
             .orderBy("day", "event_type"))
+
+
+# --- CDC changelog application (last-op-wins with deletes) ------------------
+
+CDC_STATE_SQL = """
+WITH last AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), lo AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         value
+  FROM last WHERE rn = 1
+)
+SELECT c_mktsegment AS segment,
+       CAST(sum(CASE WHEN op IS NULL OR op = 'U' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_present,
+       CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_deleted,
+       CAST(sum(CASE WHEN op IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_untouched,
+       round(sum(CASE WHEN op = 'U' THEN CAST(value AS DECIMAL(27,6)) END),
+             4)::DOUBLE AS updated_value_sum
+FROM customer
+LEFT JOIN lo ON c_custkey = lo.user_id
+GROUP BY 1
+ORDER BY segment
+"""
+
+
+@register("events_cdc_state", sql=CDC_STATE_SQL, tags=("events", "cdc"))
+def events_cdc_state(spark, sf_dir):
+    """CDC changelog application — the piece between merge_upsert (pure
+    upsert) and events_dedup_latest (latest-wins compaction): the event
+    stream is read as a per-user changelog (a user's LAST event by
+    (ts, event_id) is their current op; 'error' means DELETE, anything
+    else UPSERT with the event's value), applied against the customer
+    snapshot, and summarized per segment: rows still present, rows
+    deleted, rows the changelog never touched, and the DECIMAL-exact sum
+    of last upserted values. Exactly the Debezium-style apply step of a
+    nightly CDC pipeline, including the delete semantics the other two
+    operators don't model.
+
+    Scale: one user_id window over the changelog (the per-key op
+    resolution), one key-partitioned outer join against the snapshot,
+    bounded-cardinality aggregate out. Snapshot and changelog shuffle
+    once each on the same key — bucketing both by user_id makes the
+    nightly apply shuffle-free (sources/bucketing.py)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    lo = (ev.withColumn("rn", F.row_number().over(w))
+          .where(F.col("rn") == 1)
+          .select("user_id",
+                  F.when(F.col("event_type") == "error", "D")
+                  .otherwise("U").alias("op"),
+                  "value"))
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"))
+    j = cust.join(lo, "user_id", "left")
+    return (j.groupBy("segment")
+            .agg(F.sum(F.when(F.col("op").isNull()
+                              | (F.col("op") == "U"), 1).otherwise(0))
+                 .cast("bigint").alias("n_present"),
+                 F.sum(F.when(F.col("op") == "D", 1).otherwise(0))
+                 .cast("bigint").alias("n_deleted"),
+                 F.sum(F.when(F.col("op").isNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_untouched"),
+                 F.round(F.sum(F.when(F.col("op") == "U",
+                                      F.col("value").cast("decimal(27,6)"))),
+                         4).cast("double").alias("updated_value_sum"))
+            .orderBy("segment"))

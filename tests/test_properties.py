@@ -562,3 +562,35 @@ def test_langid_char_ngram_separates_constructed_languages(spark, tmp_path):
            for r in langid_char_ngram(spark, str(tmp_path)).collect()}
     release_caches()
     assert got == {("X", "X"): 2, ("Z", "Z"): 2, ("X", "unknown"): 1}
+
+
+def test_cdc_state_delete_and_order_semantics(spark, tmp_path):
+    """Constructed changelog pinning what the aggregate oracle can't
+    isolate per user: the LAST op wins by (ts, event_id) — a user whose
+    final event is 'error' is deleted even after earlier updates, a user
+    updated after an error survives, ties on ts resolve by event_id, and
+    untouched snapshot rows pass through."""
+    from datetime import datetime
+
+    from spark_sentiment_spark.plans.events_queries import events_cdc_state
+
+    t = datetime(2024, 1, 1, 12)
+    t2 = datetime(2024, 1, 1, 13)
+    spark.createDataFrame(
+        [(1, t, 1, "purchase", 5.0), (2, t2, 1, "error", None),   # deleted
+         (3, t, 2, "error", None), (4, t2, 2, "purchase", 7.0),   # revived
+         (5, t, 3, "purchase", 1.0), (6, t, 3, "purchase", 9.0)], # tie: id 6
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double") \
+        .write.parquet(str(tmp_path / "events.parquet"))
+    spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "B")],
+        "c_custkey long, c_mktsegment string") \
+        .write.parquet(str(tmp_path / "customer.parquet"))
+    got = {r["segment"]: (r["n_present"], r["n_deleted"], r["n_untouched"],
+                          r["updated_value_sum"])
+           for r in events_cdc_state(spark, str(tmp_path)).collect()}
+    assert got == {
+        "A": (1, 1, 0, 7.0),   # user 1 deleted; user 2 revived at 7.0
+        "B": (2, 0, 1, 9.0),   # user 3 tie -> event 6 (9.0); user 4 untouched
+    }
