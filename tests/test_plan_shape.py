@@ -254,3 +254,40 @@ def test_dedup_semantic_native_no_cartesian(spark):
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the bounded centroid probe
+
+
+_PY_OPS = re.compile(
+    r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas")
+
+
+@pytest.mark.parametrize("name", [
+    "dedup_simjoin_prefix", "dedup_containment_prefix",
+    "langid_char_ngram", "vocab_growth_curve",
+    "quantile_histogram_sketch", "skew_profile",
+    "agg_hll_sketch", "token_cms_topk", "zorder_layout",
+    "join_skew_salted", "events_rollup_incremental", "events_cdc_state",
+])
+def test_round5_additions_are_pure_jvm(spark, name):
+    """Every late round-5 query except the multimodal decode is a fully
+    native plan — md5 polynomials, bit interleaves and sketch folds
+    included. A Python operator appearing here means an expression fell
+    off the JVM path."""
+    from spark_sentiment_spark.plans.registry import release_caches
+
+    plan = _plan(spark, name)
+    release_caches()
+    assert not _PY_OPS.search(plan), plan[:1500]
+
+
+def test_phash_python_confined_to_decode(spark):
+    """multimodal_phash_dedup's only Python is the Arrow-batched raster
+    decode (by design); banding, candidate join and hamming verify must
+    all be JVM expressions — so the plan has MapInPandas and nothing
+    else Pythonic."""
+    from spark_sentiment_spark.plans.registry import release_caches
+
+    plan = _plan(spark, "multimodal_phash_dedup")
+    release_caches()
+    assert "MapInPandas" in plan
+    assert not re.search(
+        r"ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas", plan)
