@@ -983,3 +983,75 @@ def langid_char_ngram(spark, sf_dir):
     return (pred.groupBy("lang", "predicted_lang")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
             .orderBy("lang", "predicted_lang"))
+
+
+# --- Fuzzy lexicon join (J3 routed through the driver gate) -----------------
+
+FUZZY_MATCH_SQL = f"""
+WITH lex AS (
+  SELECT word, avg(score) AS score
+  FROM read_csv('{LEXICON_CSV}', header=true,
+                columns={{'word': 'VARCHAR', 'score': 'DOUBLE'}})
+  GROUP BY word
+  HAVING avg(score) <> 0
+), tok AS (
+  SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS t
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+), un AS (
+  SELECT t FROM tok
+  WHERE length(t) >= 3 AND regexp_matches(t, '^[a-z]+$')
+    AND t NOT IN (SELECT word FROM lex)
+), cand AS (
+  SELECT u.t, l.score, levenshtein(u.t, l.word) AS dist
+  FROM un u, lex l
+  WHERE abs(length(u.t) - length(l.word)) <= 2
+    AND u.t <> l.word
+    AND levenshtein(u.t, l.word) <= 2
+), best AS (
+  SELECT t, min(dist) AS mind FROM cand GROUP BY t
+)
+SELECT c.t AS token,
+       round(avg(c.score), 6) AS fuzzy_score,
+       CAST(min(c.dist) AS BIGINT) AS distance
+FROM cand c JOIN best b ON c.t = b.t AND c.dist = b.mind
+GROUP BY c.t
+ORDER BY token
+"""
+
+
+@register("fuzzy_lexicon_match", sql=FUZZY_MATCH_SQL, tags=("text", "fuzzy"))
+def fuzzy_lexicon_match(spark, sf_dir):
+    """The J3 fuzzy Levenshtein fallback routed through the driver gate
+    (previously unit-only): corpus tokens that miss the lexicon exactly
+    (lowercase-alpha, length >= 3) are matched by
+    ``operators/wordscore.py::fuzzy_lexicon_scores`` — a broadcast
+    theta-join pruned by the +-2 length band, scored as the MEAN lexicon
+    score over candidates at the SMALLEST edit distance (distance-1
+    beats distance-2, the reference's dx cascade,
+    SRC/utils/WordList.scala:19-26). Levenshtein with unit costs is
+    engine-unambiguous, lexicon means are exact (integer-valued scores),
+    so the naive DuckDB cross join replays the result bit-for-bit.
+
+    Scale: the theta-join's probe side is the DISTINCT unmatched
+    vocabulary (never the corpus stream) against an 11k-word broadcast
+    lexicon — millions of cheap predicate evals per executor, linear in
+    vocabulary, embarrassingly parallel."""
+    from spark_sentiment_spark.functions.lexicon import raw_lexicon_df
+    from spark_sentiment_spark.operators.wordscore import (
+        fuzzy_lexicon_scores)
+
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim("text") != ""))
+    tok = (docs.select(F.explode(F.split(F.lower("text"), " ", -1))
+                       .alias("t"))
+           .where((F.length("t") >= 3) & F.col("t").rlike("^[a-z]+$"))
+           .distinct())
+    lex_words = raw_lexicon_df(spark).where(F.col("score") != 0) \
+        .select(F.col("word").alias("t"))
+    unmatched = tok.join(F.broadcast(lex_words), "t", "left_anti")
+    scored = fuzzy_lexicon_scores(unmatched, token_col="t", max_distance=2)
+    return (scored.select(F.col("t").alias("token"),
+                          F.round("fuzzy_score", 6).alias("fuzzy_score"),
+                          F.col("distance").cast("bigint").alias("distance"))
+            .orderBy("token"))
