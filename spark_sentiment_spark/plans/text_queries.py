@@ -1055,3 +1055,59 @@ def fuzzy_lexicon_match(spark, sf_dir):
                           F.round("fuzzy_score", 6).alias("fuzzy_score"),
                           F.col("distance").cast("bigint").alias("distance"))
             .orderBy("token"))
+
+
+# --- GPT-2-style regex pre-tokenizer counts ---------------------------------
+
+# The byte-pair pre-tokenizer's regex family, in the RE2-compatible
+# subset (no lookahead — the \s+(?!\S) tail branch is dropped; whitespace
+# is delimiter, not token). Verified to tokenize identically under
+# Java's regex (Spark) and RE2 (DuckDB).
+TOKEN_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+_TOKEN_REGEX_SQL = TOKEN_REGEX.replace("'", "''")
+
+TOKEN_REGEX_SQL = f"""
+SELECT lang,
+       CAST(sum(len(regexp_extract_all(text, '{_TOKEN_REGEX_SQL}')))
+            AS BIGINT) AS n_subword_tokens,
+       CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         AS n_ws_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       round(CAST(sum(len(regexp_extract_all(text, '{_TOKEN_REGEX_SQL}')))
+                  AS DOUBLE)
+             / sum(len(string_split_regex(trim(text), '\\s+'))), 6)
+         AS fertility
+FROM documents
+WHERE text IS NOT NULL AND trim(text) <> ''
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("token_counts_regex", sql=TOKEN_REGEX_SQL, tags=("text",))
+def token_counts_regex(spark, sf_dir):
+    """Per-language token accounting under the GPT-2-style regex
+    pre-tokenizer (contraction suffixes, space-prefixed letter/digit
+    runs, punctuation runs) next to the whitespace count — their ratio
+    is the FERTILITY metric (sub-tokens per word) that prices a corpus
+    in tokenizer units before training. The pattern stays in the
+    RE2-compatible subset (no lookahead), which is what lets the DuckDB
+    twin tokenize identically to the JVM; token_counts (whitespace) and
+    bpe_token_counts (learned merges) are the other two rungs of the
+    same ladder.
+
+    Scale: a pure per-row projection into a bounded per-lang aggregate —
+    scan-speed, zero joins, zero windows."""
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim("text") != ""))
+    sub = F.size(F.regexp_extract_all("text", F.lit(TOKEN_REGEX), 0))
+    ws = F.size(F.split(F.trim("text"), r"\s+"))
+    return (docs.groupBy("lang")
+            .agg(F.sum(sub).cast("bigint").alias("n_subword_tokens"),
+                 F.sum(ws).cast("bigint").alias("n_ws_tokens"),
+                 F.sum(F.length("text")).cast("bigint").alias("n_chars"))
+            .select("lang", "n_subword_tokens", "n_ws_tokens", "n_chars",
+                    F.round(F.col("n_subword_tokens").cast("double")
+                            / F.col("n_ws_tokens"), 6).alias("fertility"))
+            .orderBy("lang"))
