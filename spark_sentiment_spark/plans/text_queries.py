@@ -1111,3 +1111,155 @@ def token_counts_regex(spark, sf_dir):
                     F.round(F.col("n_subword_tokens").cast("double")
                             / F.col("n_ws_tokens"), 6).alias("fertility"))
             .orderBy("lang"))
+
+
+# --- Positional phrase search + boolean AND retrieval -----------------------
+
+_PHRASES = [("table", "scan"), ("hash", "join"), ("merge", "sort")]
+_BOOL_QUERIES = [("q1", ["spark", "join", "window"]),
+                 ("q2", ["batch", "stream"]),
+                 ("q3", ["customer", "filter", "data"])]
+
+_PHRASE_SEL = "\nUNION ALL\n".join(
+    f"SELECT '{w1} {w2}' AS phrase, '{w1}' AS w1, '{w2}' AS w2"
+    for w1, w2 in _PHRASES)
+
+PHRASE_SEARCH_SQL = f"""
+WITH pos AS (
+  SELECT doc_id, t[i] AS w, i
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(t))) AS i) g
+), ph AS ({_PHRASE_SEL}
+), hits AS (
+  SELECT ph.phrase, a.doc_id
+  FROM ph
+  JOIN pos a ON a.w = ph.w1
+  JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1 AND b.w = ph.w2
+)
+SELECT ph.phrase AS phrase,
+       CAST(count(DISTINCT h.doc_id) AS BIGINT) AS n_docs,
+       CAST(count(h.doc_id) AS BIGINT) AS n_matches
+FROM ph LEFT JOIN hits h ON ph.phrase = h.phrase
+GROUP BY ph.phrase
+ORDER BY ph.phrase
+"""
+
+
+@register("search_phrase", sql=PHRASE_SEARCH_SQL, tags=("text", "search"))
+def search_phrase(spark, sf_dir):
+    """POSITIONAL phrase search — the index capability ranked retrieval
+    (hybrid_search_rrf) and boolean retrieval don't need but phrase
+    queries do: the posting list carries token POSITIONS (posexplode),
+    and a two-word phrase matches where the second word's posting has
+    position = first + 1 within the same doc. Counts overlapping
+    occurrences correctly ("x x x" matches "x x" twice), which is why
+    the oracle replays the positional join rather than substring
+    counting (replace-based counts miss overlaps). Every probe phrase
+    reports, zero-hit phrases included (LEFT JOIN against the phrase
+    list).
+
+    Scale: the position join is posting-list-local — partition by the
+    rarer word's postings, join on (doc_id, adjacent position); no
+    corpus-wide product. At index-build time positions ride along the
+    same explode the inverted index already pays."""
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim("text") != ""))
+    pos = track_persist(
+        docs.select("doc_id", F.posexplode(
+            F.split(F.lower("text"), " ", -1)).alias("i", "w"))
+        .select("doc_id", (F.col("i") + 1).alias("i"), "w"))
+    ph = None
+    for w1, w2 in _PHRASES:
+        row = spark.range(1).select(
+            F.lit(f"{w1} {w2}").alias("phrase"),
+            F.lit(w1).alias("w1"), F.lit(w2).alias("pw2"))
+        ph = row if ph is None else ph.union(row)
+    a = pos.select("doc_id", "i", F.col("w").alias("w1"))
+    b = pos.select(F.col("doc_id").alias("doc_id_b"),
+                   (F.col("i") - 1).alias("i_b"), F.col("w").alias("w2b"))
+    hits = (F.broadcast(ph).join(a, "w1")
+            .join(b, (F.col("doc_id") == F.col("doc_id_b"))
+                  & (F.col("i") == F.col("i_b"))
+                  & (F.col("pw2") == F.col("w2b")))
+            .select("phrase", "doc_id"))
+    return (ph.join(hits, "phrase", "left")
+            .groupBy("phrase")
+            .agg(F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+                 F.count("doc_id").cast("bigint").alias("n_matches"))
+            .orderBy("phrase"))
+
+
+_BOOL_TERMS_SEL = "\nUNION ALL\n".join(
+    f"SELECT '{qid}' AS qid, '{t}' AS term"
+    for qid, terms in _BOOL_QUERIES for t in terms)
+
+BOOL_SEARCH_SQL = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), q AS ({_BOOL_TERMS_SEL}
+), qsize AS (
+  SELECT qid, CAST(count(*) AS BIGINT) AS k FROM q GROUP BY qid
+), m AS (
+  SELECT q.qid, t.doc_id, count(*) AS nhit
+  FROM q JOIN tok t ON t.w = q.term
+  GROUP BY 1, 2
+), hit AS (
+  SELECT m.qid, m.doc_id
+  FROM m JOIN qsize s ON m.qid = s.qid
+  WHERE m.nhit = s.k
+)
+SELECT s.qid, s.k AS n_terms,
+       CAST(count(h.doc_id) AS BIGINT) AS n_docs,
+       min(h.doc_id) AS first_doc,
+       max(h.doc_id) AS last_doc
+FROM qsize s LEFT JOIN hit h ON s.qid = h.qid
+GROUP BY s.qid, s.k
+ORDER BY s.qid
+"""
+
+
+@register("search_boolean_and", sql=BOOL_SEARCH_SQL, tags=("text", "search"))
+def search_boolean_and(spark, sf_dir):
+    """Boolean AND retrieval over the inverted index: a doc matches a
+    query when it contains EVERY query term — resolved as one
+    (query, doc) aggregate counting distinct matched terms against the
+    query's term count, not as k chained semi-joins (the count form is
+    one shuffle regardless of k and is what a posting-list intersection
+    compiles to). Per query: match count and first/last doc ids; queries
+    with zero hits still report (LEFT JOIN against the query list).
+    Completes the retrieval triad: ranked (hybrid_search_rrf), phrase
+    (search_phrase), boolean (here).
+
+    Scale: the term list is a broadcast literal; the distinct
+    (doc, term) posting table shuffles once on doc_id for the per-doc
+    count; everything downstream is query-count-sized. The
+    rarest-term-first ordering classic engines use is implicit — docs
+    missing any term simply fail the count equality."""
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim("text") != ""))
+    tok = (docs.select("doc_id", F.explode(
+        F.split(F.lower("text"), " ", -1)).alias("w"))
+        .distinct())
+    q = None
+    for qid, terms in _BOOL_QUERIES:
+        for t in terms:
+            row = spark.range(1).select(F.lit(qid).alias("qid"),
+                                        F.lit(t).alias("term"))
+            q = row if q is None else q.union(row)
+    qsize = q.groupBy("qid").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    m = (F.broadcast(q).join(tok, F.col("term") == F.col("w"))
+         .groupBy("qid", "doc_id").agg(F.count(F.lit(1)).alias("nhit")))
+    hit = (m.join(F.broadcast(qsize), "qid")
+           .where(F.col("nhit") == F.col("k"))
+           .select("qid", "doc_id"))
+    return (qsize.join(hit, "qid", "left")
+            .groupBy("qid", "k")
+            .agg(F.count("doc_id").cast("bigint").alias("n_docs"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc"))
+            .select(F.col("qid"), F.col("k").alias("n_terms"),
+                    "n_docs", "first_doc", "last_doc")
+            .orderBy("qid"))

@@ -594,3 +594,46 @@ def test_cdc_state_delete_and_order_semantics(spark, tmp_path):
         "A": (1, 1, 0, 7.0),   # user 1 deleted; user 2 revived at 7.0
         "B": (2, 0, 1, 9.0),   # user 3 tie -> event 6 (9.0); user 4 untouched
     }
+
+
+def test_search_phrase_counts_overlaps_and_zero_hits(spark, tmp_path):
+    """Positional semantics the aggregate output can't show on the real
+    corpus: 'x x x' contains the phrase 'x x' TWICE (overlapping — a
+    substring replace-count would say once), and probe phrases with no
+    hits still report a zero row."""
+    from spark_sentiment_spark.plans.registry import release_caches
+    from spark_sentiment_spark.plans.text_queries import (_PHRASES,
+                                                          search_phrase)
+
+    w1, w2 = _PHRASES[0]                      # ('table', 'scan')
+    rows = [(1, f"{w1} {w1} {w1}" if w1 == w2 else f"{w1} {w2} junk"),
+            (2, f"a {w1} {w2} b {w1} {w2}"),  # two non-overlapping hits
+            (3, "nothing here")]
+    if w1 != w2:
+        rows.append((4, f"{w1} {w1} {w2}"))   # hit at position 2 only
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["phrase"]: (r["n_docs"], r["n_matches"])
+           for r in search_phrase(spark, str(tmp_path)).collect()}
+    release_caches()
+    assert got[f"{w1} {w2}"] == (3, 4)
+    for a, b in _PHRASES[1:]:
+        assert got[f"{a} {b}"] == (0, 0)      # zero-hit phrases report
+
+
+def test_search_boolean_requires_all_terms(spark, tmp_path):
+    """AND semantics: a doc with all but one query term must not match."""
+    from spark_sentiment_spark.plans.registry import release_caches
+    from spark_sentiment_spark.plans.text_queries import (_BOOL_QUERIES,
+                                                          search_boolean_and)
+
+    qid, terms = _BOOL_QUERIES[0]             # ('q1', [spark, join, window])
+    rows = [(1, " ".join(terms)),             # all terms -> match
+            (2, " ".join(terms[:-1])),        # missing one -> no match
+            (3, " ".join(terms) + " extra " + terms[0])]   # dups fine
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["qid"]: (r["n_docs"], r["first_doc"], r["last_doc"])
+           for r in search_boolean_and(spark, str(tmp_path)).collect()}
+    release_caches()
+    assert got[qid] == (2, 1, 3)
