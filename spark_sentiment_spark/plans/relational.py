@@ -918,3 +918,67 @@ def agg_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# --- Referential-integrity audit ---------------------------------------------
+
+RI_AUDIT_SQL = """
+SELECT 'lineitem->orders' AS fk, CAST(count(*) AS BIGINT) AS n_child,
+       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_orphans
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'lineitem->part', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+UNION ALL
+SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+UNION ALL
+SELECT 'orders->customer', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'events->customer', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+ORDER BY fk
+"""
+
+_RI_EDGES = [
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("events->customer", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+@register("audit_referential", sql=RI_AUDIT_SQL, tags=("agg", "quality"))
+def audit_referential(spark, sf_dir):
+    """Referential-integrity audit across every foreign-key edge of the
+    star schema: per edge the child row count and the orphan count
+    (children whose parent key resolves to nothing). The relational
+    data-quality gate a nightly pipeline runs before trusting joins —
+    an orphan count that moves is an ingest bug caught before it
+    silently drops rows from inner-join analytics.
+
+    Scale: each edge is one left join on its own key aggregated to two
+    numbers — map-side combinable, and the parent sides here are dims
+    that broadcast; at 100 TB the fact-fact edge (lineitem->orders)
+    flips to a shuffle join under AQE like every other key-partitioned
+    audit."""
+    out = None
+    for fk, child, ck, parent, pk in _RI_EDGES:
+        c = load(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = (load(spark, sf_dir, parent)
+             .select(F.col(pk).alias("k"), F.lit(1).alias("_hit"))
+             .distinct())
+        row = (c.join(p, "k", "left")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_child"),
+                    F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+                    .cast("bigint").alias("n_orphans"))
+               .select(F.lit(fk).alias("fk"), "n_child", "n_orphans"))
+        out = row if out is None else out.union(row)
+    return out.orderBy("fk")

@@ -637,3 +637,31 @@ def test_search_boolean_requires_all_terms(spark, tmp_path):
            for r in search_boolean_and(spark, str(tmp_path)).collect()}
     release_caches()
     assert got[qid] == (2, 1, 3)
+
+
+def test_audit_referential_detects_orphans(spark, tmp_path):
+    """The testdata is referentially clean (all-zero orphans), so the
+    detection path is pinned on a constructed broken schema: known
+    orphan counts on two edges, zero on the rest."""
+    from spark_sentiment_spark.plans.relational import audit_referential
+    from tests.conftest import SF_DIR
+
+    # copy the small tables, then break two edges
+    for t in ["orders", "part", "supplier", "customer", "events"]:
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet") \
+            .write.parquet(str(tmp_path / f"{t}.parquet"))
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(100)
+    from pyspark.sql import functions as F
+    li = li.withColumn(
+        "l_orderkey",
+        F.when(F.col("l_linenumber") == 1, F.lit(-999)).otherwise(
+            F.col("l_orderkey")))                 # orphan some lineitems
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+    n_orphaned = li.where(F.col("l_orderkey") == -999).count()
+    assert n_orphaned > 0
+
+    got = {r["fk"]: (r["n_child"], r["n_orphans"])
+           for r in audit_referential(spark, str(tmp_path)).collect()}
+    assert got["lineitem->orders"] == (100, n_orphaned)
+    assert got["lineitem->part"][1] == 0
+    assert got["orders->customer"][1] == 0
