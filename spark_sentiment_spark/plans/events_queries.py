@@ -843,3 +843,46 @@ def events_cdc_state(spark, sf_dir):
                                       F.col("value").cast("decimal(27,6)"))),
                          4).cast("double").alias("updated_value_sum"))
             .orderBy("segment"))
+
+
+# --- Rolling DISTINCT count (trailing-hour unique event types) --------------
+
+ROLLING_DISTINCT_SQL = """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CAST(count(DISTINCT event_type) OVER (
+              PARTITION BY user_id ORDER BY epoch_ms(ts)
+              RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_types_1h
+FROM events
+ORDER BY event_id
+"""
+
+
+@register("events_rolling_distinct", sql=ROLLING_DISTINCT_SQL,
+          tags=("events", "window"))
+def events_rolling_distinct(spark, sf_dir):
+    """Per event: how many DISTINCT event types its user produced in the
+    trailing hour — the rolling-uniques signal behind rate limiting and
+    behavioral features. Spark has no native count(DISTINCT) OVER a
+    window; the engine-correct formulation is size(collect_set(...))
+    over the time-RANGE frame, which this query exposes as a catalog
+    operator (events_rolling_1h covers the non-distinct stats). RANGE
+    frames include order-value peers in both engines, so ts ties don't
+    make the result order-dependent.
+
+    Scale: one user_id shuffle; per-frame state is the distinct TYPE set
+    (bounded by the type vocabulary, not the event rate) — the reason
+    collect_set over a time frame is safe here while collect_list would
+    not be. At true high cardinality the mergeable-sketch alternative is
+    agg_hll_sketch's bucket state maintained per frame."""
+    ev = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_millis(F.col("ts")))
+         .rangeBetween(-3_600_000, 0))
+    return (ev.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.size(F.collect_set("event_type").over(w)).cast("bigint")
+        .alias("n_types_1h"))
+        .orderBy("event_id"))
