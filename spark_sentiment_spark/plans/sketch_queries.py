@@ -516,3 +516,72 @@ def skew_profile(spark, sf_dir):
                        .alias("skew_ratio")))
         out = row if out is None else out.union(row)
     return out.orderBy("key_col")
+
+
+# --- Grouped HLL: daily distinct users --------------------------------------
+
+DAILY_HLL_SQL = f"""
+WITH keyed AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         user_id AS k, md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events
+), buckets AS (
+  SELECT day, {_HLL_BUCKET} AS bucket, max({_HLL_RHO}) AS mj
+  FROM keyed GROUP BY 1, 2
+), sketch AS (
+  SELECT day,
+         CAST(sum({_HLL_POW2}) AS BIGINT)
+         + ({_HLL_M} - count(*)) * {2 ** (_HLL_BITS + 1)} AS s,
+         CAST(count(*) AS BIGINT) AS n_buckets
+  FROM buckets GROUP BY day
+), exact AS (
+  SELECT day, CAST(count(DISTINCT k) AS BIGINT) AS n_exact
+  FROM keyed GROUP BY day
+)
+SELECT e.day, e.n_exact,
+       round({_HLL_A} / CAST(s.s AS DOUBLE), 2) AS n_est,
+       s.n_buckets
+FROM exact e JOIN sketch s ON e.day = s.day
+ORDER BY e.day
+"""
+
+
+@register("events_daily_uniques_hll", sql=DAILY_HLL_SQL,
+          tags=("sketch", "events"))
+def events_daily_uniques_hll(spark, sf_dir):
+    """Daily distinct users, sketched: the GROUPED form of
+    agg_hll_sketch — one 256-register HLL per calendar day, which is the
+    production shape of the estimator (daily/hourly uniques dashboards):
+    state is days x 256 small integers, each day's registers merge by
+    max across executors AND concatenate trivially across days, where
+    the exact COUNT(DISTINCT) per group re-shuffles raw keys every time.
+    Same md5-derived, integer-exact arithmetic, so the DuckDB twin
+    replays every per-day estimate; the exact twin rides along as the
+    per-group error measurement. (Raw estimator: at ~100-400 uniques
+    per day the 256-bucket raw HLL runs in its biased low range — the
+    reported n_est/n_exact pairs measure exactly that documented bias,
+    reproduced identically by both engines.)
+
+    Scale: a (day, bucket) aggregate — group count x 256 rows — then a
+    day-level fold; no distinct-key shuffle on the sketch path."""
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.col("user_id").alias("k"),
+        F.md5(F.col("user_id").cast("string")).alias("h"))
+    buckets = (keyed.select("day", F.expr(_HLL_BUCKET).alias("bucket"),
+                            F.expr(_HLL_RHO).alias("rho"))
+               .groupBy("day", "bucket").agg(F.max("rho").alias("mj")))
+    sketch = buckets.groupBy("day").agg(
+        (F.sum(F.expr(_HLL_POW2)).cast("bigint")
+         + (F.lit(_HLL_M) - F.count(F.lit(1)))
+         * F.lit(2 ** (_HLL_BITS + 1))).alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"))
+    exact = keyed.groupBy("day").agg(
+        F.countDistinct("k").cast("bigint").alias("n_exact"))
+    return (exact.join(sketch, "day")
+            .select("day", "n_exact",
+                    F.round(F.lit(float(_HLL_A))
+                            / F.col("s").cast("double"), 2).alias("n_est"),
+                    "n_buckets")
+            .orderBy("day"))
