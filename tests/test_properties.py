@@ -665,3 +665,142 @@ def test_audit_referential_detects_orphans(spark, tmp_path):
     assert got["lineitem->orders"] == (100, n_orphaned)
     assert got["lineitem->part"][1] == 0
     assert got["orders->customer"][1] == 0
+
+
+_simjoin_texts = st.lists(st.text(alphabet="ab ", min_size=0, max_size=30),
+                          min_size=0, max_size=10)
+
+
+@PROP
+@given(texts=_simjoin_texts)
+def test_simjoin_prefix_matches_naive_on_random_corpora(spark, texts,
+                                                        tmp_path_factory):
+    """The prefix filter's losslessness THEOREM on generated corpora:
+    dedup_simjoin_prefix (prefix-pruned candidates) must equal a naive
+    python all-pairs bigram-set Jaccard join — including empty docs,
+    single-token docs, duplicate texts, and document-frequency ties."""
+    from spark_sentiment_spark.plans.dedup_queries import (
+        _SIMJOIN_DEN, _SIMJOIN_NUM, dedup_simjoin_prefix)
+    from spark_sentiment_spark.plans.registry import release_caches
+
+    tmp = tmp_path_factory.mktemp("simprop")
+    rows = [(i, t) for i, t in enumerate(texts)]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    got = {(r["doc_a"], r["doc_b"]): (r["n_shared"], r["n_union"])
+           for r in dedup_simjoin_prefix(spark, str(tmp)).collect()}
+    release_caches()
+
+    def bigrams(text):
+        t = text.lower().split(" ")
+        return ({f"{x} {y}" for x, y in zip(t, t[1:])} if len(t) >= 2
+                else {" ".join(t)})
+
+    live = [(i, t) for i, t in rows if t is not None and t.strip() != ""]
+    sets = {i: bigrams(t) for i, t in live}
+    want = {}
+    ids = sorted(sets)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and _SIMJOIN_DEN * inter >= _SIMJOIN_NUM * union:
+                want[(a, b)] = (inter, union)
+    assert got == want
+
+
+_cdc_events = st.lists(
+    st.tuples(st.integers(0, 200),        # ts offset (hours)
+              st.integers(0, 3),          # user_id
+              st.sampled_from(["purchase", "view", "error"]),
+              st.one_of(st.none(), st.integers(0, 9))),
+    min_size=0, max_size=25)
+
+
+@PROP
+@given(evs=_cdc_events)
+def test_cdc_state_matches_python_fold(spark, evs, tmp_path_factory):
+    """events_cdc_state vs an independent per-user python fold over
+    random changelogs: last op by (ts, event_id) wins, 'error' deletes,
+    NULL values pass through the sum untouched, untouched snapshot rows
+    count as present."""
+    from datetime import datetime, timedelta
+
+    from spark_sentiment_spark.plans.events_queries import events_cdc_state
+
+    tmp = tmp_path_factory.mktemp("cdcprop")
+    base = datetime(2024, 1, 1)
+    rows = [(i, base + timedelta(hours=h), u, ty,
+             float(v) if v is not None else None)
+            for i, (h, u, ty, v) in enumerate(evs)]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double") \
+        .write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+    cust = [(0, "X"), (1, "X"), (2, "Y"), (3, "Y")]
+    spark.createDataFrame(cust, "c_custkey long, c_mktsegment string") \
+        .write.mode("overwrite").parquet(str(tmp / "customer.parquet"))
+
+    got = {r["segment"]: (r["n_present"], r["n_deleted"], r["n_untouched"],
+                          r["updated_value_sum"])
+           for r in events_cdc_state(spark, str(tmp)).collect()}
+
+    last = {}
+    for eid, ts, u, ty, v in rows:
+        if u not in last or (ts, eid) > (last[u][0], last[u][1]):
+            last[u] = (ts, eid, ty, v)
+    want = {}
+    for seg in ["X", "Y"]:
+        users = [c for c, s in cust if s == seg]
+        present = deleted = untouched = 0
+        vals = []
+        for u in users:
+            if u not in last:
+                present += 1
+                untouched += 1
+            elif last[u][2] == "error":
+                deleted += 1
+            else:
+                present += 1
+                if last[u][3] is not None:
+                    vals.append(last[u][3])
+        want[seg] = (present, deleted, untouched,
+                     round(sum(vals), 4) if vals else None)
+    assert got == want
+
+
+_rd_events = st.lists(
+    st.tuples(st.integers(0, 7200),       # ts offset seconds (2h span)
+              st.integers(0, 2),          # user_id
+              st.sampled_from(["a", "b", "c"])),
+    min_size=0, max_size=30)
+
+
+@PROP
+@given(evs=_rd_events)
+def test_rolling_distinct_matches_python_windows(spark, evs,
+                                                 tmp_path_factory):
+    """events_rolling_distinct vs per-event python set arithmetic on
+    random streams: the trailing-hour distinct-type count is over ALL
+    same-user events with ts in [t-1h, t] — RANGE peer semantics mean
+    duplicate timestamps see each other regardless of row order."""
+    from datetime import datetime, timedelta
+
+    from spark_sentiment_spark.plans.events_queries import (
+        events_rolling_distinct)
+
+    tmp = tmp_path_factory.mktemp("rdprop")
+    base = datetime(2024, 1, 1)
+    rows = [(i, base + timedelta(seconds=s), u, ty, None, None)
+            for i, (s, u, ty) in enumerate(evs)]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string") \
+        .write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+    got = {r["event_id"]: r["n_types_1h"]
+           for r in events_rolling_distinct(spark, str(tmp)).collect()}
+    want = {}
+    for eid, ts, u, ty, _, _ in rows:
+        want[eid] = len({t2 for _, ts2, u2, t2, _, _ in rows
+                         if u2 == u and ts - timedelta(hours=1) <= ts2 <= ts})
+    assert got == want
