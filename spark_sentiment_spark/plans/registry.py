@@ -132,7 +132,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # trio's deep checks), events_daily_rollup (coarser twin of
 # events_tumbling_hour, in-window) — rotate them back next round.
 #
-# ROUND-6 ROTATION PAYLOAD (pre-staged): (a) the TWENTY-EIGHT
+# ROUND-6 ROTATION PAYLOAD (pre-staged): (a) the TWENTY-NINE
 # exact-oracle
 # queries added after this window froze, none of which has a driver row
 # yet — ngram_novelty, dedup_keep_best, dedup_cluster_canonical,
@@ -145,11 +145,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # streaming_hll_distinct, events_cdc_state, fuzzy_lexicon_match,
 # token_counts_regex, search_phrase, search_boolean_and,
 # audit_referential, events_rolling_distinct,
-# events_daily_uniques_hll, and events_rollup_incremental; (b) the
-# three entries
+# events_daily_uniques_hll, quantile_histogram_by_lang, and
+# events_rollup_incremental; (b) the three entries
 # displaced above (wordlist_extraction_scaled, multimodal_fingerprints,
 # events_daily_rollup); (c) backfill remaining slots with the oldest
-# green rows at that point (the r3-green set, then r4). All twenty-eight new
+# green rows at that point (the r3-green set, then r4). All twenty-nine new
 # queries are locally oracle-checked by tests/test_oracle.py and
 # scripts/driver_replica.py in the meantime.
 _WINDOW_PRIORITY = [

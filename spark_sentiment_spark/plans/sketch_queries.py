@@ -585,3 +585,95 @@ def events_daily_uniques_hll(spark, sf_dir):
                             / F.col("s").cast("double"), 2).alias("n_est"),
                     "n_buckets")
             .orderBy("day"))
+
+
+# --- Grouped histogram quantiles (per-language) -----------------------------
+
+_QHG_QUANTILES = [("0.50", 1, 2), ("0.95", 19, 20)]
+
+_QHG_QSEL = "\nUNION ALL\n".join(
+    f"SELECT lang, '{lbl}' AS quantile, "
+    f"CAST(({num} * n_rows + {den} - 1) // {den} AS BIGINT) AS target "
+    f"FROM bounds" for lbl, num, den in _QHG_QUANTILES)
+
+QHIST_GROUP_SQL = f"""
+WITH bounds AS (
+  SELECT lang, min(n_chars) AS min_v, max(n_chars) AS max_v,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM documents GROUP BY lang
+), hist AS (
+  SELECT d.lang, {_QH_BIN} AS bin, CAST(count(*) AS BIGINT) AS c
+  FROM documents d JOIN bounds b ON d.lang = b.lang
+  GROUP BY 1, 2
+), cum AS (
+  SELECT lang, bin, c,
+         sum(c) OVER (PARTITION BY lang ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cum_c
+  FROM hist
+), targets AS (
+  {_QHG_QSEL}
+), hit AS (
+  SELECT t.lang, t.quantile, t.target, min(cum.bin) AS bin
+  FROM targets t JOIN cum ON cum.lang = t.lang AND cum.cum_c >= t.target
+  GROUP BY 1, 2, 3
+)
+SELECT h.lang AS lang, h.quantile, h.target,
+       round(min_v + (h.bin + CAST(h.target - (cum.cum_c - cum.c) AS DOUBLE)
+                              / cum.c)
+                     * (CAST(max_v - min_v + 1 AS DOUBLE) / {_QH_BINS}), 4)
+         AS est_value
+FROM hit h
+JOIN cum ON h.lang = cum.lang AND h.bin = cum.bin
+JOIN bounds b ON h.lang = b.lang
+ORDER BY h.lang, h.quantile
+"""
+
+
+@register("quantile_histogram_by_lang", sql=QHIST_GROUP_SQL,
+          tags=("sketch",))
+def quantile_histogram_by_lang(spark, sf_dir):
+    """The GROUPED form of quantile_histogram_sketch: per language, a
+    128-bin histogram over its own [min, max] range with rank-targeted
+    p50/p95 interpolation — per-group quantile estimation with
+    groups x 128 total state, the partitionable shape (each group's
+    bins live and merge independently) that exact per-group percentiles
+    don't have. Same integer-exact rank targets and one-IEEE-division
+    interpolation, so the DuckDB twin replays every estimate.
+
+    Scale: one bounded per-lang bounds aggregate joined back (broadcast
+    at any realistic language count), one (lang, bin) aggregate, windows
+    partitioned by lang over <=128 rows each."""
+    docs = load(spark, sf_dir, "documents").select("lang", "n_chars")
+    bounds = docs.groupBy("lang").agg(
+        F.min("n_chars").alias("min_v"), F.max("n_chars").alias("max_v"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    hist = (docs.join(F.broadcast(bounds), "lang")
+            .select("lang", F.expr(_QH_BIN).alias("bin"))
+            .groupBy("lang", "bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    wcum = (Window.partitionBy("lang").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.select("lang", "bin", "c",
+                      F.sum("c").over(wcum).alias("cum_c"))
+    targets = None
+    for lbl, num, den in _QHG_QUANTILES:
+        t = bounds.select(
+            "lang", F.lit(lbl).alias("quantile"),
+            F.expr(f"({num} * n_rows + {den - 1}) div {den}")
+            .cast("bigint").alias("target"))
+        targets = t if targets is None else targets.union(t)
+    hit = (targets.join(cum.withColumnRenamed("lang", "lang_c"),
+                        (F.col("lang") == F.col("lang_c"))
+                        & (F.col("cum_c") >= F.col("target")))
+           .groupBy("lang", "quantile", "target")
+           .agg(F.min("bin").alias("bin")))
+    width = (F.col("max_v") - F.col("min_v") + 1).cast("double") / _QH_BINS
+    frac = ((F.col("target") - (F.col("cum_c") - F.col("c"))).cast("double")
+            / F.col("c"))
+    return (hit.join(cum, ["lang", "bin"])
+            .join(F.broadcast(bounds.select("lang", "min_v", "max_v")),
+                  "lang")
+            .select("lang", "quantile", "target",
+                    F.round(F.col("min_v") + (F.col("bin") + frac) * width, 4)
+                    .alias("est_value"))
+            .orderBy("lang", "quantile"))
