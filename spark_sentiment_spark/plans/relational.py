@@ -922,30 +922,6 @@ def agg_histogram(spark, sf_dir):
 
 # --- Referential-integrity audit ---------------------------------------------
 
-RI_AUDIT_SQL = """
-SELECT 'lineitem->orders' AS fk, CAST(count(*) AS BIGINT) AS n_child,
-       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_orphans
-FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
-UNION ALL
-SELECT 'lineitem->part', CAST(count(*) AS BIGINT),
-       CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
-UNION ALL
-SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT),
-       CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
-UNION ALL
-SELECT 'orders->customer', CAST(count(*) AS BIGINT),
-       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-UNION ALL
-SELECT 'events->customer', CAST(count(*) AS BIGINT),
-       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
-ORDER BY fk
-"""
-
 _RI_EDGES = [
     ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
     ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
@@ -953,6 +929,19 @@ _RI_EDGES = [
     ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
     ("events->customer", "events", "user_id", "customer", "c_custkey"),
 ]
+
+# The parent side is deduplicated (SELECT DISTINCT pk) on BOTH sides: the
+# Spark plan probes a .distinct() key set, so a parent table with duplicate
+# keys must not multiply the oracle's LEFT JOIN — one edge, one verdict per
+# child row regardless of parent-key uniqueness. Generated from _RI_EDGES so
+# plan and oracle can't drift edge-by-edge.
+RI_AUDIT_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{fk}' AS fk, CAST(count(*) AS BIGINT) AS n_child,
+       CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_orphans
+FROM {child} c
+LEFT JOIN (SELECT DISTINCT {pk} AS k FROM {parent}) p ON c.{ck} = p.k"""
+    for fk, child, ck, parent, pk in _RI_EDGES) + "\nORDER BY fk"
 
 
 @register("audit_referential", sql=RI_AUDIT_SQL, tags=("agg", "quality"))

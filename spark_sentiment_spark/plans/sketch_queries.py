@@ -448,7 +448,7 @@ def _skew_block(table: str, col: str) -> str:
     return f"""
 SELECT '{col}' AS key_col, s.n_rows, s.n_keys, s.max_freq, p.p99_freq,
        round(CAST(s.max_freq AS DOUBLE) / s.n_rows, 6) AS top1_share,
-       round(CAST(s.max_freq * s.n_keys AS DOUBLE) / s.n_rows, 4)
+       round(CAST(s.max_freq AS DOUBLE) * s.n_keys / s.n_rows, 4)
          AS skew_ratio
 FROM (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
              CAST(count(*) AS BIGINT) AS n_keys,
@@ -511,8 +511,12 @@ def skew_profile(spark, sf_dir):
                        "n_rows", "n_keys", "max_freq", "p99_freq",
                        F.round(F.col("max_freq").cast("double")
                                / F.col("n_rows"), 6).alias("top1_share"),
-                       F.round((F.col("max_freq") * F.col("n_keys"))
-                               .cast("double") / F.col("n_rows"), 4)
+                       # cast BEFORE the multiply: BIGINT max_freq*n_keys
+                       # overflows (silently, ANSI off) at billions of keys
+                       # with a hot key while DuckDB would error — double
+                       # math on both sides keeps plan and oracle aligned
+                       F.round(F.col("max_freq").cast("double")
+                               * F.col("n_keys") / F.col("n_rows"), 4)
                        .alias("skew_ratio")))
         out = row if out is None else out.union(row)
     return out.orderBy("key_col")

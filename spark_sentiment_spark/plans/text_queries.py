@@ -1001,7 +1001,9 @@ WITH lex AS (
 ), un AS (
   SELECT t FROM tok
   WHERE length(t) >= 3 AND regexp_matches(t, '^[a-z]+$')
-    AND t NOT IN (SELECT word FROM lex)
+    -- NOT EXISTS, not NOT IN: a NULL lexicon word would NULL-poison
+    -- NOT IN (zero rows) while the Spark plan's left_anti keeps them
+    AND NOT EXISTS (SELECT 1 FROM lex WHERE lex.word = tok.t)
 ), cand AS (
   SELECT u.t, l.score, levenshtein(u.t, l.word) AS dist
   FROM un u, lex l
