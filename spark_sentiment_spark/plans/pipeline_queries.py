@@ -1140,26 +1140,137 @@ def dedup_semantic(spark, sf_dir, k: int | None = None,
 
 BPE_N_MERGES = 40
 
+# Exact DuckDB twins for the BPE queries, generated as an UNROLLED CTE chain
+# (the SimHash/pagerank oracle style): the merge loop is deterministic
+# integer counting, so 40 rounds of
+#   pairs_r  (adjacent-pair counts over current segmentations, freq-weighted)
+#   best_r   (max count, ties broken by lexicographically smallest pair —
+#             DuckDB's binary UTF-8 collation IS Python tuple order)
+#   seg_r    (apply the merge greedily left-to-right)
+# replay the driver-side trainer bit-for-bit. Segmentations are encoded as
+# US-separated strings: token list [a, b] -> US a US US b US, so
+# replace(s, US||a||US||US||b||US, US||ab||US) consumes non-overlapping
+# occurrences left-to-right exactly like the Python scan ("a a a" -> "aa a").
+# An empty pairs_r empties best_r, and the CROSS JOIN then empties every
+# later seg/best — reproducing the trainer's early break with no extra rows.
+#
+# The token-count twin rides the same chain: applying merges sequentially in
+# rank order is equivalent to the GPT-2 lowest-rank-first encoder, because a
+# pair involving a merged symbol can only have been learned AFTER the merge
+# that created the symbol (rank monotonicity) — so the encode chain is 40
+# more LEFT-JOIN replace() rounds over the DISTINCT corpus vocabulary (no
+# min_count floor: the encoder sees hapaxes too), then one join back to the
+# per-document token stream.
 
-@register("bpe_merges", tags=("pipeline", "text"))
+_US = "chr(31)"  # unit separator — cannot appear in whitespace-split tokens
+_SEP2 = f"{_US}||{_US}"
+
+
+def _bpe_chain_sql(n: int) -> str:
+    """The shared WITH-chain: wf -> seg0 -> (tok/pr/best/seg) x n."""
+    parts = [f"""wf AS MATERIALIZED (
+  SELECT tok AS word, count(*) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents WHERE text IS NOT NULL)
+  WHERE length(tok) > 0
+  GROUP BY tok HAVING count(*) >= 2
+  ORDER BY count(*) DESC, tok LIMIT 1000000
+), seg0 AS MATERIALIZED (
+  SELECT word, freq,
+         {_US} || array_to_string(string_split(word, '') || ['</w>'],
+                                  {_SEP2}) || {_US} AS s
+  FROM wf
+)"""]
+    for r in range(1, n + 1):
+        parts.append(f"""tok{r} AS MATERIALIZED (
+  SELECT freq, string_split(trim(s, chr(31)), {_SEP2}) AS l FROM seg{r - 1}
+), pr{r} AS MATERIALIZED (
+  SELECT p.a AS a, p.b AS b, sum(freq) AS cnt FROM (
+    SELECT freq, unnest(list_transform(range(1, len(l)),
+                                       i -> {{'a': l[i], 'b': l[i + 1]}})) AS p
+    FROM tok{r})
+  GROUP BY 1, 2
+), best{r} AS MATERIALIZED (
+  SELECT a, b, cnt FROM pr{r} ORDER BY cnt DESC, a, b LIMIT 1
+), seg{r} AS MATERIALIZED (
+  SELECT word, freq,
+         replace(s, {_US}||a||{_SEP2}||b||{_US}, {_US}||a||b||{_US}) AS s
+  FROM seg{r - 1} CROSS JOIN best{r}
+)""")
+    return "WITH " + ",\n".join(parts)
+
+
+def _bpe_merges_sql(n: int = BPE_N_MERGES) -> str:
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS \"rank\", a AS \"left\","
+        f" b AS \"right\", a || b AS merged,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM best{r}"
+        for r in range(1, n + 1))
+    return f"{_bpe_chain_sql(n)}\nSELECT * FROM (\n{rows}\n) ORDER BY \"rank\""
+
+
+def _bpe_token_counts_sql(n: int = BPE_N_MERGES) -> str:
+    enc = [f"""doctok AS MATERIALIZED (
+  SELECT doc_id, tok AS word FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents WHERE text IS NOT NULL)
+  WHERE length(tok) > 0
+), enc0 AS MATERIALIZED (
+  SELECT word,
+         {_US} || array_to_string(string_split(word, '') || ['</w>'],
+                                  {_SEP2}) || {_US} AS s
+  FROM (SELECT DISTINCT word FROM doctok)
+)"""]
+    for r in range(1, n + 1):
+        # LEFT JOIN (unlike the seg chain's CROSS JOIN): if training stopped
+        # early, best{r} is empty and the encoder must pass rows through
+        # unchanged, not drop the vocabulary.
+        enc.append(f"""enc{r} AS MATERIALIZED (
+  SELECT word, CASE WHEN a IS NULL THEN s ELSE
+         replace(s, {_US}||a||{_SEP2}||b||{_US}, {_US}||a||b||{_US}) END AS s
+  FROM enc{r - 1} LEFT JOIN best{r} ON true
+)""")
+    enc_chain = ",\n".join(enc)
+    return f"""{_bpe_chain_sql(n)},
+{enc_chain},
+wcnt AS (
+  SELECT word,
+         CAST(len(string_split(trim(s, chr(31)), {_SEP2})) AS BIGINT) AS n
+  FROM enc{n}
+)
+SELECT d.doc_id, CAST(coalesce(t.n, 0) AS BIGINT) AS n_bpe_tokens
+FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+LEFT JOIN (SELECT dt.doc_id, sum(w.n) AS n
+           FROM doctok dt JOIN wcnt w USING (word)
+           GROUP BY dt.doc_id) t USING (doc_id)
+ORDER BY doc_id"""
+
+
+@register("bpe_merges", sql=_bpe_merges_sql(), tags=("pipeline", "text"))
 def bpe_merges(spark, sf_dir):
     """Learned BPE merge table over the corpus (Sennrich-style, see
     operators/bpe.py): one distributed word-frequency pass, bounded
-    driver-side merge loop, deterministic tie-breaks. Rows-only driver
-    check (iterative — not SQL-expressible); the merge sequence is pinned
-    against an independent naive implementation in tests/test_bpe.py."""
+    driver-side merge loop, deterministic tie-breaks. Exact oracle: the
+    deterministic merge loop unrolled as a 40-round CTE chain (see
+    _bpe_chain_sql); the merge sequence is additionally pinned against an
+    independent naive implementation in tests/test_bpe.py."""
     from spark_sentiment_spark.operators.bpe import bpe_train
 
     docs = load(spark, sf_dir, "documents")
     return bpe_train(spark, docs, n_merges=BPE_N_MERGES).orderBy("rank")
 
 
-@register("bpe_token_counts", tags=("pipeline", "text"))
+@register("bpe_token_counts", sql=_bpe_token_counts_sql(),
+          tags=("pipeline", "text"))
 def bpe_token_counts(spark, sf_dir):
     """Per-document token counts under the learned BPE vocabulary — the
     training-budget metric (tokens, not words, is what a 100 TB corpus is
     priced in). Train once (bounded), then count via the Arrow-batched
-    memoized encoder; the corpus is touched exactly twice."""
+    memoized encoder; the corpus is touched exactly twice. Exact oracle:
+    the training chain plus a 40-round encode chain over the distinct
+    corpus vocabulary (rank-order merge application == the GPT-2
+    lowest-rank-first encoder; see _bpe_token_counts_sql)."""
     from spark_sentiment_spark.operators.bpe import (bpe_token_count_col,
                                                      bpe_train)
 
