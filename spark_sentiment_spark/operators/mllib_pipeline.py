@@ -90,6 +90,11 @@ class TrainedModel:
     #: classifier="all" fills this with every family's best validation
     #: accuracy so callers (and tests) can audit the argmax selection.
     family_precisions: dict | None = None
+    #: one (family, params, validation_accuracy) row per fit — static and
+    #: every grid point — so the selection can be re-derived as a pure
+    #: argmax over the full log (36 rows for classifier="all" with sweep:
+    #: 3 static + LR 3x3 + NB 6 + RF 3x3x2).
+    fit_log: list | None = None
 
     def save(self, path: str) -> None:
         self.model.write().overwrite().save(path)
@@ -143,15 +148,18 @@ def train(df: DataFrame, text_col: str, classifier: str = "all",
     names = ([classifier] if classifier != "all"
              else ["logistic", "naivebayes", "maxentropy"])
     results = []
+    fit_log: list[tuple[str, str, float]] = []
     for name in names:
         est, grid = _classifier(name)
         static_model = Pipeline(stages=[features, est]).fit(training_df)
         static_prec = accuracy(static_model.transform(validation_df))
+        fit_log.append((name, "static", static_prec))
         best_model, best_prec = static_model, static_prec
         if sweep:
-            swept_model, swept_prec = _sweep(features, est, grid,
-                                             training_df, validation_df,
-                                             parallelism)
+            swept_model, swept_prec, scored = _sweep(
+                features, est, grid, training_df, validation_df,
+                parallelism)
+            fit_log.extend((name, params, prec) for prec, params in scored)
             # sweep wins only when strictly better (Regression.scala:49-56)
             if swept_prec - static_prec > 0:
                 best_model, best_prec = swept_model, swept_prec
@@ -159,6 +167,7 @@ def train(df: DataFrame, text_col: str, classifier: str = "all",
                                     static_prec, testing_df))
     best = max(results, key=lambda r: r.precision)
     best.family_precisions = {r.classifier: r.precision for r in results}
+    best.fit_log = fit_log
     return best
 
 
@@ -180,14 +189,16 @@ def _sweep(features, est, grid: dict, training_df, validation_df,
 
     def fit_one(pm):
         model = Pipeline(stages=[features, est.copy(pm)]).fit(training_df)
-        return accuracy(model.transform(validation_df)), model
+        desc = ",".join(f"{p.name}={v}" for p, v in sorted(
+            pm.items(), key=lambda kv: kv[0].name))
+        return accuracy(model.transform(validation_df)), model, desc
 
     # Spark fits are thread-safe; concurrent driver threads keep all
     # executors busy across the sweep (the reference ran them serially).
     with ThreadPoolExecutor(max_workers=max(1, parallelism)) as pool:
-        scored = list(pool.map(fit_one, param_maps))
-    best_prec, best_model = max(scored, key=lambda t: t[0])
-    return best_model, best_prec
+        fits = list(pool.map(fit_one, param_maps))
+    best_prec, best_model, _ = max(fits, key=lambda t: t[0])
+    return best_model, best_prec, [(prec, desc) for prec, _, desc in fits]
 
 
 def random_sample(df: DataFrame, n: int) -> DataFrame:

@@ -112,101 +112,74 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 # The external correctness harness records rows for only the FIRST 50
 # catalog entries, so ordering is an explicit, audited decision rather
-# than an accident of import order. Round-5 window (the r4 VERDICT's
-# rotation plan, executed): (a) the 11 relational queries whose only
-# green row dated from round 1 — q8/q9/q11-q16/q19/q20/q22 — now three
-# rounds of shared-code churn stale; (b) the 6 queries upgraded from
-# rows-only to exact oracles this round (sample_stratified,
-# multimodal_decode_features, dedup_semantic, and the decode trio
-# multimodal_{ppm_decode,wav_decode,frame_sample} — content-addressed
-# sampling / byte-arithmetic replay / IVF-seeded cells made their SQL
-# twins possible), none of which has EVER had a green oracle row;
-# (c) token_pmi_bigrams and mixture_apply, whose r4 green rows predate
-# this round's edits (broadcast-hint removal, largest-remainder
-# quotas); (d) 31 of the 34 queries whose latest green row is round 2.
-# Exactly 50. Sitting out: everything r3/r4-green and untouched this
-# round; agg_approx_distinct (intentional no_oracle, a re-run adds no
-# signal); and three low-marginal r2 entries displaced by the decode
-# trio — wordlist_extraction_scaled (same plan as wordlist_extraction,
-# in-window), multimodal_fingerprints (shallow metadata next to the
-# trio's deep checks), events_daily_rollup (coarser twin of
-# events_tumbling_hour, in-window) — rotate them back next round.
+# than an accident of import order.
 #
-# ROUND-6 ROTATION PAYLOAD (pre-staged): (a) the TWENTY-NINE
-# exact-oracle
-# queries added after this window froze, none of which has a driver row
-# yet — ngram_novelty, dedup_keep_best, dedup_cluster_canonical,
-# curate_corpus, token_pagerank, ann_ivf_topk, ann_pq_topk (the last
-# two upgraded rows-only → exact this round), the sketch/layout
-# quartet agg_hll_sketch, token_cms_topk, zorder_layout,
-# join_skew_salted, quantile_histogram_sketch, dedup_simjoin_prefix,
-# langid_char_ngram, skew_profile, multimodal_phash_dedup,
-# dedup_containment_prefix, vocab_growth_curve,
-# streaming_hll_distinct, events_cdc_state, fuzzy_lexicon_match,
-# token_counts_regex, search_phrase, search_boolean_and,
-# audit_referential, events_rolling_distinct,
-# events_daily_uniques_hll, quantile_histogram_by_lang, and
-# events_rollup_incremental; (b) the three entries
-# displaced above (wordlist_extraction_scaled, multimodal_fingerprints,
-# events_daily_rollup); (c) backfill remaining slots with the oldest
-# green rows at that point (the r3-green set, then r4). All twenty-nine new
-# queries are locally oracle-checked by tests/test_oracle.py and
-# scripts/driver_replica.py in the meantime.
+# The round-6 window is COMPUTED, not hand-maintained (the round-5
+# hand-written rotation note undercounted and went stale as the catalog
+# grew): `python scripts/gen_window.py` derives it from the registry and
+# the CORRECTNESS_r*.json history, and tests/test_registry_window.py
+# asserts this committed list matches that computation. Policy, in
+# priority order: (a) every oracle-backed query with NO driver row in any
+# round — the 35 post-freeze round-5 additions; (b) the 4 queries whose
+# rows-only -> exact-oracle upgrade postdates their latest row (the ann
+# pair, upgraded r5; the bpe pair, upgraded r6); (c) backfill the 11
+# remaining slots with the oldest green rows (3×r2, then r3 by name).
+# Rows-only queries never take a slot. Round-6 catalog growth is frozen
+# (VERDICT item 2) so this window cannot be outgrown mid-round.
 _WINDOW_PRIORITY = [
-    # — (a) round-1-stale relational queries —
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_nation_concentration",
-    "q12_priority_classes",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q19_disjunctive_brackets",
-    "q20_part_suppliers",
-    "q22_dormant_customers",
-    # — (b) upgraded rows-only -> exact oracle this round —
-    "sample_stratified",
-    "multimodal_decode_features",
-    "dedup_semantic",
-    "multimodal_ppm_decode",
-    "multimodal_wav_decode",
-    "multimodal_frame_sample",
-    # — (c) edited this round (r4 rows predate the change) —
-    "token_pmi_bigrams",
-    "mixture_apply",
-    # — (d) last verified in round 2 —
-    "boilerplate_ngrams",
-    "clean_text",
-    "decontaminate_ngram",
-    "doc_chunks",
-    "doc_fingerprints",
-    "events_asof_cogroup",
-    "events_asof_join",
-    "events_funnel",
-    "events_gap_fill",
-    "events_json_extract",
-    "events_props_map",
-    "events_range_join",
-    "events_retention_cohorts",
-    "events_rolling_1h",
-    "events_sessionize",
-    "events_sliding_hour",
-    "events_tumbling_hour",
-    "events_user_rates",
-    "langid_stopword",
-    "quality_outlier_trim",
-    "quality_repetition",
-    "quality_scores",
-    "quality_zscore_by_lang",
-    "streaming_stateful_counts",
-    "streaming_static_enrich",
-    "streaming_tumbling_hour",
-    "text_stats_by_lang",
-    "text_tfidf_topk",
-    "token_counts",
-    "wordlist_extraction",
-    "wordscore_sentiment",
+    # — (a) never driver-checked —
+    "agg_hll_sketch",
+    "audit_referential",
+    "curate_corpus",
+    "dedup_char_ngrams",
+    "dedup_cluster_canonical",
+    "dedup_cluster_stats",
+    "dedup_containment_prefix",
+    "dedup_keep_best",
+    "dedup_simjoin_prefix",
+    "events_cdc_state",
+    "events_daily_uniques_hll",
+    "events_rolling_distinct",
+    "events_rollup_incremental",
+    "fuzzy_lexicon_match",
+    "join_skew_salted",
+    "langid_char_ngram",
+    "multimodal_phash_dedup",
+    "ngram_novelty",
+    "packing_efficiency",
+    "pii_redaction",
+    "quality_bigram_backoff",
+    "quantile_histogram_by_lang",
+    "quantile_histogram_sketch",
+    "search_boolean_and",
+    "search_phrase",
+    "skew_profile",
+    "streaming_conversions",
+    "streaming_dedup",
+    "streaming_hll_distinct",
+    "streaming_sliding_hour",
+    "token_cms_topk",
+    "token_counts_regex",
+    "token_pagerank",
+    "vocab_growth_curve",
+    "zorder_layout",
+    # — (b) upgraded after their latest driver row —
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "bpe_merges",
+    "bpe_token_counts",
+    # — (c) oldest-stale backfill (r2, then r3 by name) —
+    "events_daily_rollup",
+    "multimodal_fingerprints",
+    "wordlist_extraction_scaled",
+    "ann_lsh_topk",
+    "cap_per_source",
+    "corr_matrix",
+    "curriculum_buckets",
+    "decontaminate_minhash",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact",
 ]
 
 

@@ -70,22 +70,67 @@ def test_save_load_roundtrip(trained, labeled_corpus, tmp_path):
     assert a.exceptAll(b).count() == 0
 
 
-def test_train_all_full_sweep_selects_argmax(labeled_corpus):
-    """M10/M11 end-to-end at reference semantics: classifier="all" with
-    sweep on runs all 33 grid fits + 3 static fits
-    (MlLibSentimentAnalyser.scala:36-53 — LR 3x3, NB 6, RF 3x3x2) and
-    must keep the family whose best validation accuracy is the maximum.
-    The returned family_precisions audit trail lets us recompute the
-    argmax independently."""
+@pytest.fixture(scope="module")
+def sentiment140_corpus(spark):
+    """A Sentiment140-SHAPED fixture: the reference's real input format
+    (polarity 0/4, id, date, query, user, text — the CSV schema
+    Sentiment.scala feeds to mlib). Label detection must find `polarity`
+    through the Detection cascade (no double column, no uniquely numeric
+    string column → the one low-cardinality int column), exactly the
+    path MlLibSentimentAnalyser.prepare:86-104 takes on the real data."""
+    import random
+
+    rng = random.Random(29)
+    rows = []
+    for i in range(400):
+        polarity = 0 if i % 2 == 0 else 4
+        vocab = NEG_WORDS if polarity == 0 else POS_WORDS
+        words = [rng.choice(vocab) for _ in range(4)] + \
+                [rng.choice(FILL) for _ in range(4)]
+        rng.shuffle(words)
+        rows.append((polarity, 1467810000 + i,
+                     "Mon Apr 06 22:19:45 PDT 2009", "NO_QUERY",
+                     f"user{i}", " ".join(words)))
+    return spark.createDataFrame(
+        rows, "polarity int, id long, date string, query string, "
+              "user string, text string")
+
+
+def test_sentiment140_label_detection(sentiment140_corpus):
+    """The detection cascade lands on `polarity`: ids are all-distinct
+    (not categorical), date/query/user aren't numeric-first strings."""
+    from spark_sentiment_spark.operators.mllib_pipeline import prepare_labels
+
+    labeled, label_col = prepare_labels(sentiment140_corpus)
+    assert label_col == "polarity"
+    vals = {r[0] for r in labeled.select("score").distinct().collect()}
+    assert vals == {0.0, 4.0}
+
+
+def test_train_all_full_sweep_selects_argmax(sentiment140_corpus):
+    """M10/M11 end-to-end at reference semantics on the reference's input
+    shape: classifier="all" with sweep runs all 33 grid fits + 3 static
+    fits (MlLibSentimentAnalyser.scala:36-53 — LR 3x3, NB 6, RF 3x3x2);
+    the per-fit audit log lets us recompute the argmax over every fit
+    independently of the selection logic."""
     from spark_sentiment_spark.operators.mllib_pipeline import train
 
-    t = train(labeled_corpus, "text", classifier="all", parallelism=4)
+    t = train(sentiment140_corpus, "text", classifier="all", parallelism=4)
     assert set(t.family_precisions) == {"logistic", "naivebayes",
                                         "maxentropy"}
-    assert t.precision == max(t.family_precisions.values())
+    # full fit log: 3 static + 9 LR + 6 NB + 18 RF grid points
+    assert len(t.fit_log) == 36
+    per_family = {f: [p for fam, _, p in t.fit_log if fam == f]
+                  for f in ("logistic", "naivebayes", "maxentropy")}
+    assert [len(per_family["logistic"]), len(per_family["naivebayes"]),
+            len(per_family["maxentropy"])] == [10, 7, 19]
+    # selection == argmax recomputed across all 36 fits
+    assert t.precision == max(p for _, _, p in t.fit_log)
     assert t.family_precisions[t.classifier] == t.precision
-    # the planted pos/neg vocabulary is separable — every family should
-    # clear the reference's lowest accuracy gate, winner included
+    for fam, precs in per_family.items():
+        assert t.family_precisions[fam] == max(precs)
+    # the planted pos/neg vocabulary is separable — the winner must clear
+    # the reference's lowest accuracy gate ("Precision SUCKS" < 0.65)
     assert t.precision >= 0.65
 
 

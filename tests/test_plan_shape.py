@@ -291,3 +291,62 @@ def test_phash_python_confined_to_decode(spark):
     assert "MapInPandas" in plan
     assert not re.search(
         r"ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas", plan)
+
+
+# --- Round-5 streaming trio: no-Python / bounded-state pins -----------------
+# The streaming STAGE is inspected pre-run (analyzed logical plan of the
+# unstarted stream), the batch fold post-hoc — together they pin the claims
+# the round-5 additions were registered under: watermarked state, no Python
+# operators anywhere, sketch state bounded by the register count.
+
+
+def test_streaming_conversions_stream_stage_shape(spark):
+    """Stream-stream interval join: BOTH sides watermarked (state expires
+    once the watermark passes signup.ts + horizon) and the join is a
+    single inner join — no Python anywhere in the streaming stage."""
+    from spark_sentiment_spark.streaming.streams import (
+        read_event_stream, stream_stream_conversions)
+
+    sdf = stream_stream_conversions(read_event_stream(spark, SF_DIR))
+    lp = sdf._jdf.queryExecution().analyzed().toString()
+    assert lp.count("EventTimeWatermark") == 2
+    assert lp.count("Join Inner") == 1
+    assert "Python" not in lp and "InPandas" not in lp
+
+
+def test_streaming_dedup_stream_stage_shape(spark):
+    """Watermarked ingest dedup: the deduplicate operator is the
+    WithinWatermark variant (state is O(events per watermark window),
+    not O(all keys ever)) sitting above an event-time watermark."""
+    from spark_sentiment_spark.streaming.streams import (
+        dedup_stream, read_event_stream)
+
+    ev = read_event_stream(spark, SF_DIR)
+    sdf = dedup_stream(ev.unionByName(read_event_stream(spark, SF_DIR)))
+    lp = sdf._jdf.queryExecution().analyzed().toString()
+    assert "DeduplicateWithinWatermark" in lp
+    assert "EventTimeWatermark" in lp
+    assert "Python" not in lp and "InPandas" not in lp
+
+
+def test_streaming_hll_state_bounded_and_jvm(spark):
+    """streaming_hll_distinct keeps ONE row of streaming state per HLL
+    register — the memory sink can never exceed 256 rows regardless of
+    stream length — and the batch fold over the sink is pure JVM with
+    the 1-row exact twin broadcast."""
+    from spark_sentiment_spark.plans.registry import (REGISTRY, all_queries,
+                                                      release_caches)
+    from spark_sentiment_spark.plans.sketch_queries import _HLL_M
+
+    all_queries()
+    out = REGISTRY["streaming_hll_distinct"].fn(spark, SF_DIR)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    release_caches()
+    assert not _PY_OPS.search(plan), plan[:1500]
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row exact twin broadcast
+    # the sink table (first table in the plan's InMemory scan) is the
+    # bucket-maxima state: bounded by the register count
+    sink_rows = spark.table([t for t in spark.catalog.listTables()
+                             if t.name.startswith("stream_hll")][-1].name) \
+        .count()
+    assert sink_rows <= _HLL_M
