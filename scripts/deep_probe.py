@@ -10,13 +10,15 @@ Replication shapes differ deliberately:
   co-occurrence VERTEX set is the vocabulary, which saturates on a web
   corpus long before the token stream does, so ×k data means ×k edge
   WEIGHT on a fixed graph. The realistic shape.
-* dedup_clusters additionally prefixes every TOKEN with the replica id.
-  With identical texts, all k copies of a doc are mutual 1.0-Jaccard
-  near-dups, so the ≥0.9 pair graph grows ×k² and components merge
-  across replicas — a replication artifact (it OOMs the 8g driver at
-  ×32), not an operator slope. Disjoint texts give k independent copies
-  of the base dup structure: pairs, components and rounds scale the way
-  k× more real data would.
+* dedup_clusters runs on BOTH shapes. "disjoint" prefixes every TOKEN
+  with the replica id, giving k independent copies of the base dup
+  structure — pairs, components and rounds scale the way k× more real
+  data would. "identical texts" (re-key only) makes all k copies of a
+  doc mutual 1.0-Jaccard near-dups — the exact-boilerplate shape of a
+  real web corpus; before the round-6 exact-duplicate collapse inside
+  dedup_clusters this grew the pair graph ×k² and OOMed the 8g driver
+  at ×32, and now it is the DEMONSTRATION that the collapse absorbs
+  exact-dup groups before the pair stage.
 
 Appends (or replaces) the "×32 deep-volume probe" section of SCALING.md.
 Usage: python scripts/deep_probe.py   (~6 min; uses .scaletmp32/, removed)
@@ -39,7 +41,16 @@ BASE_SF = "/root/testdata/sf0.1"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TMP = os.path.join(REPO, ".scaletmp32")
 FACTORS = [1, 8, 32]
-PROBES = ["token_pagerank", "dedup_clusters"]
+# (label, registry query, replication variant). dedup_clusters runs on
+# BOTH variants since round 6: the exact-duplicate collapse inside the
+# plan makes the identical-text shape — which OOMed an 8g driver before
+# the collapse — the demonstration case, and the disjoint shape measures
+# the pair/label-table slope the collapse cannot help with.
+PROBES = [
+    ("token_pagerank", "token_pagerank", "rekey"),
+    ("dedup_clusters", "dedup_clusters", "disjoint"),
+    ("dedup_clusters (identical texts)", "dedup_clusters", "rekey"),
+]
 
 SECTION = "## ×32 deep-volume probe: the iterative graph queries"
 
@@ -56,7 +67,7 @@ def main() -> None:
                                   "spark.sql.codegen.wholeStage": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
-    results: dict[str, dict[int, dict]] = {q: {} for q in PROBES}
+    results: dict[str, dict[int, dict]] = {label: {} for label, _, _ in PROBES}
     try:
         for k in FACTORS:
             variants = {}
@@ -84,9 +95,8 @@ def main() -> None:
                 df.write.mode("overwrite") \
                     .parquet(f"{out_dir}/documents.parquet")
                 variants[tag] = (out_dir, df.count())
-            for name in PROBES:
-                out_dir, n_rows = variants[
-                    "disjoint" if name == "dedup_clusters" else "rekey"]
+            for label, name, variant in PROBES:
+                out_dir, n_rows = variants[variant]
                 fn = REGISTRY[name].fn
                 fn(spark, out_dir).write.format("noop").mode("overwrite") \
                     .save()
@@ -98,9 +108,9 @@ def main() -> None:
                         .mode("overwrite").save()
                     best = min(best, time.perf_counter() - t0)
                     release_caches()
-                results[name][k] = {"sec": round(best, 3), "rows": n_rows,
-                                    "krows_s": round(n_rows / best / 1e3, 1)}
-                print(f"x{k} {name}: {best:.2f}s "
+                results[label][k] = {"sec": round(best, 3), "rows": n_rows,
+                                     "krows_s": round(n_rows / best / 1e3, 1)}
+                print(f"x{k} {label}: {best:.2f}s "
                       f"({n_rows / best / 1e3:.1f} krows/s)", flush=True)
     finally:
         shutil.rmtree(TMP, ignore_errors=True)
@@ -112,23 +122,24 @@ def main() -> None:
              "point where their edge/pair tables fit one comfortable",
              "shuffle round. pagerank replicas are re-keyed only (texts",
              "identical — the saturating-vocabulary web shape); cluster",
-             "replicas get replica-prefixed TOKENS, because identical",
-             "texts make all k copies mutual 1.0-Jaccard near-dups and",
-             "the pair graph then grows ×k² by construction (OOMs at ×32",
-             "— a replication artifact, the same one documented for",
-             "dedup_simjoin_prefix above, not an operator slope). Both",
-             "run a bounded round count (10 power iterations; ~log₂",
+             "replicas run both textually-DISJOINT (k independent copies",
+             "of the dup structure — the honest data-growth slope) and",
+             "IDENTICAL (k-clique exact-dup groups — the web-boilerplate",
+             "shape, which grew the pair graph ×k² and OOMed the driver",
+             "before dedup_clusters' round-6 exact-duplicate collapse).",
+             "All run bounded round counts (10 power iterations; ~log₂",
              "pointer-jumping rounds), so the claim under test is that",
              "per-round cost is the only thing that grows:", "",
              "| query | ×1 | ×8 | ×32 | ×32/×1 time | ×32/×1 data |",
              "|---|---|---|---|---|---|"]
-    for name in PROBES:
-        by_k = results[name]
+    for label, _, _ in PROBES:
+        by_k = results[label]
         cells = [f"{by_k[k]['sec']}s" for k in FACTORS]
         ratio = round(by_k[32]["sec"] / by_k[1]["sec"], 1)
-        lines.append(f"| {name} | " + " | ".join(cells)
+        lines.append(f"| {label} | " + " | ".join(cells)
                      + f" | {ratio}× | 32× |")
     pr, dc = results["token_pagerank"], results["dedup_clusters"]
+    di = results["dedup_clusters (identical texts)"]
     lines += [
         "",
         f"Reading: token_pagerank {round(pr[32]['sec'] / pr[1]['sec'], 1)}×"
@@ -136,11 +147,14 @@ def main() -> None:
         "(saturating) vocabulary, so replication multiplies edge weights,",
         "not unique edges; per-iteration cost grows with the aggregated",
         "edge table and stays far below data growth. dedup_clusters",
-        f"{round(dc[32]['sec'] / dc[1]['sec'], 1)}× — replicas are",
-        "textually disjoint, so the pair/label tables grow linearly and",
-        "rounds stay at the fixture's component diameter; pointer",
-        "jumping's log-diameter bound (chain table above) is the guard",
-        "against the adversarial case replication can't produce.",
+        f"{round(dc[32]['sec'] / dc[1]['sec'], 1)}× on disjoint texts —",
+        "pair/label tables grow linearly, rounds stay at the fixture's",
+        "component diameter; pointer jumping's log-diameter bound (chain",
+        "table above) guards the adversarial case replication can't",
+        f"produce. On identical texts {round(di[32]['sec'] / di[1]['sec'], 1)}× —",
+        "the collapse reduces ×32 worth of k-cliques to the ×1 rep",
+        "corpus plus one content-hash window; without it this row was an",
+        "OOM, not a number.",
         "Raw32: `" + json.dumps(results) + "`",
     ]
 

@@ -186,7 +186,13 @@ def dedup_jaccard_pairs(spark, sf_dir):
     posting-list length, so it serves as the small-SF oracle for the LSH
     variant below (which is the plan you run at 100 TB). Shingle sets (not
     single tokens) keep posting lists selective on homogeneous corpora."""
-    docs = load(spark, sf_dir, "documents")
+    return _jaccard_pair_frame(load(spark, sf_dir, "documents"))
+
+
+def _jaccard_pair_frame(docs):
+    """The >= 0.9 Jaccard pair computation over an arbitrary document
+    frame (factored so dedup_clusters can run it on exact-dup
+    representatives instead of the raw corpus)."""
     tok = _shingled(docs).distinct()
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = tok.alias("a")
@@ -466,14 +472,43 @@ def dedup_clusters(spark, sf_dir):
     would keep). Iterative min-label propagation
     (operators/components.py) — the fixpoint is not one SQL statement in
     Spark; the DuckDB oracle expresses it as a recursive-CTE transitive
-    closure over the identical pair graph."""
+    closure over the identical pair graph.
+
+    EXACT-DUPLICATE COLLAPSE (round 6): identical texts are pairwise
+    Jaccard 1.0, so a group of k exact copies contributes a k-clique —
+    k(k-1)/2 pairs — to the pair stage while adding nothing to the
+    clustering answer. On a web corpus exact boilerplate groups run to
+    10^5 copies, making the pair graph quadratic in the hottest groups
+    (scripts/deep_probe.py measured the blowup: ×32 identical-text
+    replication OOMs an 8g driver without the collapse). So the pair
+    computation runs on one REPRESENTATIVE per md5(lower(text)) group
+    (the group's min doc_id), and members expand back afterward. The
+    output is provably unchanged: members share their rep's component
+    (j = 1.0 edges), cross-group connectivity depends only on text so
+    rep-level pairs preserve it, and component labels stay the min
+    doc_id because each rep IS its group's min. Membership is also
+    preserved — a doc appears iff it has some >= 0.9 partner: any doc in
+    a group of >= 2, plus singletons whose rep earned a rep-level pair."""
     from spark_sentiment_spark.operators.components import (
         connected_components)
 
-    pairs = dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load(spark, sf_dir, "documents")
+    wg = Window.partitionBy("h")
+    member = track_persist(
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", F.md5(F.lower("text")).alias("h"))
+        .withColumn("rep", F.min("doc_id").over(wg))
+        .withColumn("gsize", F.count(F.lit(1)).over(wg))
+        .select("doc_id", "rep", "gsize"))
+    reps = member.where(F.col("doc_id") == F.col("rep")).select("doc_id")
+    pairs = _jaccard_pair_frame(docs.join(reps, "doc_id")) \
+        .select("doc_a", "doc_b")
     comp = connected_components(pairs, "doc_a", "doc_b")
-    return (comp.select(F.col("node").alias("doc_id"),
-                        F.col("comp").alias("component"))
+    return (member
+            .join(comp.select(F.col("node").alias("rep"), "comp"),
+                  "rep", "left")
+            .where((F.col("gsize") >= 2) | F.col("comp").isNotNull())
+            .select("doc_id", F.coalesce("comp", "rep").alias("component"))
             .orderBy("doc_id"))
 
 
