@@ -27,12 +27,18 @@ import sys
 
 WINDOW_SIZE = 50
 
-# Queries whose semantics changed after their latest green row (the row no
-# longer certifies the current code): the ann pair's rows predate their
-# rows-only -> exact-oracle upgrade in round 5; the bpe pair's r3 rows were
-# rows-only checks and the exact oracles are new in round 6.
-UPGRADED_SINCE_ROW = ["ann_ivf_topk", "ann_pq_topk",
-                      "bpe_merges", "bpe_token_counts"]
+# Queries whose plan or oracle changed after their latest green row (the
+# row no longer certifies the current code), keyed by the ROUND of the
+# change so entries expire by themselves: a query drops out of this class
+# the moment it earns a driver row in a round >= its change round. Append
+# here whenever a green query's semantics are edited mid-round.
+UPGRADED_SINCE_ROW = {
+    "ann_ivf_topk": 5,       # rows-only -> exact oracle (round 5)
+    "ann_pq_topk": 5,        # rows-only -> exact oracle (round 5)
+    "bpe_merges": 6,         # exact unrolled-CTE oracle added (round 6)
+    "bpe_token_counts": 6,   # exact unrolled-CTE oracle added (round 6)
+    "dedup_clusters": 6,     # exact-duplicate collapse in the plan (round 6)
+}
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -50,8 +56,8 @@ def compute_window() -> tuple[list[str], dict]:
             latest[name] = max(latest.get(name, 0), rnd)
 
     never = sorted(n for n in oracle_names if n not in latest)
-    upgraded = [n for n in UPGRADED_SINCE_ROW
-                if n in oracle_names and n in latest]
+    upgraded = [n for n, rnd in UPGRADED_SINCE_ROW.items()
+                if n in oracle_names and n in latest and latest[n] < rnd]
     stale = sorted(((latest[n], n) for n in oracle_names
                     if n in latest and n not in upgraded),
                    key=lambda t: (t[0], t[1]))

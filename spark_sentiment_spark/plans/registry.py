@@ -120,9 +120,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # the CORRECTNESS_r*.json history, and tests/test_registry_window.py
 # asserts this committed list matches that computation. Policy, in
 # priority order: (a) every oracle-backed query with NO driver row in any
-# round — the 35 post-freeze round-5 additions; (b) the 4 queries whose
-# rows-only -> exact-oracle upgrade postdates their latest row (the ann
-# pair, upgraded r5; the bpe pair, upgraded r6); (c) backfill the 11
+# round — the 35 post-freeze round-5 additions; (b) the 5 queries whose
+# plan/oracle change postdates their latest row (the ann pair, upgraded
+# r5; the bpe pair + dedup_clusters, changed r6); (c) backfill the 10
 # remaining slots with the oldest green rows (3×r2, then r3 by name).
 # Rows-only queries never take a slot. Round-6 catalog growth is frozen
 # (VERDICT item 2) so this window cannot be outgrown mid-round.
@@ -163,11 +163,12 @@ _WINDOW_PRIORITY = [
     "token_pagerank",
     "vocab_growth_curve",
     "zorder_layout",
-    # — (b) upgraded after their latest driver row —
+    # — (b) changed after their latest driver row —
     "ann_ivf_topk",
     "ann_pq_topk",
     "bpe_merges",
     "bpe_token_counts",
+    "dedup_clusters",
     # — (c) oldest-stale backfill (r2, then r3 by name) —
     "events_daily_rollup",
     "multimodal_fingerprints",
@@ -177,7 +178,6 @@ _WINDOW_PRIORITY = [
     "corr_matrix",
     "curriculum_buckets",
     "decontaminate_minhash",
-    "dedup_clusters",
     "dedup_embedding_cosine",
     "dedup_exact",
 ]
