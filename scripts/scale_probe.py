@@ -205,8 +205,17 @@ def main() -> None:
         "",
         "Raw: `" + json.dumps(results) + "`",
     ]
-    with open(os.path.join(os.path.dirname(TMP), "SCALING.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    path = os.path.join(os.path.dirname(TMP), "SCALING.md")
+    # preserve the ×32 deep-volume section maintained by deep_probe.py —
+    # a full-table regeneration must not silently drop it
+    deep = ""
+    deep_header = "## ×32 deep-volume probe"
+    if os.path.exists(path):
+        text = open(path).read()
+        if deep_header in text:
+            deep = "\n" + text[text.index(deep_header):].rstrip() + "\n"
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n" + deep)
     print("wrote SCALING.md")
 
 
