@@ -70,3 +70,36 @@ def test_cluster_canonical_quality_overrides_crawl_order(spark):
     assert multi, "fixture lost its duplicate components"
     assert any(r.canonical_doc != r.component for r in multi), \
         "keep-best never diverged from keep-first — vacuous fixture"
+
+
+def test_dedup_clusters_exact_dup_collapse_membership(spark, tmp_path):
+    """The round-6 exact-duplicate collapse in dedup_clusters must keep
+    the ORIGINAL membership/label semantics on every edge case: exact-dup
+    groups with no outside partner (component = group min), a near-dup
+    reaching a group only through its representative, singletons whose
+    only partner is a group member, isolated docs (absent), and null
+    texts (absent). Hand-built corpus, labels hand-derived."""
+    from spark_sentiment_spark.plans.dedup_queries import dedup_clusters
+    from spark_sentiment_spark.plans.registry import release_caches
+
+    ta = " ".join(f"a{i}" for i in range(40))
+    tb = " ".join(f"b{i}" for i in range(80))
+    tb_near = " ".join(f"b{i}" for i in range(79)) + " zz"  # j=77/79≈0.975
+    tc = " ".join(f"c{i}" for i in range(80))
+    tc_near = " ".join(f"c{i}" for i in range(79)) + " yy"
+    rows = [
+        (1, ta), (2, ta), (3, ta),          # exact trio, no outside partner
+        (10, tb), (11, tb), (12, tb_near),  # exact pair + near-dup
+        (20, " ".join(f"d{i}" for i in range(40))),  # isolated
+        (21, tc), (22, tc), (30, tc_near),  # near-dup reaches group via rep
+        (40, None),                         # null text
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = {r["doc_id"]: r["component"]
+           for r in dedup_clusters(spark, sf).collect()}
+    release_caches()
+    assert got == {1: 1, 2: 1, 3: 1,
+                   10: 10, 11: 10, 12: 10,
+                   21: 21, 22: 21, 30: 21}
