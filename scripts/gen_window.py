@@ -21,11 +21,21 @@ the committed list matches this computation.
 from __future__ import annotations
 
 import glob
+import hashlib
+import inspect
 import json
 import os
 import sys
 
 WINDOW_SIZE = 50
+
+# The round this window is FOR. Only CORRECTNESS files from rounds strictly
+# before this are consulted, so the committed list stays stable when the
+# driver lands the current round's artifact mid-round (round-6 ADVICE:
+# globbing ALL history made the frozen window churn the moment
+# CORRECTNESS_r06.json appeared in the working tree). Bump this constant when
+# deliberately cutting the next rotation, then re-run this script.
+WINDOW_ROUND = 7
 
 # Queries whose plan or oracle changed after their latest green row (the
 # row no longer certifies the current code), keyed by the ROUND of the
@@ -42,6 +52,34 @@ UPGRADED_SINCE_ROW = {
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Snapshot of every oracle-backed query's (fn source + oracle sql) hash,
+# written at window-cut time. tests/test_registry_window.py compares the
+# live hashes against this file: a query whose hash drifted must either sit
+# in the current window (its upcoming driver row certifies the new code) or
+# carry an UPGRADED_SINCE_ROW entry >= WINDOW_ROUND — closing the round-6
+# ADVICE gap where a mid-round semantic edit could silently keep its stale
+# green row. Limitation: the hash covers the registered fn body and the SQL
+# string, not helper modules the fn calls; deep-helper edits still need a
+# manual UPGRADED_SINCE_ROW entry.
+HASHES_PATH = os.path.join(REPO, "scripts", "window_source_hashes.json")
+
+
+def source_hashes() -> dict[str, str]:
+    sys.path.insert(0, REPO)
+    from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
+    all_queries()
+    out = {}
+    for name, q in sorted(REGISTRY.items()):
+        if q.sql is None:
+            continue
+        try:
+            src = inspect.getsource(q.fn)
+        except (OSError, TypeError):
+            src = repr(q.fn)
+        out[name] = hashlib.sha256(
+            (src + "\x00" + q.sql).encode()).hexdigest()[:16]
+    return out
+
 
 def compute_window() -> tuple[list[str], dict]:
     sys.path.insert(0, REPO)
@@ -52,6 +90,8 @@ def compute_window() -> tuple[list[str], dict]:
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        if rnd >= WINDOW_ROUND:
+            continue  # history strictly before the window's round
         for name in json.load(open(path)):
             latest[name] = max(latest.get(name, 0), rnd)
 
@@ -75,6 +115,9 @@ def compute_window() -> tuple[list[str], dict]:
 
 
 if __name__ == "__main__":
+    with open(HASHES_PATH, "w") as f:
+        json.dump(source_hashes(), f, indent=1, sort_keys=True)
+    print(f"# wrote {HASHES_PATH}")
     window, info = compute_window()
     print(f"# {len(info['never'])} never-checked + {len(info['upgraded'])} "
           f"upgraded-since-row + {len(info['backfill'])} oldest-stale "

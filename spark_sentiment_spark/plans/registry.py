@@ -114,72 +114,70 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # catalog entries, so ordering is an explicit, audited decision rather
 # than an accident of import order.
 #
-# The round-6 window is COMPUTED, not hand-maintained (the round-5
+# The round-7 window is COMPUTED, not hand-maintained (the round-5
 # hand-written rotation note undercounted and went stale as the catalog
 # grew): `python scripts/gen_window.py` derives it from the registry and
-# the CORRECTNESS_r*.json history, and tests/test_registry_window.py
-# asserts this committed list matches that computation. Policy, in
-# priority order: (a) every oracle-backed query with NO driver row in any
-# round — the 35 post-freeze round-5 additions; (b) the 5 queries whose
-# plan/oracle change postdates their latest row (the ann pair, upgraded
-# r5; the bpe pair + dedup_clusters, changed r6); (c) backfill the 10
-# remaining slots with the oldest green rows (3×r2, then r3 by name).
-# Rows-only queries never take a slot. Round-6 catalog growth is frozen
-# (VERDICT item 2) so this window cannot be outgrown mid-round.
+# the CORRECTNESS_r*.json history for rounds strictly before WINDOW_ROUND
+# (=7, so the list stays frozen when the driver lands the current round's
+# artifact mid-round), and tests/test_registry_window.py asserts this
+# committed list matches that computation. After round 6 the verification
+# debt is zero — no never-checked or upgraded-since-row entries — so the
+# whole window is class (c) backfill: the 31 queries whose latest green
+# row is r3, then the 19 alphabetically-first r4 rows. Rows-only queries
+# never take a slot. Round-7 additions land BELOW the window (normal
+# rotation will reach them next cut).
 _WINDOW_PRIORITY = [
-    # — (a) never driver-checked —
-    "agg_hll_sketch",
-    "audit_referential",
-    "curate_corpus",
-    "dedup_char_ngrams",
-    "dedup_cluster_canonical",
-    "dedup_cluster_stats",
-    "dedup_containment_prefix",
-    "dedup_keep_best",
-    "dedup_simjoin_prefix",
-    "events_cdc_state",
-    "events_daily_uniques_hll",
-    "events_rolling_distinct",
-    "events_rollup_incremental",
-    "fuzzy_lexicon_match",
-    "join_skew_salted",
-    "langid_char_ngram",
-    "multimodal_phash_dedup",
-    "ngram_novelty",
-    "packing_efficiency",
-    "pii_redaction",
-    "quality_bigram_backoff",
-    "quantile_histogram_by_lang",
-    "quantile_histogram_sketch",
-    "search_boolean_and",
-    "search_phrase",
-    "skew_profile",
-    "streaming_conversions",
-    "streaming_dedup",
-    "streaming_hll_distinct",
-    "streaming_sliding_hour",
-    "token_cms_topk",
-    "token_counts_regex",
-    "token_pagerank",
-    "vocab_growth_curve",
-    "zorder_layout",
-    # — (b) changed after their latest driver row —
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "bpe_merges",
-    "bpe_token_counts",
-    "dedup_clusters",
-    # — (c) oldest-stale backfill (r2, then r3 by name) —
-    "events_daily_rollup",
-    "multimodal_fingerprints",
-    "wordlist_extraction_scaled",
-    "ann_lsh_topk",
-    "cap_per_source",
-    "corr_matrix",
-    "curriculum_buckets",
-    "decontaminate_minhash",
-    "dedup_embedding_cosine",
-    "dedup_exact",
+    # — oldest-stale backfill (r3 by name, then r4 by name) —
+    "dedup_incremental",  # r3
+    "dedup_incremental_bloom",  # r3
+    "dedup_jaccard_pairs",  # r3
+    "dedup_prefix",  # r3
+    "embedding_centroids",  # r3
+    "embedding_quantize",  # r3
+    "events_attribution",  # r3
+    "events_dedup_latest",  # r3
+    "events_heatmap",  # r3
+    "events_transitions",  # r3
+    "events_volume_anomaly",  # r3
+    "hybrid_search_rrf",  # r3
+    "knn_cosine_topk",  # r3
+    "langid_confusion",  # r3
+    "merge_upsert",  # r3
+    "mixture_sample",  # r3
+    "multimodal_headers",  # r3
+    "pack_sequences",  # r3
+    "profile_columns",  # r3
+    "q21_waiting_suppliers",  # r3
+    "q2_min_cost_supplier",  # r3
+    "quality_gate",  # r3
+    "quality_gate_rates",  # r3
+    "quality_perplexity",  # r3
+    "sample_exact_n",  # r3
+    "shuffle_shards",  # r3
+    "skew_salted_agg",  # r3
+    "snapshot_diff",  # r3
+    "split_by_hash",  # r3
+    "streaming_volume_anomaly",  # r3
+    "vocab_coverage",  # r3
+    "agg_by_month",  # r4
+    "agg_case_bucket",  # r4
+    "agg_cube",  # r4
+    "agg_global_stats",  # r4
+    "agg_grouping_sets",  # r4
+    "agg_having",  # r4
+    "agg_histogram",  # r4
+    "agg_percentiles",  # r4
+    "agg_pivot",  # r4
+    "agg_rollup",  # r4
+    "contrastive_pairs",  # r4
+    "corpus_token_entropy",  # r4
+    "dedup_minhash_lsh",  # r4
+    "dedup_simhash",  # r4
+    "distinct_pairs",  # r4
+    "doc_rolling_hash",  # r4
+    "drift_psi",  # r4
+    "embedding_norm_stats",  # r4
+    "events_session_sequences",  # r4
 ]
 
 

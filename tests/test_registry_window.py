@@ -11,6 +11,7 @@ list in registry.py must equal the computation, so the window can
 never silently drift from the policy again.
 """
 
+import json
 import os
 import sys
 
@@ -60,6 +61,32 @@ def test_window_is_fully_oracle_backed():
     all_queries()
     rows_only = [n for n in _WINDOW_PRIORITY if REGISTRY[n].sql is None]
     assert not rows_only, rows_only
+
+
+def test_changed_queries_are_declared_upgraded():
+    """Round-6 ADVICE: UPGRADED_SINCE_ROW was a manually-appended list with
+    nothing cross-checking it. gen_window now snapshots every oracle query's
+    (fn source + sql) hash at window-cut time; any drift since the cut must
+    be covered — either the query sits in the current window (its upcoming
+    driver row certifies the new code) or it was explicitly declared
+    upgraded at >= WINDOW_ROUND. A silent mid-round semantic edit now fails
+    here instead of keeping its stale green row."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from gen_window import (HASHES_PATH, UPGRADED_SINCE_ROW, WINDOW_ROUND,
+                            source_hashes)
+    from spark_sentiment_spark.plans.registry import _WINDOW_PRIORITY
+
+    snapshot = json.load(open(HASHES_PATH))
+    current = source_hashes()
+    undeclared = [
+        n for n, h in current.items()
+        if n in snapshot and h != snapshot[n]
+        and n not in _WINDOW_PRIORITY
+        and UPGRADED_SINCE_ROW.get(n, 0) < WINDOW_ROUND
+    ]
+    assert not undeclared, (
+        f"edited since the window cut but neither in-window nor declared "
+        f"in UPGRADED_SINCE_ROW>={WINDOW_ROUND}: {undeclared}")
 
 
 def test_no_oracle_query_left_unverified_after_this_window():
