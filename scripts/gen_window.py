@@ -42,12 +42,18 @@ WINDOW_ROUND = 7
 # change so entries expire by themselves: a query drops out of this class
 # the moment it earns a driver row in a round >= its change round. Append
 # here whenever a green query's semantics are edited mid-round.
+# A change made DURING round N (entry value N, while WINDOW_ROUND == N)
+# must not churn the already-cut round-N window, so compute_window() only
+# consults entries with round < WINDOW_ROUND; the next cut picks them up.
 UPGRADED_SINCE_ROW = {
     "ann_ivf_topk": 5,       # rows-only -> exact oracle (round 5)
     "ann_pq_topk": 5,        # rows-only -> exact oracle (round 5)
-    "bpe_merges": 6,         # exact unrolled-CTE oracle added (round 6)
-    "bpe_token_counts": 6,   # exact unrolled-CTE oracle added (round 6)
     "dedup_clusters": 6,     # exact-duplicate collapse in the plan (round 6)
+    # round 7: explicit shared whitespace class replaces the three-way-
+    # divergent \s in plan + oracle + UDF (round-6 ADVICE), superseding
+    # the expired round-6 exact-oracle entries.
+    "bpe_merges": 7,
+    "bpe_token_counts": 7,
 }
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -97,7 +103,8 @@ def compute_window() -> tuple[list[str], dict]:
 
     never = sorted(n for n in oracle_names if n not in latest)
     upgraded = [n for n, rnd in UPGRADED_SINCE_ROW.items()
-                if n in oracle_names and n in latest and latest[n] < rnd]
+                if rnd < WINDOW_ROUND
+                and n in oracle_names and n in latest and latest[n] < rnd]
     stale = sorted(((latest[n], n) for n in oracle_names
                     if n in latest and n not in upgraded),
                    key=lambda t: (t[0], t[1]))

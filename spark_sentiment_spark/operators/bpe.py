@@ -29,6 +29,7 @@ pair so the merge sequence is deterministic across runs and engines.
 
 from __future__ import annotations
 
+import re
 from collections import Counter
 
 import pandas as pd  # module-level: pandas-UDF type hints resolve from here
@@ -38,13 +39,22 @@ from pyspark.sql import functions as F
 
 END = "</w>"
 
+# One EXPLICIT whitespace class shared by the trainer (Spark/Java regex),
+# the encoder UDF (Python re), and the DuckDB oracle (RE2) — the three
+# engines' `\s` classes disagree (Java includes \x0B, RE2 doesn't; Python
+# str.split() adds NBSP/thin-space and every other Unicode space), so a
+# bare `\s+`/.split() can tokenize the same non-ASCII text three different
+# ways (round-6 ADVICE). [ \t\n\x0B\f\r] is Java's \s, spelled out.
+WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
+_WS_RE = re.compile(WS_CLASS)
+
 
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """The one corpus-scale pass: whitespace tokens, lowercased, counted.
     Returns the vocabulary-bounded (word, freq) table."""
     return (docs.where(F.col(text_col).isNotNull())
             .select(F.explode(F.split(F.lower(F.trim(F.col(text_col))),
-                                      r"\s+")).alias("word"))
+                                      WS_CLASS)).alias("word"))
             .where(F.length("word") > 0)
             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
 
@@ -141,7 +151,13 @@ def bpe_token_count_col(merges: list[tuple[str, str]], text_col: str = "text"):
             if t is None:
                 return 0
             n = 0
-            for w in t.lower().strip().split():
+            # _WS_RE (not str.split()) so the word boundaries are identical
+            # to the trainer's Spark split and the DuckDB oracle's — empties
+            # from leading/trailing separators are filtered like the
+            # trainer's length>0 guard.
+            for w in _WS_RE.split(t.lower()):
+                if not w:
+                    continue
                 if w not in memo:
                     memo[w] = len(_encode_word(w, ranks))
                 n += memo[w]

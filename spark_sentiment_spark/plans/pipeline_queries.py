@@ -1165,12 +1165,21 @@ BPE_N_MERGES = 40
 _US = "chr(31)"  # unit separator — cannot appear in whitespace-split tokens
 _SEP2 = f"{_US}||{_US}"
 
+# The oracle splits text with the SAME explicit whitespace class as the
+# trainer and the encoder UDF (operators/bpe.py::WS_CLASS) — Java/RE2/Python
+# `\s` disagree on \x0B and Unicode spaces (round-6 ADVICE). Character
+# segmentation: DuckDB 1.0's string_split(word, '') yields CODE POINTS
+# (probe-verified on combining marks and emoji+modifier), matching the
+# trainer's tuple(w); lower() remains the one engine-specific surface, so
+# exotic one-to-many case mappings (e.g. İ) are outside the oracle contract.
+_BPE_WS = "[ \\t\\n\\x0B\\f\\r]+"
+
 
 def _bpe_chain_sql(n: int) -> str:
     """The shared WITH-chain: wf -> seg0 -> (tok/pr/best/seg) x n."""
     parts = [f"""wf AS MATERIALIZED (
   SELECT tok AS word, count(*) AS freq FROM (
-    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    SELECT unnest(string_split_regex(lower(trim(text)), '{_BPE_WS}')) AS tok
     FROM documents WHERE text IS NOT NULL)
   WHERE length(tok) > 0
   GROUP BY tok HAVING count(*) >= 2
@@ -1213,7 +1222,7 @@ def _bpe_token_counts_sql(n: int = BPE_N_MERGES) -> str:
     enc = [f"""doctok AS MATERIALIZED (
   SELECT doc_id, tok AS word FROM (
     SELECT doc_id,
-           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+           unnest(string_split_regex(lower(trim(text)), '{_BPE_WS}')) AS tok
     FROM documents WHERE text IS NOT NULL)
   WHERE length(tok) > 0
 ), enc0 AS MATERIALIZED (
