@@ -986,3 +986,147 @@ def dedup_containment_prefix(spark, sf_dir):
                     F.round(F.col("i").cast("double") / F.col("n"), 6)
                     .alias("containment"))
             .orderBy("src", "dst"))
+
+
+# --- Duplicated-span EXCISION (Lee et al. 2021's actual transform) ----------
+
+SPAN_EXCISE_SQL = f"""
+WITH pos AS (
+  SELECT doc_id, i AS s, substr(text, i, {CHAR_NGRAM_LEN}) AS gram
+  FROM documents
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, length(text) - {CHAR_NGRAM_LEN} + 1))
+      AS i)
+  WHERE text IS NOT NULL AND length(text) >= {CHAR_NGRAM_LEN}
+), counts AS (
+  SELECT gram, count(DISTINCT doc_id) AS nd FROM pos GROUP BY gram
+), flagged AS (
+  SELECT doc_id, s FROM pos JOIN counts USING (gram) WHERE nd >= 2
+), isl0 AS (
+  SELECT doc_id, s,
+         max(s) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           + {CHAR_NGRAM_LEN} - 1 AS prev_e
+  FROM flagged
+), isl AS (
+  SELECT doc_id, s,
+         sum(CASE WHEN prev_e IS NULL OR s > prev_e + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s) AS island
+  FROM isl0
+), merged AS (
+  SELECT doc_id, island, min(s) AS s,
+         max(s) + {CHAR_NGRAM_LEN} - 1 AS e
+  FROM isl GROUP BY doc_id, island
+), gaps AS (
+  SELECT doc_id, s, e,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS prev_e
+  FROM merged
+), rebuilt AS (
+  SELECT g.doc_id,
+         string_agg(substr(d.text, g.prev_e + 1, g.s - g.prev_e - 1),
+                    '' ORDER BY g.s)
+           || substr(d.text, max(g.e) + 1, length(d.text) - max(g.e))
+           AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_spans
+  FROM gaps g JOIN documents d USING (doc_id)
+  GROUP BY g.doc_id, d.text
+)
+SELECT d.doc_id,
+       coalesce(r.clean_text, d.text) AS clean_text,
+       CAST(length(d.text) AS BIGINT) AS orig_len,
+       CAST(length(d.text) - length(coalesce(r.clean_text, d.text))
+            AS BIGINT) AS n_removed,
+       CAST(coalesce(r.n_spans, 0) AS BIGINT) AS n_spans
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+WHERE d.text IS NOT NULL
+ORDER BY doc_id
+"""
+
+
+def span_excise(docs, n: int = CHAR_NGRAM_LEN):
+    """Core of dedup_span_excise over any (doc_id, text) DataFrame — split
+    out so tests can pin excision semantics on hand-built corpora.
+
+    A character position is DUPLICATED if any length-``n`` gram covering it
+    also occurs in at least one other document (the same shared-gram
+    definition `dedup_char_ngrams` scores). Flagged gram starts are merged
+    into islands (gaps-and-islands window; adjacent islands coalesce) and
+    the kept text is rebuilt from the complement gaps with one
+    ``aggregate()`` higher-order fold over the sorted island array — no
+    per-character explode anywhere."""
+    live = docs.where(F.col("text").isNotNull() & (F.length("text") >= n))
+    pos = live.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(1, length(text) - {n} + 1),"
+            f" i -> struct(i AS s, substring(text, i, {n}) AS gram))"))
+        .alias("g")).select("doc_id", "g.s", "g.gram")
+    counts = (pos.select("doc_id", "gram").distinct()
+              .groupBy("gram").agg(F.count(F.lit(1)).alias("nd")))
+    flagged = (pos.join(counts.where(F.col("nd") >= 2).select("gram"),
+                        "gram")
+               .select("doc_id", "s"))
+
+    w_prev = (Window.partitionBy("doc_id").orderBy("s")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("doc_id").orderBy("s")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    isl = (flagged
+           .withColumn("prev_e", F.max("s").over(w_prev) + n - 1)
+           .withColumn("new_island",
+                       F.when(F.col("prev_e").isNull()
+                              | (F.col("s") > F.col("prev_e") + 1), 1)
+                       .otherwise(0))
+           .withColumn("island", F.sum("new_island").over(w_run)))
+    merged = (isl.groupBy("doc_id", "island")
+              .agg(F.min("s").alias("s"),
+                   (F.max("s") + n - 1).alias("e")))
+    ivs = (merged.groupBy("doc_id")
+           .agg(F.array_sort(F.collect_list(F.struct("s", "e")))
+                .alias("ivs"),
+                F.count(F.lit(1)).cast("bigint").alias("n_spans")))
+
+    rebuild = F.expr(
+        "aggregate(ivs,"
+        " struct(CAST(0 AS INT) AS prev, CAST('' AS STRING) AS acc),"
+        " (a, iv) -> struct(CAST(iv.e AS INT) AS prev,"
+        "   concat(a.acc, substring(text, a.prev + 1, iv.s - a.prev - 1))"
+        "   AS acc),"
+        " a -> concat(a.acc,"
+        "   substring(text, a.prev + 1, length(text) - a.prev)))")
+    base = docs.where(F.col("text").isNotNull())
+    return (base.join(ivs, "doc_id", "left")
+            .select("doc_id",
+                    F.when(F.col("ivs").isNull(), F.col("text"))
+                    .otherwise(rebuild).alias("clean_text"),
+                    F.length("text").cast("bigint").alias("orig_len"),
+                    F.coalesce("n_spans", F.lit(0)).cast("bigint")
+                    .alias("n_spans"))
+            .withColumn("n_removed",
+                        (F.col("orig_len") - F.length("clean_text"))
+                        .cast("bigint"))
+            .select("doc_id", "clean_text", "orig_len", "n_removed",
+                    "n_spans")
+            .orderBy("doc_id"))
+
+
+@register("dedup_span_excise", sql=SPAN_EXCISE_SQL, tags=("dedup", "text"))
+def dedup_span_excise(spark, sf_dir):
+    """Duplicated-span EXCISION — the transform `dedup_char_ngrams` only
+    scores: every character covered by a cross-document-shared ``n``-gram
+    is removed and the surviving text emitted (Lee et al. 2021,
+    arXiv:2107.06499 — their ExactSubstr dedup deletes the repeated spans
+    rather than dropping whole documents). Output per kept doc: the
+    cleaned text, original length, characters removed, and the count of
+    merged excised spans.
+
+    Scale: gram emission is the same corpus-length explode as
+    `dedup_char_ngrams` (two map-side-combined hash aggs for the shared
+    set); flagged starts shuffle once on gram and once on doc_id; island
+    merging is a per-doc window over flagged starts only (bounded by
+    text length / n per doc, not corpus size); the rebuild is one
+    higher-order fold over each doc's sorted island array — never a
+    per-character row. At web scale raise the gram stride exactly as the
+    scorer documents; thresholds (shared-in-≥2-docs) ride the same
+    gram-count table either way."""
+    return span_excise(load(spark, sf_dir, "documents"))

@@ -107,3 +107,87 @@ def test_pq_recall_floor_vs_brute(spark):
         t[r["qid"]].add(r["vec_id"])
     recalls = [len(t[q] & b[q]) / len(b[q]) for q in b]
     assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def _brute_pairs_at_tau(tau: float = 0.4) -> set:
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.array(t["vec_id"].to_pylist())
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    iu = np.triu_indices(len(V), 1)
+    hit = np.where(S[iu] >= tau)[0]
+    return {
+        (min(ids[iu[0][j]], ids[iu[1][j]]), max(ids[iu[0][j]], ids[iu[1][j]]))
+        for j in hit
+    }
+
+
+def test_multiprobe_recall_beats_home_only(spark):
+    """The POINT of multi-probe: flipping the lowest-|margin| bits must
+    recover pairs the 4 home buckets alone miss, and the full query's
+    recall vs the exact >=0.4 pair set clears a pinned floor. Both
+    numbers are deterministic (md5 planes, rounded-margin flip order),
+    so they cannot drift."""
+    from spark_sentiment_spark.plans.registry import load
+    from spark_sentiment_spark.plans.similarity_queries import (
+        multiprobe_candidates)
+
+    exact = _brute_pairs_at_tau(0.4)
+    got = REGISTRY["dedup_embedding_multiprobe"].fn(spark, SF_DIR).collect()
+    release_caches()
+    mp_pairs = {(r.vec_a, r.vec_b) for r in got}
+    assert mp_pairs <= exact          # re-rank admits only true pairs
+    recall = len(mp_pairs) / len(exact)
+
+    emb = load(spark, SF_DIR, "embeddings")
+    home_cand = {(r.vec_a, r.vec_b)
+                 for r in multiprobe_candidates(emb, n_flips=0).collect()}
+    release_caches()
+    home_recall = len(exact & home_cand) / len(exact)
+    assert recall > home_recall, (
+        f"multi-probe {recall:.3f} <= home-only {home_recall:.3f}")
+    assert recall >= 0.3, f"multiprobe recall degraded to {recall:.3f}"
+
+
+def test_multiprobe_candidate_bound_scales_linearly(spark):
+    """Candidate-pair growth under ×4 corpus replication with per-replica
+    sign-flipped dimensions: within a replica all pairwise dots are
+    preserved (s²=1), across replicas they are scrambled — so true pair
+    structure grows ×4 and candidate pairs must too. Round-6 VERDICT ask
+    (b). At FIXED planes the growth IS quadratic (bucket count constant →
+    occupancy ×4 → in-bucket pairs ×16; asserted below as the
+    counter-example), which is exactly why the query applies the
+    adaptive-planes rule: +log2(k) planes per ×k data holds the bound
+    ~linear."""
+    from spark_sentiment_spark.plans.similarity_queries import (
+        multiprobe_candidates)
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    k = 4
+    rng_signs = [
+        np.where((np.frombuffer(
+            __import__("hashlib").md5(f"rep:{r}".encode()).digest() * 4,
+            dtype=np.uint8)[:V.shape[1]] & 1).astype(bool), -1.0, 1.0)
+        for r in range(k)
+    ]
+
+    def make_df(reps):
+        rows = []
+        for r in range(reps):
+            for i in range(len(V)):
+                rows.append((int(ids[i] * reps + r),
+                             (V[i] * rng_signs[r]).tolist()))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    n1 = multiprobe_candidates(make_df(1)).count()
+    n4_fixed = multiprobe_candidates(make_df(k)).count()
+    # adaptive rule: ×4 data → +2 planes → bucket count ×4
+    n4 = multiprobe_candidates(make_df(k), n_planes=8).count()
+    release_caches()
+    assert n4_fixed > 8.0 * n1, "fixed-P counter-example vanished"
+    assert n4 <= 5.0 * n1, (
+        f"candidates grew {n4 / max(n1, 1):.1f}x for {k}x data "
+        f"({n1} -> {n4}) under adaptive planes — super-linear occupancy")
