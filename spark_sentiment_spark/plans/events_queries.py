@@ -886,3 +886,168 @@ def events_rolling_distinct(spark, sf_dir):
         F.size(F.collect_set("event_type").over(w)).cast("bigint")
         .alias("n_types_1h"))
         .orderBy("event_id"))
+
+
+# --- SCD Type-2 dimension build from the event stream -----------------------
+
+SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), changes AS (
+  SELECT user_id, ts, event_type
+  FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type
+), versioned AS (
+  SELECT user_id, event_type AS state, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS version
+  FROM changes
+)
+SELECT user_id,
+       state,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(valid_to,   '%Y-%m-%d %H:%M:%S') AS valid_to,
+       CAST(version AS BIGINT) AS version,
+       CAST(valid_to IS NULL AS BIGINT) AS is_current
+FROM versioned
+ORDER BY user_id, version
+"""
+
+
+@register("events_scd2_history", sql=SCD2_SQL, tags=("events", "cdc"))
+def events_scd2_history(spark, sf_dir):
+    """Slowly-Changing-Dimension TYPE 2 build from a change stream — the
+    companion to `events_cdc_state` (which keeps only the CURRENT row):
+    each user's event_type is treated as an observed attribute, runs of
+    consecutive identical observations collapse, and every retained
+    change opens a version row with [valid_from, valid_to) — valid_to =
+    the next change's timestamp, NULL (is_current=1) on the open row.
+    This is the standard warehouse history table that lets any fact join
+    pick the attribute AS OF its own timestamp.
+
+    Scale: one window partitioning on user_id serves the change
+    detection (lag), the interval close (lead) and the version number —
+    Catalyst evaluates all three in a single sort+window stage, so the
+    build is one shuffle over the change stream; version counts are
+    bounded by each user's change count, never the corpus. Ties at equal
+    ts break on event_id in the change-detection ordering, making the
+    collapsed run set deterministic."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (ev
+               .withColumn("prev_type", F.lag("event_type").over(w))
+               .where(F.col("prev_type").isNull()
+                      | (F.col("event_type") != F.col("prev_type")))
+               .select("user_id", "ts",
+                       F.col("event_type").alias("state")))
+    wv = Window.partitionBy("user_id").orderBy("ts")
+    return (changes
+            .withColumn("valid_to", F.lead("ts").over(wv))
+            .withColumn("version", F.row_number().over(wv).cast("long"))
+            .select("user_id", "state",
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+                    .alias("valid_from"),
+                    F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss")
+                    .alias("valid_to"),
+                    "version",
+                    F.col("valid_to").isNull().cast("long")
+                    .alias("is_current"))
+            .orderBy("user_id", "version"))
+
+
+# --- Peak session concurrency (sweep line) ----------------------------------
+
+PEAK_CONCURRENCY_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 3600000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id,
+         ts
+  FROM flagged
+), bounds AS (
+  SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end
+  FROM sess GROUP BY user_id, session_id
+), deltas AS (
+  SELECT strftime(date_trunc('day', s_start), '%Y-%m-%d') AS day,
+         s_start AS t, 1 AS delta FROM bounds
+  UNION ALL
+  SELECT strftime(date_trunc('day', s_start), '%Y-%m-%d') AS day,
+         s_end AS t, -1 AS delta FROM bounds
+), running AS (
+  SELECT day,
+         sum(delta) OVER (PARTITION BY day ORDER BY t, delta DESC
+                          ROWS UNBOUNDED PRECEDING) AS live
+  FROM deltas
+)
+SELECT r.day,
+       CAST(max(r.live) AS BIGINT) AS peak_concurrent,
+       CAST(any_value(ns.n_sessions) AS BIGINT) AS n_sessions
+FROM running r
+JOIN (SELECT strftime(date_trunc('day', s_start), '%Y-%m-%d') AS day,
+             count(*) AS n_sessions
+      FROM bounds GROUP BY 1) ns USING (day)
+GROUP BY r.day
+ORDER BY r.day
+"""
+
+
+@register("events_peak_concurrency", sql=PEAK_CONCURRENCY_SQL,
+          tags=("events", "window"))
+def events_peak_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per day via the classic SWEEP LINE: each
+    session (1-hour-gap sessionization, same recipe as
+    `events_sessionize`) emits +1 at its start instant and -1 at its
+    end; the daily maximum of the running sum is the day's peak
+    concurrency. Sessions are attributed to their START day (documented
+    choice — no midnight clipping), intervals are INCLUSIVE (+1 sorts
+    before -1 at an equal timestamp, so single-instant sessions and
+    boundary-touching sessions count as overlapping). Within equal
+    (t, delta) keys the prefix order is arbitrary, but the daily MAX is
+    order-invariant: all +1s at an instant apply before any -1, so the
+    maximum reached depends only on the multiset.
+
+    Scale: sessionization is one user_id window; the sweep partitions by
+    DAY — per-partition state is that day's session endpoints (bounded
+    by daily traffic, not history), and days parallelize. A hot single
+    day sub-partitions by hour with carry-in prefix sums — the standard
+    two-pass scan — without changing semantics."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    lag_ms = F.unix_millis(F.lag("ts").over(w))
+    sess = (ev.withColumn(
+        "new_session",
+        F.when(lag_ms.isNull()
+               | ((F.unix_millis("ts") - lag_ms) > 3_600_000), 1)
+        .otherwise(0))
+        .withColumn("session_id", F.sum("new_session").over(wrun)))
+    bounds = (sess.groupBy("user_id", "session_id")
+              .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end")))
+    day = F.date_format(F.date_trunc("day", F.col("s_start")), "yyyy-MM-dd")
+    deltas = (bounds.select(day.alias("day"), F.col("s_start").alias("t"),
+                            F.lit(1).alias("delta"))
+              .unionByName(
+                  bounds.select(day.alias("day"),
+                                F.col("s_end").alias("t"),
+                                F.lit(-1).alias("delta"))))
+    w_sweep = (Window.partitionBy("day").orderBy(F.col("t"),
+                                                 F.desc("delta"))
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    peaks = (deltas.withColumn("live", F.sum("delta").over(w_sweep))
+             .groupBy("day")
+             .agg(F.max("live").cast("long").alias("peak_concurrent")))
+    counts = (bounds.groupBy(day.alias("day"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n_sessions")))
+    return (peaks.join(counts, "day")
+            .select("day", "peak_concurrent", "n_sessions")
+            .orderBy("day"))

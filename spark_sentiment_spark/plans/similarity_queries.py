@@ -872,3 +872,90 @@ def dedup_embedding_multiprobe(spark, sf_dir):
             .where(cos >= MP_TAU)
             .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
             .orderBy("vec_a", "vec_b"))
+
+
+# --- kNN majority-vote classification ---------------------------------------
+
+KNN_CLASSIFY_K = 10
+KNN_CLASSIFY_NQ = 50
+
+KNN_CLASSIFY_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, label AS true_label, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < {KNN_CLASSIFY_NQ}
+), c AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS ce FROM embeddings
+), scored AS (
+  SELECT q.qid, q.true_label, c.vec_id, c.label,
+         list_dot_product(q.qe, c.ce)
+           / (sqrt(list_dot_product(q.qe, q.qe))
+              * sqrt(list_dot_product(c.ce, c.ce))) AS cos
+  FROM q CROSS JOIN c
+  WHERE q.qid <> c.vec_id
+), topk AS (
+  SELECT qid, true_label, label FROM (
+    SELECT qid, true_label, label,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos DESC, vec_id) AS rn
+    FROM scored)
+  WHERE rn <= {KNN_CLASSIFY_K}
+), votes AS (
+  SELECT qid, true_label, label, count(*) AS n_votes
+  FROM topk GROUP BY qid, true_label, label
+)
+SELECT qid, CAST(label AS BIGINT) AS pred_label,
+       CAST(n_votes AS BIGINT) AS n_votes,
+       CAST(true_label AS BIGINT) AS true_label,
+       CAST(CASE WHEN label = true_label THEN 1 ELSE 0 END AS BIGINT)
+         AS correct
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY n_votes DESC, label) AS vr
+      FROM votes)
+WHERE vr = 1
+ORDER BY qid
+"""
+
+
+@register("knn_classify", sql=KNN_CLASSIFY_SQL, tags=("similarity", "ml"))
+def knn_classify(spark, sf_dir):
+    """Leave-one-out kNN classification — similarity search used as a
+    LABELER (weak supervision / label propagation for curation): each of
+    the first 50 vectors is assigned the majority label of its 10 nearest
+    other vectors by cosine (vote ties break to the smaller label, rank
+    ties to the smaller vec_id), reported against its true label.
+
+    Scale: the query set broadcasts (bounded), the corpus streams once
+    through one broadcast-nested-loop scoring pass, top-k and the vote
+    argmax are two windows partitioned by qid (bounded occupancy: corpus
+    then k rows per query). At 100 TB you swap the exact scoring pass
+    for the IVF/PQ candidate generators in this module and keep the
+    vote/argmax stages unchanged — the classification layer is index-
+    agnostic by construction."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = (emb.where(F.col("vec_id") < KNN_CLASSIFY_NQ)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("label").alias("true_label"),
+                 _as_double("embedding").alias("qe")))
+    c = emb.select("vec_id", "label", _as_double("embedding").alias("ce"))
+    cos = (_dot(F.col("qe"), F.col("ce"))
+           / (_norm(F.col("qe")) * _norm(F.col("ce"))))
+    w_rank = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    topk = (c.crossJoin(F.broadcast(q))
+            .where(F.col("qid") != F.col("vec_id"))
+            .select("qid", "true_label", "vec_id", "label",
+                    cos.alias("cos"))
+            .withColumn("rn", F.row_number().over(w_rank))
+            .where(F.col("rn") <= KNN_CLASSIFY_K))
+    votes = (topk.groupBy("qid", "true_label", "label")
+             .agg(F.count(F.lit(1)).alias("n_votes")))
+    w_vote = Window.partitionBy("qid").orderBy(F.desc("n_votes"),
+                                               F.asc("label"))
+    return (votes.withColumn("vr", F.row_number().over(w_vote))
+            .where(F.col("vr") == 1)
+            .select("qid",
+                    F.col("label").cast("long").alias("pred_label"),
+                    F.col("n_votes").cast("long").alias("n_votes"),
+                    F.col("true_label").cast("long").alias("true_label"),
+                    (F.col("label") == F.col("true_label"))
+                    .cast("long").alias("correct"))
+            .orderBy("qid"))

@@ -22,6 +22,7 @@ from __future__ import annotations
 import itertools
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from spark_sentiment_spark.plans.registry import load, register
 from spark_sentiment_spark.streaming.streams import (
@@ -479,3 +480,48 @@ def streaming_hll_distinct(spark, sf_dir):
             .select("n_exact", est.alias("n_est"), "n_buckets",
                     F.round(F.abs(est - F.col("n_exact"))
                             / F.col("n_exact"), 4).alias("rel_err")))
+
+
+# --- Windowed top-k on the streaming engine ---------------------------------
+
+STREAM_TOPK_SQL = """
+WITH counts AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n,
+       CAST(row_number() OVER (PARTITION BY window_start
+                               ORDER BY n DESC, event_type) AS BIGINT)
+         AS rn
+FROM counts
+QUALIFY rn <= 3
+ORDER BY window_start, rn
+"""
+
+
+@register("streaming_topk_types", sql=STREAM_TOPK_SQL,
+          tags=("streaming", "events", "window"))
+def streaming_topk_types(spark, sf_dir):
+    """Per-window top-3 event types with the WINDOWED COUNTS executed by
+    the streaming engine (watermarked tumbling state, availableNow,
+    memory sink) and only the final rank applied in batch over the
+    finite sink output — the trending-topics shape. Ranking inside the
+    stream would need arbitrary stateful reprocessing per update
+    (rank is not an incremental aggregate); the standard production
+    split is exactly this: incremental windowed counts in the stream,
+    cheap top-k on the bounded (windows × types) result downstream.
+    State is bounded by the watermark horizon × type vocabulary."""
+    from spark_sentiment_spark.streaming.streams import (read_event_stream,
+                                                         tumbling_hourly)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = tumbling_hourly(read_event_stream(spark, sf_dir))
+    out = run_to_memory(stream, _unique("stream_topk"))
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"),
+                                                   F.asc("event_type"))
+    return (out.select("window_start", "event_type", "n")
+            .withColumn("rn", F.row_number().over(w).cast("long"))
+            .where(F.col("rn") <= 3)
+            .orderBy("window_start", "rn"))

@@ -1265,3 +1265,202 @@ def search_boolean_and(spark, sf_dir):
             .select(F.col("qid"), F.col("k").alias("n_terms"),
                     "n_docs", "first_doc", "last_doc")
             .orderBy("qid"))
+
+
+# --- TF-IDF-weighted lexical near-dup pair join ------------------------------
+
+_TFIDF_DEDUP_DFCAP = 100   # drop terms in > cap docs (stopword mass)
+_TFIDF_DEDUP_TAU = 0.3
+
+TFIDF_DEDUP_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+  WHERE w <> ''
+), tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT w, count(*) AS df FROM tf GROUP BY w
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+), wts AS (
+  SELECT tf.doc_id, tf.w,
+         tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS wt
+  FROM tf JOIN df USING (w) CROSS JOIN n
+  WHERE df.df BETWEEN 2 AND {_TFIDF_DEDUP_DFCAP}
+), norms AS (
+  SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM wts GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.wt * b.wt) AS dp
+  FROM wts a JOIN wts b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d.doc_a, d.doc_b,
+       round(d.dp / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots d
+JOIN norms na ON d.doc_a = na.doc_id
+JOIN norms nb ON d.doc_b = nb.doc_id
+WHERE d.dp / (na.nrm * nb.nrm) >= {_TFIDF_DEDUP_TAU}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_tfidf_cosine", sql=TFIDF_DEDUP_SQL, tags=("dedup", "text"))
+def dedup_tfidf_cosine(spark, sf_dir):
+    """Lexical near-dup pairs by TF-IDF cosine over the inverted index —
+    the sparse-VECTOR sibling of the token-set Jaccard family: term
+    weights are tf·ln((N+1)/(df+1)), the pair dot product is computed
+    term-locally (join postings to postings on the term), and pairs with
+    cosine ≥ 0.3 over the RETAINED vocabulary survive. Retention is part
+    of the operator's semantics and its scale bound: df=1 terms cannot
+    contribute to any pair (lossless prune), df > 100 terms are stopword
+    mass whose near-zero idf adds noise, not signal — and capping df
+    bounds the per-term pair fanout at cap², making total candidate work
+    Σ df² ≤ cap·Σ df, linear in postings.
+
+    Scale: two hash aggs (tf, df) + one scalar broadcast build the
+    weighted postings; the self-join shuffles postings once on the term;
+    per-pair accumulation is a (doc_a, doc_b) hash agg with map-side
+    combine. No all-pairs product anywhere; the df cap is the knob that
+    keeps the hottest term's fanout fixed as the corpus grows (raise
+    idf-floor / lower cap at 100 TB, same table, same plan)."""
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim("text") != ""))
+    tok = (docs.select("doc_id", F.explode(
+        F.split(F.lower("text"), " ", -1)).alias("w"))
+        .where(F.col("w") != ""))
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    wts = track_persist(
+        tf.join(df.where(F.col("df").between(2, _TFIDF_DEDUP_DFCAP)), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "w",
+                (F.col("tf") * F.log((F.col("n_docs") + 1.0)
+                                     / (F.col("df") + 1.0))).alias("wt")))
+    norms = wts.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
+    a, b = wts.alias("a"), wts.alias("b")
+    dots = (a.join(b, (F.col("a.w") == F.col("b.w"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("dp")))
+    na = norms.select(F.col("doc_id").alias("doc_a"),
+                      F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"),
+                      F.col("nrm").alias("nb"))
+    cosine = F.col("dp") / (F.col("na") * F.col("nb"))
+    return (dots.join(na, "doc_a").join(nb, "doc_b")
+            .where(cosine >= _TFIDF_DEDUP_TAU)
+            .select("doc_a", "doc_b", F.round(cosine, 6).alias("cosine"))
+            .orderBy("doc_a", "doc_b"))
+
+
+# --- BM25 ranked retrieval ---------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+_BM25_QUERIES = [("q1", ["spark", "join", "window"]),
+                 ("q2", ["batch", "stream"]),
+                 ("q3", ["customer", "filter", "data"])]
+
+_BM25_TERMS_SEL = "\nUNION ALL\n".join(
+    f"SELECT '{qid}' AS qid, '{t}' AS term"
+    for qid, terms in _BM25_QUERIES for t in terms)
+
+BM25_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+  WHERE w <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+), tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY w
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+), q AS ({_BM25_TERMS_SEL}
+), scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({_BM25_K1} + 1.0)
+             / (tf.tf + {_BM25_K1}
+                * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl)))
+           AS score
+  FROM q
+  JOIN tf ON tf.w = q.term
+  JOIN df ON df.w = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+)
+SELECT qid, doc_id, round(score, 6) AS score,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY round(score, 6) DESC, doc_id)
+            AS BIGINT) AS rn
+FROM scored
+QUALIFY rn <= {_BM25_TOPK}
+ORDER BY qid, rn
+"""
+
+
+@register("search_bm25", sql=BM25_SQL, tags=("text", "search"))
+def search_bm25(spark, sf_dir):
+    """BM25 ranked retrieval (k1=1.2, b=0.75) — the scoring layer the
+    retrieval triad lacked: boolean AND (membership), phrase
+    (positions), RRF (fusion) — and now probabilistic term-weighted
+    RANKING. idf = ln(1 + (N-df+0.5)/(df+0.5)) (the Robertson-Sparck
+    Jones form, never negative), per-term gain saturates in tf and is
+    length-normalized by dl/avgdl. Top-10 per query; rank order uses the
+    ROUNDED score (6 dp) then doc_id so two engines summing partial
+    scores in different orders cannot disagree at the boundary.
+
+    Scale: posting lists shuffle once on the term to meet the broadcast
+    query list; doc length and the (N, avgdl) scalar are one aggregate
+    each (the scalar broadcasts); scoring is a (qid, doc) hash agg over
+    matched postings only, and top-k is a window partitioned by qid.
+    This IS the inverted-index query plan — nothing touches
+    non-matching documents."""
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim("text") != ""))
+    tok = track_persist(
+        docs.select("doc_id", F.explode(
+            F.split(F.lower("text"), " ", -1)).alias("w"))
+        .where(F.col("w") != ""))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    q = None
+    for qid, terms in _BM25_QUERIES:
+        for t in terms:
+            row = spark.range(1).select(F.lit(qid).alias("qid"),
+                                        F.lit(t).alias("term"))
+            q = row if q is None else q.union(row)
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    gain = (idf * F.col("tf") * (_BM25_K1 + 1.0)
+            / (F.col("tf") + _BM25_K1
+               * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))))
+    scored = (F.broadcast(q).join(tf, F.col("term") == F.col("w"))
+              .join(df, "w")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("qid", "doc_id")
+              .agg(F.sum(gain).alias("score")))
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id"))
+    return (scored
+            .withColumn("rn", F.row_number().over(w_rank).cast("long"))
+            .where(F.col("rn") <= _BM25_TOPK)
+            .select("qid", "doc_id", F.round("score", 6).alias("score"),
+                    "rn")
+            .orderBy("qid", "rn"))

@@ -1,0 +1,82 @@
+"""Hand-built-corpus pins for the round-7 events additions: SCD2 history
+(run collapse, interval close, current flag) and sweep-line peak
+concurrency (overlap counting, inclusive boundaries, start-day
+attribution). The sf fixtures exercise volume; these pin the boundary
+semantics a synthetic stream can't make inspectable."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, datetime(2024, 1, *r[0]), r[1], r[2], 0.0, "{}")
+         for i, r in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string")
+
+
+def _scd2(spark, df, tmp_path):
+    from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
+    all_queries()
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    return REGISTRY["events_scd2_history"].fn(spark, str(tmp_path)).collect()
+
+
+def test_scd2_collapses_runs_and_closes_intervals(spark, tmp_path):
+    # user 1: A A B A  -> versions A, B, A (the repeat A is a NEW version,
+    # not a merge with version 1 — type-2 history keeps re-transitions)
+    rows = [((1, 10, 0), 1, "A"), ((1, 11, 0), 1, "A"),
+            ((1, 12, 0), 1, "B"), ((1, 13, 0), 1, "A")]
+    out = _scd2(spark, _events(spark, rows), tmp_path)
+    assert [(r.state, r.version, r.is_current) for r in out] == [
+        ("A", 1, 0), ("B", 2, 0), ("A", 3, 1)]
+    assert out[0].valid_from == "2024-01-01 10:00:00"
+    assert out[0].valid_to == "2024-01-01 12:00:00"   # closed by B
+    assert out[1].valid_to == "2024-01-01 13:00:00"
+    assert out[2].valid_to is None                    # open current row
+
+
+def test_scd2_equal_ts_breaks_on_event_id(spark, tmp_path):
+    # two observations at the SAME instant: event_id order decides the
+    # run sequence deterministically (A then B -> two versions)
+    rows = [((2, 9, 0), 7, "A"), ((2, 9, 0), 7, "B")]
+    out = _scd2(spark, _events(spark, rows), tmp_path)
+    assert [(r.state, r.version) for r in out] == [("A", 1), ("B", 2)]
+
+
+def _peak(spark, df, tmp_path):
+    from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
+    all_queries()
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    return {r.day: r.asDict()
+            for r in REGISTRY["events_peak_concurrency"]
+            .fn(spark, str(tmp_path)).collect()}
+
+
+def test_peak_concurrency_counts_overlaps(spark, tmp_path):
+    # three users on Jan 3: u1 session 08:00-10:00 (events 2h apart stay
+    # one session only if gap <= 1h — use 30-min steps), u2 09:00-09:30,
+    # u3 12:00 (single instant). Peak = 2 (u1 x u2 overlap at 09:00).
+    rows = [((3, 8, 0), 1, "view"), ((3, 8, 30), 1, "view"),
+            ((3, 9, 0), 1, "view"), ((3, 9, 30), 1, "view"),
+            ((3, 10, 0), 1, "view"),
+            ((3, 9, 0), 2, "click"), ((3, 9, 30), 2, "click"),
+            ((3, 12, 0), 3, "view")]
+    out = _peak(spark, _events(spark, rows), tmp_path)
+    assert out["2024-01-03"]["peak_concurrent"] == 2
+    assert out["2024-01-03"]["n_sessions"] == 3
+
+
+def test_peak_concurrency_inclusive_boundary_and_instant_sessions(
+        spark, tmp_path):
+    # u1 ends exactly when u2 starts: inclusive intervals -> they overlap
+    # (peak 2); a lone instant session still counts itself (peak >= 1).
+    rows = [((4, 8, 0), 1, "view"), ((4, 9, 0), 1, "view"),
+            ((4, 9, 0), 2, "click"), ((4, 10, 0), 2, "click"),
+            ((5, 8, 0), 9, "view")]
+    out = _peak(spark, _events(spark, rows), tmp_path)
+    assert out["2024-01-04"]["peak_concurrent"] == 2
+    assert out["2024-01-05"]["peak_concurrent"] == 1
+    assert out["2024-01-05"]["n_sessions"] == 1
