@@ -80,6 +80,20 @@ PROBES = {
     "langid_char_ngram": {"documents": ["doc_id"]},
     "events_rollup_incremental": {"events": ["event_id"]},
     "multimodal_phash_dedup": {"documents": ["doc_id"]},
+    # round-7 additions. dedup_tfidf_cosine and dedup_embedding_multiprobe
+    # are NOT probed here for the same reason as the simjoin pair:
+    # replication copies identical texts/vectors, so their PAIR OUTPUT
+    # grows quadratically by construction (k copies -> k^2 true pairs) — a
+    # replication artifact. The multiprobe CANDIDATE bound is probed
+    # honestly (sign-flip-decorrelated replicas) in
+    # tests/test_similarity_recall.py; tfidf's bound is the df cap.
+    "dedup_span_excise": {"documents": ["doc_id"]},
+    "dedup_sentence_exact": {"documents": ["doc_id"]},
+    "search_bm25": {"documents": ["doc_id"]},
+    "knn_classify": {"embeddings": ["vec_id"]},
+    "embedding_outliers": {"embeddings": ["vec_id"]},
+    "events_scd2_history": {"events": ["user_id"]},
+    "events_peak_concurrency": {"events": ["user_id"]},
 }
 
 

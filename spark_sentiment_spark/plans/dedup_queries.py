@@ -1130,3 +1130,93 @@ def dedup_span_excise(spark, sf_dir):
     scorer documents; thresholds (shared-in-≥2-docs) ride the same
     gram-count table either way."""
     return span_excise(load(spark, sf_dir, "documents"))
+
+
+# --- Sentence-level exact dedup with document rebuild -----------------------
+
+SENTENCE_DEDUP_SQL = """
+WITH sent AS (
+  SELECT doc_id, i AS idx, s FROM (
+    SELECT doc_id, unnest(string_split(text, '. ')) AS s,
+           generate_subscripts(string_split(text, '. '), 1) AS i
+    FROM documents WHERE text IS NOT NULL)
+  WHERE s <> ''
+), ranked AS (
+  SELECT doc_id, idx, s,
+         row_number() OVER (PARTITION BY s ORDER BY doc_id, idx) AS rn
+  FROM sent
+), kept AS (
+  SELECT doc_id, idx, s FROM ranked WHERE rn = 1
+), rebuilt AS (
+  SELECT doc_id,
+         string_agg(s, '. ' ORDER BY idx) AS kept_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentences
+  FROM sent GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.kept_text, '') AS kept_text,
+       coalesce(t.n_sentences, 0) AS n_sentences,
+       coalesce(r.n_kept, 0) AS n_kept
+FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("dedup_sentence_exact", sql=SENTENCE_DEDUP_SQL,
+          tags=("dedup", "text"))
+def dedup_sentence_exact(spark, sf_dir):
+    """Sentence-level exact deduplication with document REBUILD — the
+    middle granularity between whole-document exact dedup and char-span
+    excision: the corpus keeps exactly ONE occurrence of every distinct
+    sentence (the globally first by (doc_id, position)); later
+    occurrences are dropped and each document is re-assembled from its
+    surviving sentences in order. The standard treatment for boilerplate
+    sentences (cookie banners, license headers) that repeat verbatim
+    across a web corpus.
+
+    Scale: the first-occurrence choice is an ARGMIN aggregate
+    (min(struct(doc_id, idx))) on the sentence hash — one map-side-
+    combined shuffle, deliberately NOT a per-sentence window: a
+    boilerplate sentence with 10^7 occurrences would make a window
+    partition hot, while min() folds it partially on every executor.
+    Rebuild groups by doc_id and folds the sorted survivor array —
+    per-doc state only. Sentence split is the literal '. ' delimiter on
+    both engines (no regex-dialect surface)."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    sent = track_persist(
+        docs.select("doc_id",
+                    F.posexplode(F.split("text", r"\. ", -1))
+                    .alias("idx0", "s"))
+        .where(F.col("s") != "")
+        .select("doc_id", (F.col("idx0") + 1).alias("idx"), "s"))
+    first = sent.groupBy("s").agg(
+        F.min(F.struct("doc_id", "idx")).alias("f"))
+    kept = (sent.join(first, "s")
+            .where((F.col("doc_id") == F.col("f.doc_id"))
+                   & (F.col("idx") == F.col("f.idx")))
+            .select("doc_id", "idx", "s"))
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.array_sort(F.collect_list(F.struct("idx", "s")))
+                    .alias("ks"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+               .select("doc_id",
+                       F.array_join(F.expr("transform(ks, x -> x.s)"),
+                                    ". ").alias("kept_text"),
+                       "n_kept"))
+    totals = sent.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sentences"))
+    return (docs.select("doc_id")
+            .join(totals, "doc_id", "left")
+            .join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+                    F.coalesce("n_sentences", F.lit(0)).cast("bigint")
+                    .alias("n_sentences"),
+                    F.coalesce("n_kept", F.lit(0)).cast("bigint")
+                    .alias("n_kept"))
+            .orderBy("doc_id"))

@@ -959,3 +959,84 @@ def knn_classify(spark, sf_dir):
                     (F.col("label") == F.col("true_label"))
                     .cast("long").alias("correct"))
             .orderBy("qid"))
+
+
+# --- Centroid-distance outlier flagging (mislabel / noise curation) ---------
+
+EMB_OUTLIER_Z = 2.0
+
+EMB_OUTLIER_SQL = f"""
+WITH c AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), un AS (
+  SELECT vec_id, label,
+         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
+  FROM c
+), per_dim AS (
+  SELECT label, i, avg(u[i]) AS v
+  FROM un, generate_series(1, 64) AS t(i)
+  GROUP BY label, i
+), cent AS (
+  SELECT label, list(v ORDER BY i) AS cu FROM per_dim GROUP BY label
+), scored AS (
+  SELECT un.vec_id, un.label,
+         round(list_dot_product(un.u, cent.cu)
+               / sqrt(list_dot_product(cent.cu, cent.cu)), 6) AS cos
+  FROM un JOIN cent USING (label)
+), stats AS (
+  SELECT label, avg(cos) AS mu, stddev_pop(cos) AS sd
+  FROM scored GROUP BY label
+)
+SELECT s.vec_id, CAST(s.label AS BIGINT) AS label, s.cos,
+       round((s.cos - st.mu) / st.sd, 6) AS z,
+       CAST(round((s.cos - st.mu) / st.sd, 6) < -{EMB_OUTLIER_Z}
+            AS BIGINT) AS is_outlier
+FROM scored s JOIN stats st USING (label)
+ORDER BY vec_id
+"""
+
+
+@register("embedding_outliers", sql=EMB_OUTLIER_SQL,
+          tags=("similarity", "quality"))
+def embedding_outliers(spark, sf_dir):
+    """Centroid-distance outlier flagging — the embedding-space curation
+    op that catches mislabeled or noise samples: per label, the mean
+    unit vector is the class centroid; each member's cosine to its own
+    centroid is z-scored within the label, and members more than 2σ
+    BELOW the class mean are flagged. (Cleanlab-style pruning signal,
+    computed without a model.)
+
+    Exactness: the per-dim centroid is an avg (summation-order
+    sensitive), so the member cosine is ROUNDED to 6 dp before the
+    z-score and the z itself rounded before the threshold — both engines
+    compare identical rounded values, the same convention the corr/psi
+    family uses.
+
+    Scale: centroids are one posexplode + (label, dim) hash agg (output
+    labels×64 rows — broadcasts); scoring is a broadcast join + one
+    array dot per row; label stats one more bounded agg. Three linear
+    passes, no pairwise anything."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = _as_double("embedding")
+    un = track_persist(emb.select(
+        "vec_id", "label", F.transform(e, lambda x: x / _norm(e)).alias("u")))
+    per_dim = (un.select("label", F.posexplode("u").alias("i", "x"))
+               .groupBy("label", "i").agg(F.avg("x").alias("v")))
+    cent = (per_dim.groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "v")))
+                 .alias("iv"))
+            .select("label",
+                    F.expr("transform(iv, s -> s.v)").alias("cu")))
+    cos = F.round(_dot(F.col("u"), F.col("cu"))
+                  / _norm(F.col("cu")), 6)
+    scored = track_persist(
+        un.join(F.broadcast(cent), "label")
+        .select("vec_id", "label", cos.alias("cos")))
+    stats = scored.groupBy("label").agg(
+        F.avg("cos").alias("mu"), F.stddev_pop("cos").alias("sd"))
+    z = F.round((F.col("cos") - F.col("mu")) / F.col("sd"), 6)
+    return (scored.join(F.broadcast(stats), "label")
+            .select("vec_id", F.col("label").cast("long").alias("label"),
+                    "cos", z.alias("z"),
+                    (z < -EMB_OUTLIER_Z).cast("long").alias("is_outlier"))
+            .orderBy("vec_id"))

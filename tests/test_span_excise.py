@@ -93,3 +93,49 @@ def test_matches_duckdb_oracle_on_handbuilt_corpus(spark):
                       SPAN_EXCISE_SQL, "dedup_span_excise")
     con.close()
     assert ok, msg
+
+
+def test_sentence_dedup_keeps_global_first_occurrence(spark):
+    """dedup_sentence_exact on a hand-built corpus: the boilerplate
+    sentence survives only in the earliest (doc_id, position); documents
+    rebuild from survivors in order; an all-duplicate doc rebuilds to
+    the empty string."""
+    import duckdb
+
+    from spark_sentiment_spark.plans.dedup_queries import SENTENCE_DEDUP_SQL
+    from tests.oracle_utils import compare
+
+    boiler = "We use cookies"
+    rows = [
+        {"doc_id": 1, "text": f"{boiler}. Unique alpha. Unique beta"},
+        {"doc_id": 2, "text": f"Unique gamma. {boiler}. Unique delta"},
+        {"doc_id": 3, "text": f"{boiler}"},          # nothing survives
+        {"doc_id": 4, "text": "Unique alpha tail"},  # no '. ' at all
+    ]
+    pdf = pd.DataFrame(rows)
+    import tempfile
+
+    from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
+    all_queries()
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(pdf).write.mode("overwrite") \
+            .parquet(f"{d}/documents.parquet")
+        out = {r.doc_id: r.asDict()
+               for r in REGISTRY["dedup_sentence_exact"].fn(spark, d)
+               .collect()}
+    assert out[1]["kept_text"] == f"{boiler}. Unique alpha. Unique beta"
+    assert out[2]["kept_text"] == "Unique gamma. Unique delta"
+    assert out[2]["n_sentences"] == 3 and out[2]["n_kept"] == 2
+    assert out[3]["kept_text"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["kept_text"] == "Unique alpha tail"
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    from spark_sentiment_spark.plans.dedup_queries import dedup_sentence_exact
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(pdf).write.mode("overwrite") \
+            .parquet(f"{d}/documents.parquet")
+        ok, msg = compare(dedup_sentence_exact(spark, d), con,
+                          SENTENCE_DEDUP_SQL, "dedup_sentence_exact")
+    con.close()
+    assert ok, msg
