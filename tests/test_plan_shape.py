@@ -350,3 +350,40 @@ def test_streaming_hll_state_bounded_and_jvm(spark):
                              if t.name.startswith("stream_hll")][-1].name) \
         .count()
     assert sink_rows <= _HLL_M
+
+
+def test_round7_queries_stay_jvm_native(spark):
+    """Every round-7 query except the documented multiprobe signature
+    matmul is pure JVM: no Python operators anywhere in the plan."""
+    from spark_sentiment_spark.plans.registry import release_caches
+
+    for name in ["dedup_span_excise", "dedup_sentence_exact",
+                 "dedup_tfidf_cosine", "search_bm25", "knn_classify",
+                 "embedding_outliers", "events_scd2_history",
+                 "events_peak_concurrency"]:
+        plan = _plan(spark, name)
+        release_caches()
+        assert "Python" not in plan, f"{name} plan fell back to Python"
+
+
+def test_multiprobe_python_confined_to_signature_stage(spark):
+    """dedup_embedding_multiprobe's only Python is the Arrow-batched
+    BLAS signature matmul (the module's documented exception); the
+    bucket join, pair dedup and cosine re-rank stay JVM-side."""
+    from spark_sentiment_spark.plans.registry import release_caches
+
+    plan = _plan(spark, "dedup_embedding_multiprobe")
+    release_caches()
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") <= 2  # probe/home branches of sigs
+
+
+def test_bm25_broadcasts_queries_and_scalar_only(spark):
+    """search_bm25: the query-term list and the (N, avgdl) scalar
+    broadcast; the posting lists meet them in hash joins — the corpus is
+    never on a broadcast side."""
+    from spark_sentiment_spark.plans.registry import release_caches
+
+    plan = _plan(spark, "search_bm25")
+    release_caches()
+    assert "SortMergeJoin" not in plan
