@@ -92,6 +92,13 @@ def compute_window() -> tuple[list[str], dict]:
     from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
     all_queries()
     oracle_names = [n for n, q in REGISTRY.items() if q.sql is not None]
+    # Queries REGISTERED after the window was cut (absent from the cut-time
+    # hash snapshot) stay out of the frozen window — they'd otherwise
+    # classify as never-checked and churn the committed list mid-round.
+    # The next cut rewrites the snapshot and windows them as class (a).
+    if os.path.exists(HASHES_PATH):
+        cut_names = set(json.load(open(HASHES_PATH)))
+        oracle_names = [n for n in oracle_names if n in cut_names]
 
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
@@ -122,9 +129,14 @@ def compute_window() -> tuple[list[str], dict]:
 
 
 if __name__ == "__main__":
-    with open(HASHES_PATH, "w") as f:
-        json.dump(source_hashes(), f, indent=1, sort_keys=True)
-    print(f"# wrote {HASHES_PATH}")
+    # --cut = cutting a NEW window (bump WINDOW_ROUND first): rewrite the
+    # hash snapshot so the whole current catalog is eligible. Without the
+    # flag the snapshot is left alone — a mid-round run just prints the
+    # (stable) committed window, instead of silently re-baselining it.
+    if "--cut" in sys.argv or not os.path.exists(HASHES_PATH):
+        with open(HASHES_PATH, "w") as f:
+            json.dump(source_hashes(), f, indent=1, sort_keys=True)
+        print(f"# wrote {HASHES_PATH}")
     window, info = compute_window()
     print(f"# {len(info['never'])} never-checked + {len(info['upgraded'])} "
           f"upgraded-since-row + {len(info['backfill'])} oldest-stale "

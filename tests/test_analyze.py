@@ -51,6 +51,7 @@ def test_analyze_explicit_column_and_save(spark, tweet_csv, tmp_path):
     assert "computed" in back.columns
 
 
+@pytest.mark.slow
 def test_analyze_mlib_roundtrip(spark, tweet_csv, tmp_path):
     """Train a tiny model, persist it, score through analyze(method=mlib)."""
     from spark_sentiment_spark.analyze import analyze

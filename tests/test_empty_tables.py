@@ -30,6 +30,7 @@ def empty_sf(spark):
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_every_query_survives_empty_tables(spark, empty_sf):
     all_queries()
     failures = []
@@ -59,6 +60,7 @@ def single_row_sf(spark):
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_every_query_survives_single_row_tables(spark, single_row_sf):
     all_queries()
     failures = []

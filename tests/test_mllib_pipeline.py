@@ -107,6 +107,7 @@ def test_sentiment140_label_detection(sentiment140_corpus):
     assert vals == {0.0, 4.0}
 
 
+@pytest.mark.slow
 def test_train_all_full_sweep_selects_argmax(sentiment140_corpus):
     """M10/M11 end-to-end at reference semantics on the reference's input
     shape: classifier="all" with sweep runs all 33 grid fits + 3 static

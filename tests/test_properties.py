@@ -5,6 +5,7 @@ Example counts are small (Spark jobs per example) but each exercises
 edge cases goldens miss: empty sides, ties, singletons, long chains.
 """
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -425,6 +426,7 @@ corpus_docs = st.lists(
 
 @PROP
 @given(docs=corpus_docs)
+@pytest.mark.slow
 def test_cluster_canonical_matches_naive_union_find(spark, docs, tmp_path):
     """dedup_cluster_canonical vs an independent naive pipeline on random
     tiny-vocab corpora: exact shingle-set Jaccard >= 0.9 graph ->
