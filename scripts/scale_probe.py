@@ -94,6 +94,10 @@ PROBES = {
     "embedding_outliers": {"embeddings": ["vec_id"]},
     "events_scd2_history": {"events": ["user_id"]},
     "events_peak_concurrency": {"events": ["user_id"]},
+    "agg_mad_by_group": {"lineitem": ["l_orderkey"]},
+    "token_zipf_fit": {"documents": ["doc_id"]},
+    "events_cumulative_users": {"events": ["user_id"]},
+    "events_type_affinity": {"events": ["user_id"]},
 }
 
 

@@ -897,3 +897,84 @@ def vocab_growth_curve(spark, sf_dir):
                            / F.col("cum_tokens"), 6))
         .alias("type_token_ratio"))
         .orderBy("shard"))
+
+
+# --- Zipf power-law fit over the token rank-frequency curve -----------------
+
+ZIPF_FIT_SQL = """
+WITH tok AS (
+  SELECT w FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w
+    FROM documents WHERE text IS NOT NULL)
+  WHERE w <> ''
+), freq AS (
+  SELECT w, count(*) AS f FROM tok GROUP BY w
+), ranked AS (
+  SELECT CAST(round(ln(row_number() OVER (ORDER BY f DESC, w)), 6)
+              AS DECIMAL(18,6)) AS x,
+         CAST(round(ln(f), 6) AS DECIMAL(18,6)) AS y
+  FROM freq
+), sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+         sum(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+         sum(CAST(y * y AS DECIMAL(38,12))) AS syy
+  FROM ranked
+)
+SELECT n AS n_types,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             6) AS zipf_slope,
+       round(pow(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+             / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS r2
+FROM sums
+"""
+
+
+@register("token_zipf_fit", sql=ZIPF_FIT_SQL, tags=("corpus", "stats"))
+def token_zipf_fit(spark, sf_dir):
+    """Zipf power-law fit: least-squares slope (and r²) of ln(freq) vs
+    ln(rank) over the full vocabulary — the one-number corpus-health
+    check (natural language sits near slope −1; templated/synthetic
+    corpora drift flatter or steeper, so the fit flags generation
+    artifacts the entropy stats miss).
+
+    Exactness: a float Σxy over 10⁴⁺ log values is summation-order
+    sensitive, so both engines ROUND each ln to 6 dp, cast to
+    DECIMAL(18,6), and accumulate the five regression sums as exact
+    decimals (order-free); only the final closed-form ratio runs in
+    double. Same recipe as corr_matrix's exact decimal moments.
+
+    Scale: one explode → vocab-sized hash agg; the rank is a global sort
+    of the VOCABULARY (not the corpus); the regression is a 1-row
+    aggregate. At 100 TB fit the top-K types (rank is TakeOrdered) —
+    the head determines the slope."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    freq = (docs.select(F.explode(F.split(F.lower("text"), " ", -1))
+                        .alias("w"))
+            .where(F.col("w") != "")
+            .groupBy("w").agg(F.count(F.lit(1)).alias("f")))
+    wr = Window.orderBy(F.desc("f"), F.asc("w"))
+    ranked = freq.select(
+        F.round(F.log(F.row_number().over(wr).cast("double")), 6)
+        .cast("decimal(18,6)").alias("x"),
+        F.round(F.log(F.col("f").cast("double")), 6)
+        .cast("decimal(18,6)").alias("y"))
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,12)")).alias("syy"))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    num = n * sxy - sx * sy
+    return sums.select(
+        F.col("n").alias("n_types"),
+        F.round(num / (n * sxx - sx * sx), 6).alias("zipf_slope"),
+        F.round((num * num) / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                6).alias("r2"))

@@ -7,7 +7,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_sentiment_spark.plans.registry import load, register
+from spark_sentiment_spark.plans.registry import (load, register,
+                                                  track_persist)
 
 TUMBLE_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -1051,3 +1052,157 @@ def events_peak_concurrency(spark, sf_dir):
     return (peaks.join(counts, "day")
             .select("day", "peak_concurrent", "n_sessions")
             .orderBy("day"))
+
+
+# --- Cumulative distinct users (growth accounting) --------------------------
+
+CUM_USERS_SQL = """
+WITH first_seen AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS d0 FROM events
+  GROUP BY user_id
+), new_by_day AS (
+  SELECT strftime(d0, '%Y-%m-%d') AS day, count(*) AS new_users
+  FROM first_seen GROUP BY d0
+), active AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1
+)
+SELECT a.day,
+       CAST(a.dau AS BIGINT) AS dau,
+       CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+       CAST(sum(coalesce(n.new_users, 0))
+            OVER (ORDER BY a.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users
+FROM active a LEFT JOIN new_by_day n USING (day)
+ORDER BY a.day
+"""
+
+
+@register("events_cumulative_users", sql=CUM_USERS_SQL, tags=("events",))
+def events_cumulative_users(spark, sf_dir):
+    """Cumulative distinct users over time — the growth curve computed
+    the SCALABLE way: a running COUNT(DISTINCT) recomputes an
+    ever-growing set per day, while first-seen attribution (min day per
+    user, one hash agg) makes each user count exactly once and the
+    cumulative sum run over the tiny per-day table. DAU rides along for
+    the classic DAU-vs-cumulative dashboard pair.
+
+    Scale: two user-keyed hash aggs (first-seen, daily-active) over the
+    stream; everything after is calendar-days-sized, so the running-sum
+    window's single partition holds days, not users — bounded state by
+    construction."""
+    ev = load(spark, sf_dir, "events")
+    day_of = lambda c: F.date_format(F.date_trunc("day", F.col(c)),
+                                     "yyyy-MM-dd")
+    first_seen = (ev.groupBy("user_id")
+                  .agg(F.min(F.date_trunc("day", "ts")).alias("d0")))
+    new_by_day = (first_seen
+                  .groupBy(F.date_format("d0", "yyyy-MM-dd").alias("day"))
+                  .agg(F.count(F.lit(1)).alias("new_users")))
+    active = (ev.groupBy(day_of("ts").alias("day"))
+              .agg(F.countDistinct("user_id").alias("dau")))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    return (active.join(new_by_day, "day", "left")
+            .withColumn("new_users", F.coalesce("new_users", F.lit(0)))
+            .select("day", F.col("dau").cast("bigint").alias("dau"),
+                    F.col("new_users").cast("bigint").alias("new_users"),
+                    F.sum("new_users").over(w).cast("bigint")
+                    .alias("cum_users"))
+            .orderBy("day"))
+
+
+# --- Session-level event-type affinity (co-visitation lift) -----------------
+
+TYPE_AFFINITY_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 3600000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id,
+         event_type
+  FROM flagged
+), st AS (
+  SELECT DISTINCT user_id, session_id, event_type FROM sess
+), totals AS (
+  SELECT CAST(count(DISTINCT (user_id, session_id)) AS BIGINT) AS n_sess
+  FROM st
+), per_type AS (
+  SELECT event_type, count(*) AS n FROM st GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_ab
+  FROM st a JOIN st b
+    ON a.user_id = b.user_id AND a.session_id = b.session_id
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b,
+       CAST(p.n_ab AS BIGINT) AS n_sessions_both,
+       round(CAST(p.n_ab AS DOUBLE) * t.n_sess
+             / (pa.n * pb.n), 6) AS lift
+FROM pairs p
+JOIN per_type pa ON p.type_a = pa.event_type
+JOIN per_type pb ON p.type_b = pb.event_type
+CROSS JOIN totals t
+ORDER BY type_a, type_b
+"""
+
+
+@register("events_type_affinity", sql=TYPE_AFFINITY_SQL, tags=("events",))
+def events_type_affinity(spark, sf_dir):
+    """Session-level event-type co-occurrence LIFT — market-basket
+    affinity over behavioral sessions: for each unordered type pair, the
+    number of sessions containing both and lift = P(a,b)/(P(a)·P(b))
+    (>1 = the types travel together). Sessionization is the shared
+    1-hour-gap recipe.
+
+    Scale: the session×type table is DISTINCT-collapsed before pairing,
+    so the self-join fanout per session is C(types-in-session, 2) —
+    bounded by the TYPE VOCABULARY squared, not by session length; the
+    per-type and total-session tables are vocabulary/1-row sized
+    broadcasts. The classic trap (pairing raw events, length² per
+    session) never materializes."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    lag_ms = F.unix_millis(F.lag("ts").over(w))
+    st = track_persist(
+        ev.withColumn(
+            "new_session",
+            F.when(lag_ms.isNull()
+                   | ((F.unix_millis("ts") - lag_ms) > 3_600_000), 1)
+            .otherwise(0))
+        .withColumn("session_id", F.sum("new_session").over(wrun))
+        .select("user_id", "session_id", "event_type")
+        .distinct())
+    totals = st.select("user_id", "session_id").distinct() \
+        .agg(F.count(F.lit(1)).alias("n_sess"))
+    per_type = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = st.alias("a"), st.alias("b")
+    pairs = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                    & (F.col("a.session_id") == F.col("b.session_id"))
+                    & (F.col("a.event_type") < F.col("b.event_type")))
+             .groupBy(F.col("a.event_type").alias("type_a"),
+                      F.col("b.event_type").alias("type_b"))
+             .agg(F.count(F.lit(1)).alias("n_ab")))
+    pa = per_type.select(F.col("event_type").alias("type_a"),
+                         F.col("n").alias("na"))
+    pb = per_type.select(F.col("event_type").alias("type_b"),
+                         F.col("n").alias("nb"))
+    lift = F.round(F.col("n_ab").cast("double") * F.col("n_sess")
+                   / (F.col("na") * F.col("nb")), 6)
+    return (pairs.join(F.broadcast(pa), "type_a")
+            .join(F.broadcast(pb), "type_b")
+            .crossJoin(F.broadcast(totals))
+            .select("type_a", "type_b",
+                    F.col("n_ab").cast("bigint").alias("n_sessions_both"),
+                    lift.alias("lift"))
+            .orderBy("type_a", "type_b"))

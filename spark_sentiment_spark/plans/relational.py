@@ -971,3 +971,51 @@ def audit_referential(spark, sf_dir):
                .select(F.lit(fk).alias("fk"), "n_child", "n_orphans"))
         out = row if out is None else out.union(row)
     return out.orderBy("fk")
+
+
+# --- Median absolute deviation per group (robust spread) --------------------
+
+MAD_SQL = """
+WITH med AS (
+  SELECT l_returnflag,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS med
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       round(any_value(m.med), 6) AS median_price,
+       round(percentile_cont(0.5)
+             WITHIN GROUP (ORDER BY abs(l.l_extendedprice - m.med)), 6)
+         AS mad_price,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem l JOIN med m USING (l_returnflag)
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
+@register("agg_mad_by_group", sql=MAD_SQL, tags=("agg", "percentile"))
+def agg_mad_by_group(spark, sf_dir):
+    """Median absolute deviation per group — the robust-spread statistic
+    outlier trimming should use when the tail is heavy (stddev is itself
+    dragged by the outliers it is meant to find). Inherently TWO-PHASE:
+    the group median must exist before residuals can be ranked, so the
+    plan is medians-agg → broadcast join-back → residual-median agg.
+
+    Scale: phase one reduces to one digest row per group; the join-back
+    broadcasts that bounded table onto the fact scan (no second shuffle
+    of the data for the join); phase two is the same partial+final
+    percentile digest as `agg_percentiles`. Two passes over the fact
+    column is the FLOOR for exact MAD — pipelines that can't afford the
+    second pass swap phase two for the mergeable histogram sketch and
+    keep this exact form as its oracle."""
+    li = load(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("med"))
+    return (li.join(F.broadcast(med), "l_returnflag")
+            .groupBy("l_returnflag")
+            .agg(F.round(F.first("med"), 6).alias("median_price"),
+                 F.round(F.percentile(
+                     F.abs(F.col("l_extendedprice") - F.col("med")),
+                     F.lit(0.5)), 6).alias("mad_price"),
+                 F.count(F.lit(1)).cast("bigint").alias("n"))
+            .orderBy("l_returnflag"))

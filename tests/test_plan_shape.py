@@ -360,7 +360,9 @@ def test_round7_queries_stay_jvm_native(spark):
     for name in ["dedup_span_excise", "dedup_sentence_exact",
                  "dedup_tfidf_cosine", "search_bm25", "knn_classify",
                  "embedding_outliers", "events_scd2_history",
-                 "events_peak_concurrency"]:
+                 "events_peak_concurrency", "agg_mad_by_group",
+                 "events_cumulative_users", "events_type_affinity",
+                 "token_zipf_fit"]:
         plan = _plan(spark, name)
         release_caches()
         assert "Python" not in plan, f"{name} plan fell back to Python"
