@@ -98,6 +98,7 @@ PROBES = {
     "token_zipf_fit": {"documents": ["doc_id"]},
     "events_cumulative_users": {"events": ["user_id"]},
     "events_type_affinity": {"events": ["user_id"]},
+    "events_sliding_users_hll": {"events": ["user_id"]},
 }
 
 
