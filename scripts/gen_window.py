@@ -12,10 +12,15 @@ Policy (round-6 VERDICT item 1):
      name asc — deterministic).
 Rows-only queries never take a slot (their weaker check adds no signal).
 
-Run from the repo root:  python scripts/gen_window.py
-Prints the 50-name window as a Python list literal for
-plans/registry.py::_WINDOW_PRIORITY; tests/test_registry_window.py asserts
-the committed list matches this computation.
+The window is FROZEN for the round it was cut for (round-7 hardening):
+only CORRECTNESS history from rounds < WINDOW_ROUND counts, only queries
+present in the cut-time hash snapshot are eligible, and UPGRADED entries
+dated the current round defer to the next cut. Cutting a new window =
+bump WINDOW_ROUND, run `python scripts/gen_window.py --cut` (rewrites the
+snapshot), paste the printed list into
+plans/registry.py::_WINDOW_PRIORITY. A flagless run only PRINTS the
+stable window; tests/test_registry_window.py asserts the committed list
+matches the computation and that post-cut edits are declared.
 """
 
 from __future__ import annotations
