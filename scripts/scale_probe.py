@@ -99,6 +99,7 @@ PROBES = {
     "events_cumulative_users": {"events": ["user_id"]},
     "events_type_affinity": {"events": ["user_id"]},
     "events_sliding_users_hll": {"events": ["user_id"]},
+    "events_temporal_join": {"events": ["user_id"]},
 }
 
 

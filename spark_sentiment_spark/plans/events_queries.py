@@ -1206,3 +1206,78 @@ def events_type_affinity(spark, sf_dir):
                     F.col("n_ab").cast("bigint").alias("n_sessions_both"),
                     lift.alias("lift"))
             .orderBy("type_a", "type_b"))
+
+
+# --- Temporal join: facts against the SCD2 dimension AS OF their ts ---------
+
+TEMPORAL_JOIN_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), changes AS (
+  SELECT user_id, ts, event_type
+  FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type
+), dim AS (
+  SELECT user_id, event_type AS state, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+  FROM changes
+), joined AS (
+  SELECT d.state, e.event_type
+  FROM events e
+  JOIN dim d
+    ON e.user_id = d.user_id
+   AND e.ts >= d.valid_from
+   AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+)
+SELECT state, event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM joined
+GROUP BY state, event_type
+ORDER BY state, event_type
+"""
+
+
+@register("events_temporal_join", sql=TEMPORAL_JOIN_SQL,
+          tags=("events", "join", "cdc"))
+def events_temporal_join(spark, sf_dir):
+    """Temporal (AS-OF-validity) join — the CONSUMER of the type-2
+    dimension `events_scd2_history` builds: every fact row joins the
+    version whose [valid_from, valid_to) interval covers the fact's own
+    timestamp, here rolled up to a state × event_type matrix. This is
+    the query shape that makes SCD2 worth maintaining: facts see the
+    attribute AS OF when they happened, not as it is now.
+
+    Correctness hinge: a fact at exactly a change's timestamp belongs to
+    the NEW version (>= valid_from, < valid_to — half-open), matching
+    the history builder's interval convention; versions per user are
+    non-overlapping by construction, so each fact matches exactly one.
+
+    Scale: the dim build is the SCD2 single sort+window stage; the join
+    is key-local on user_id (both sides hash-partition there — interval
+    probing happens within a user's own few versions, never across), and
+    the rollup is a bounded (states × types) hash agg. No bucketized
+    range machinery needed because the equi-key carries the join; that
+    is the general rule for temporal dims — the interval is a residual
+    predicate, not the join key."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy("ts")
+    dim = (ev.withColumn("prev_type", F.lag("event_type").over(w))
+           .where(F.col("prev_type").isNull()
+                  | (F.col("event_type") != F.col("prev_type")))
+           .select("user_id", F.col("event_type").alias("state"),
+                   F.col("ts").alias("valid_from"))
+           .withColumn("valid_to", F.lead("valid_from").over(
+               Window.partitionBy("user_id").orderBy("valid_from"))))
+    e = ev.select("user_id", "ts", "event_type")
+    joined = e.join(
+        dim,
+        (e["user_id"] == dim["user_id"])
+        & (e["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (e["ts"] < dim["valid_to"])))
+    return (joined.groupBy("state", "event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+            .orderBy("state", "event_type"))

@@ -362,7 +362,8 @@ def test_round7_queries_stay_jvm_native(spark):
                  "embedding_outliers", "events_scd2_history",
                  "events_peak_concurrency", "agg_mad_by_group",
                  "events_cumulative_users", "events_type_affinity",
-                 "token_zipf_fit", "events_sliding_users_hll"]:
+                 "token_zipf_fit", "events_sliding_users_hll",
+                 "events_temporal_join"]:
         plan = _plan(spark, name)
         release_caches()
         assert "Python" not in plan, f"{name} plan fell back to Python"
