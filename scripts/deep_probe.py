@@ -61,6 +61,9 @@ PROBES = [
     ("curate_corpus", "curate_corpus", "rekey"),
     ("agg_hll_sketch", "agg_hll_sketch", "rekey"),
     ("skew_profile", "skew_profile", "rekey"),
+    # round-7 addition with the steepest own-cohort ×8 slope (2.9×):
+    # two exact percentile digests over the fact table
+    ("agg_mad_by_group", "agg_mad_by_group", "rekey"),
 ]
 
 # variant -> {table: rekey columns}. documents in the disjoint variant
@@ -185,10 +188,11 @@ def main() -> None:
         "content-hash window; without it this row was an OOM, not a number.",
         f"curate_corpus {ratio('curate_corpus')}× and agg_hll_sketch",
         f"{ratio('agg_hll_sketch')}× and skew_profile",
-        f"{ratio('skew_profile')}× at 32× data — all sub-linear overall;",
-        "see the ×8→×32 marginal slopes for the amortized (fixed cost out",
-        "of the denominator) per-volume cost of these single-pass",
-        "hash-aggregate shapes.",
+        f"{ratio('skew_profile')}× and agg_mad_by_group",
+        f"{ratio('agg_mad_by_group')}× at 32× data — all sub-linear",
+        "overall; see the ×8→×32 marginal slopes for the amortized (fixed",
+        "cost out of the denominator) per-volume cost of these single- or",
+        "two-pass hash-aggregate shapes.",
         "Raw32: `" + json.dumps(results) + "`",
     ]
 

@@ -80,3 +80,22 @@ def test_peak_concurrency_inclusive_boundary_and_instant_sessions(
     assert out["2024-01-04"]["peak_concurrent"] == 2
     assert out["2024-01-05"]["peak_concurrent"] == 1
     assert out["2024-01-05"]["n_sessions"] == 1
+
+
+def test_temporal_join_change_instant_sees_new_version(spark, tmp_path):
+    """events_temporal_join boundary: a fact at EXACTLY a change's
+    timestamp belongs to the NEW version (half-open [valid_from,
+    valid_to)), matching the SCD2 builder's convention. User 6: A@10,
+    A@11, B@12 — the B event at the change instant must report state B,
+    so the rollup is {(A,A):2, (B,B):1}; a closed-interval bug would
+    yield (A,B):1 instead."""
+    rows = [((6, 10, 0), 1, "A"), ((6, 11, 0), 1, "A"),
+            ((6, 12, 0), 1, "B")]
+    df = _events(spark, rows)
+    from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
+    all_queries()
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {(r.state, r.event_type): r.n_events
+           for r in REGISTRY["events_temporal_join"]
+           .fn(spark, str(tmp_path)).collect()}
+    assert out == {("A", "A"): 2, ("B", "B"): 1}
