@@ -125,7 +125,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # whole window is class (c) backfill: the 31 queries whose latest green
 # row is r3, then the 19 alphabetically-first r4 rows. Rows-only queries
 # never take a slot. Round-7 additions land BELOW the window (normal
-# rotation will reach them next cut).
+# rotation will reach them next cut). Slot accounting for the round-8
+# cut, already determined: 16 round-7 additions (never driver-checked) +
+# the bpe pair (upgraded r7, whitespace-class change) = 18 priority
+# slots, backfilled by the 32 alphabetically-first r4-stale rows; the
+# remaining r4-stale rows roll to round 9.
 _WINDOW_PRIORITY = [
     # — oldest-stale backfill (r3 by name, then r4 by name) —
     "dedup_incremental",  # r3
