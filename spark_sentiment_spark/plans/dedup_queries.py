@@ -1055,6 +1055,11 @@ def span_excise(docs, n: int = CHAR_NGRAM_LEN):
     ``aggregate()`` higher-order fold over the sorted island array — no
     per-character explode anywhere."""
     live = docs.where(F.col("text").isNotNull() & (F.length("text") >= n))
+    # NOT persisted, deliberately: both consumers (shared-gram count and
+    # flag join) re-run the explode, but a measured A/B at sf0.1 showed
+    # identical wall time (3.4s) — the cost lives in the two gram-keyed
+    # shuffles, and caching a corpus×n-byte gram table would spend
+    # executor memory for nothing
     pos = live.select(
         "doc_id",
         F.explode(F.expr(
