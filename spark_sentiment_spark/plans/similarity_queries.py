@@ -259,12 +259,9 @@ ORDER BY vec_a, vec_b
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (threshold 0.4 — the tail of this
     corpus's similarity distribution), exact all-pairs formulation as the
-    small-SF oracle; the 100 TB path for the SAME operator is
-    `dedup_embedding_multiprobe` (round 7: 4 tables × 3 probed buckets
-    with adaptive planes — a third of `ann_lsh_topk`'s index for the
-    same recall neighborhood, candidate bound pinned ~linear). Norms are
-    computed once per side before the join so the pair loop is one dot
-    product, not three."""
+    small-SF oracle; the LSH-bucketed query below is the same operator's
+    100 TB path. Norms are computed once per side before the join so the
+    pair loop is one dot product, not three."""
     emb = load(spark, sf_dir, "embeddings")
     e = _as_double("embedding")
     sides = emb.select("vec_id", (F.transform(
