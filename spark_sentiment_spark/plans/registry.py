@@ -114,74 +114,76 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # catalog entries, so ordering is an explicit, audited decision rather
 # than an accident of import order.
 #
-# The round-7 window is COMPUTED, not hand-maintained (the round-5
+# The round-8 window is COMPUTED, not hand-maintained (the round-5
 # hand-written rotation note undercounted and went stale as the catalog
 # grew): `python scripts/gen_window.py` derives it from the registry and
 # the CORRECTNESS_r*.json history for rounds strictly before WINDOW_ROUND
-# (=7, so the list stays frozen when the driver lands the current round's
+# (=8, so the list stays frozen when the driver lands the current round's
 # artifact mid-round), and tests/test_registry_window.py asserts this
-# committed list matches that computation. After round 6 the verification
-# debt is zero — no never-checked or upgraded-since-row entries — so the
-# whole window is class (c) backfill: the 31 queries whose latest green
-# row is r3, then the 19 alphabetically-first r4 rows. Rows-only queries
-# never take a slot. Round-7 additions land BELOW the window (normal
-# rotation will reach them next cut). Slot accounting for the round-8
-# cut, already determined: 16 round-7 additions (never driver-checked) +
-# the bpe pair (upgraded r7, whitespace-class change) = 18 priority
-# slots, backfilled by the 32 alphabetically-first r4-stale rows; the
-# remaining r4-stale rows roll to round 9.
+# committed list matches that computation. Cut 2026-08-14 at round-8
+# start, matching the accounting committed in round 7 exactly: the 16
+# round-7 additions (never driver-checked) + the bpe pair (upgraded r7,
+# whitespace-class change) = 18 priority slots, backfilled by the 32
+# alphabetically-first r4-stale rows — which clears ALL 29 remaining r4
+# rows plus the 3 alphabetically-first r5 rows. Rows-only queries never
+# take a slot. Round-8 additions land BELOW the window (normal rotation
+# reaches them at the round-9 cut). After this round the oldest stale
+# rows are r5; at 16-18 new queries/round the full-refresh cycle stays
+# ~4 rounds at window 50.
 _WINDOW_PRIORITY = [
-    # — oldest-stale backfill (r3 by name, then r4 by name) —
-    "dedup_incremental",  # r3
-    "dedup_incremental_bloom",  # r3
-    "dedup_jaccard_pairs",  # r3
-    "dedup_prefix",  # r3
-    "embedding_centroids",  # r3
-    "embedding_quantize",  # r3
-    "events_attribution",  # r3
-    "events_dedup_latest",  # r3
-    "events_heatmap",  # r3
-    "events_transitions",  # r3
-    "events_volume_anomaly",  # r3
-    "hybrid_search_rrf",  # r3
-    "knn_cosine_topk",  # r3
-    "langid_confusion",  # r3
-    "merge_upsert",  # r3
-    "mixture_sample",  # r3
-    "multimodal_headers",  # r3
-    "pack_sequences",  # r3
-    "profile_columns",  # r3
-    "q21_waiting_suppliers",  # r3
-    "q2_min_cost_supplier",  # r3
-    "quality_gate",  # r3
-    "quality_gate_rates",  # r3
-    "quality_perplexity",  # r3
-    "sample_exact_n",  # r3
-    "shuffle_shards",  # r3
-    "skew_salted_agg",  # r3
-    "snapshot_diff",  # r3
-    "split_by_hash",  # r3
-    "streaming_volume_anomaly",  # r3
-    "vocab_coverage",  # r3
-    "agg_by_month",  # r4
-    "agg_case_bucket",  # r4
-    "agg_cube",  # r4
-    "agg_global_stats",  # r4
-    "agg_grouping_sets",  # r4
-    "agg_having",  # r4
-    "agg_histogram",  # r4
-    "agg_percentiles",  # r4
-    "agg_pivot",  # r4
-    "agg_rollup",  # r4
-    "contrastive_pairs",  # r4
-    "corpus_token_entropy",  # r4
-    "dedup_minhash_lsh",  # r4
-    "dedup_simhash",  # r4
-    "distinct_pairs",  # r4
-    "doc_rolling_hash",  # r4
-    "drift_psi",  # r4
-    "embedding_norm_stats",  # r4
-    "events_session_sequences",  # r4
+    # — never driver-checked (round-7 additions, all local-replica green) —
+    "agg_mad_by_group",
+    "dedup_embedding_multiprobe",
+    "dedup_sentence_exact",
+    "dedup_span_excise",
+    "dedup_tfidf_cosine",
+    "embedding_outliers",
+    "events_cumulative_users",
+    "events_peak_concurrency",
+    "events_scd2_history",
+    "events_sliding_users_hll",
+    "events_temporal_join",
+    "events_type_affinity",
+    "knn_classify",
+    "search_bm25",
+    "streaming_topk_types",
+    "token_zipf_fit",
+    # — upgraded after latest row —
+    "bpe_merges",  # r6
+    "bpe_token_counts",  # r6
+    # — oldest-stale backfill —
+    "join_anti",  # r4
+    "join_left_outer",  # r4
+    "join_null_safe",  # r4
+    "join_semi",  # r4
+    "mixture_temperature",  # r4
+    "preference_pairs",  # r4
+    "q10_returned_items",  # r4
+    "q17_small_qty_revenue",  # r4
+    "q18_large_orders",  # r4
+    "q1_pricing_summary",  # r4
+    "q3_shipping_priority",  # r4
+    "q4_priority_exists",  # r4
+    "q5_local_supplier",  # r4
+    "q6_forecast_revenue",  # r4
+    "q7_volume_shipping",  # r4
+    "scalar_math_funcs",  # r4
+    "scalar_string_funcs",  # r4
+    "set_except",  # r4
+    "set_intersect",  # r4
+    "set_union",  # r4
+    "shard_balance",  # r4
+    "sort_topk_global",  # r4
+    "source_overlap",  # r4
+    "streaming_multimodal_headers",  # r4
+    "streaming_sessionize",  # r4
+    "window_lag_delta",  # r4
+    "window_rank_mix",  # r4
+    "window_running_sum",  # r4
+    "window_topk_per_group",  # r4
+    "boilerplate_ngrams",  # r5
+    "clean_text",  # r5
+    "decontaminate_ngram",  # r5
 ]
 
 
