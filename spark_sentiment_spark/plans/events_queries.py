@@ -898,13 +898,15 @@ WITH ordered AS (
                                ORDER BY ts, event_id) AS prev_type
   FROM events
 ), changes AS (
-  SELECT user_id, ts, event_type
+  SELECT user_id, ts, event_id, event_type
   FROM ordered
   WHERE prev_type IS NULL OR event_type <> prev_type
 ), versioned AS (
   SELECT user_id, event_type AS state, ts AS valid_from,
-         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS version
+         lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS valid_to,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS version
   FROM changes
 )
 SELECT user_id,
@@ -934,17 +936,19 @@ def events_scd2_history(spark, sf_dir):
     Catalyst evaluates all three in a single sort+window stage, so the
     build is one shuffle over the change stream; version counts are
     bounded by each user's change count, never the corpus. Ties at equal
-    ts break on event_id in the change-detection ordering, making the
-    collapsed run set deterministic."""
+    ts break on event_id in EVERY window here — change detection,
+    version numbering, and the lead() interval close — so version
+    numbers and valid_to assignment are deterministic even when two
+    retained changes share (user_id, ts) (round-7 ADVICE)."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (ev
                .withColumn("prev_type", F.lag("event_type").over(w))
                .where(F.col("prev_type").isNull()
                       | (F.col("event_type") != F.col("prev_type")))
-               .select("user_id", "ts",
+               .select("user_id", "ts", "event_id",
                        F.col("event_type").alias("state")))
-    wv = Window.partitionBy("user_id").orderBy("ts")
+    wv = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (changes
             .withColumn("valid_to", F.lead("ts").over(wv))
             .withColumn("version", F.row_number().over(wv).cast("long"))
@@ -963,14 +967,14 @@ def events_scd2_history(spark, sf_dir):
 
 PEAK_CONCURRENCY_SQL = """
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 3600000
               OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
   SELECT user_id,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id,
          ts
   FROM flagged
@@ -1117,14 +1121,14 @@ def events_cumulative_users(spark, sf_dir):
 
 TYPE_AFFINITY_SQL = """
 WITH flagged AS (
-  SELECT user_id, ts, event_type,
+  SELECT user_id, ts, event_id, event_type,
          CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 3600000
               OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
   SELECT user_id,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id,
          event_type
   FROM flagged
@@ -1217,12 +1221,13 @@ WITH ordered AS (
                                ORDER BY ts, event_id) AS prev_type
   FROM events
 ), changes AS (
-  SELECT user_id, ts, event_type
+  SELECT user_id, ts, event_id, event_type
   FROM ordered
   WHERE prev_type IS NULL OR event_type <> prev_type
 ), dim AS (
   SELECT user_id, event_type AS state, ts AS valid_from,
-         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+         lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS valid_to
   FROM changes
 ), joined AS (
   SELECT d.state, e.event_type
@@ -1264,14 +1269,19 @@ def events_temporal_join(spark, sf_dir):
     predicate, not the join key."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wv = Window.partitionBy("user_id").orderBy("ts")
     dim = (ev.withColumn("prev_type", F.lag("event_type").over(w))
            .where(F.col("prev_type").isNull()
                   | (F.col("event_type") != F.col("prev_type")))
-           .select("user_id", F.col("event_type").alias("state"),
+           .select("user_id", "event_id",
+                   F.col("event_type").alias("state"),
                    F.col("ts").alias("valid_from"))
+           # lead ties break on event_id too (round-7 ADVICE): two
+           # retained changes at one (user_id, ts) otherwise get
+           # nondeterministic valid_to in both engines.
            .withColumn("valid_to", F.lead("valid_from").over(
-               Window.partitionBy("user_id").orderBy("valid_from"))))
+               Window.partitionBy("user_id")
+               .orderBy("valid_from", "event_id")))
+           .drop("event_id"))
     e = ev.select("user_id", "ts", "event_type")
     joined = e.join(
         dim,

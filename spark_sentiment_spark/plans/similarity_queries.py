@@ -710,9 +710,20 @@ MP_DIM = 64
 # true neighbor — are flipped to form probe buckets. |dot| is ROUNDED to
 # 6 dp before ranking in BOTH engines so a BLAS-vs-sequential-fold
 # summation difference (~1e-14) cannot reorder two nearly-equal margins;
-# residual ties break on plane position.
+# residual ties break on plane position. The plane count is NOT a literal:
+# the prm CTE computes the same adaptive rule the Spark plan uses —
+# P = max(MP_PLANES, ceil(log2(n/16))) — from the table's own row count,
+# so plan and oracle agree at EVERY sf (round-7 ADVICE: a static P=6 twin
+# silently diverged once n > 1024, e.g. sf0.1's 2000 embeddings). The
+# ceil boundary is engine-safe because it lands only on exact powers of
+# two, where double log2 is exact in both engines.
 ANN_MULTIPROBE_SQL = f"""
-WITH e AS (
+WITH prm AS (
+  SELECT GREATEST({MP_PLANES},
+                  CAST(ceil(log2(GREATEST(count(*), 1) / 16.0)) AS INTEGER))
+           AS np
+  FROM embeddings
+), e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), pw AS (
   SELECT j // {MP_DIM} AS jp,
@@ -721,7 +732,7 @@ WITH e AS (
                              || (j % {MP_DIM})), 1, 6))::INTEGER
            / 16777216.0 - 0.5 AS w
   FROM (SELECT unnest(generate_series(
-          0, {MP_TABLES * MP_PLANES * MP_DIM} - 1)) AS j)
+          0, (SELECT {MP_TABLES} * np * {MP_DIM} FROM prm) - 1)) AS j)
 ), planes AS (
   SELECT jp, list(w ORDER BY d) AS pvec FROM pw GROUP BY jp
 ), dots AS (
@@ -729,12 +740,13 @@ WITH e AS (
          list_dot_product(e.v, planes.pvec) AS dp
   FROM e CROSS JOIN planes
 ), bits AS (
-  SELECT vec_id, jp // {MP_PLANES} AS t, jp % {MP_PLANES} AS pos, dp
+  SELECT vec_id, jp // (SELECT np FROM prm) AS t,
+         jp % (SELECT np FROM prm) AS pos, dp
   FROM dots
 ), home AS (
   SELECT vec_id, t,
          sum(CASE WHEN dp > 0
-             THEN 1 << ({MP_PLANES} - 1 - pos) ELSE 0 END) AS bucket
+             THEN 1 << ((SELECT np FROM prm) - 1 - pos) ELSE 0 END) AS bucket
   FROM bits GROUP BY vec_id, t
 ), flips AS (
   SELECT vec_id, t, pos,
@@ -745,7 +757,7 @@ WITH e AS (
   SELECT vec_id, t, bucket FROM home
   UNION ALL
   SELECT f.vec_id, f.t,
-         xor(h.bucket, 1 << ({MP_PLANES} - 1 - f.pos))
+         xor(h.bucket, 1 << ((SELECT np FROM prm) - 1 - f.pos))
   FROM flips f JOIN home h ON f.vec_id = h.vec_id AND f.t = h.t
   WHERE f.rn <= {MP_FLIPS}
 ), cand AS (
@@ -850,9 +862,9 @@ def dedup_embedding_multiprobe(spark, sf_dir):
     is 2^P: at FIXED P, 4× more vectors means 4× occupancy and 16× in-
     bucket pairs (measured: 16.1× in the pinned test below), while +2
     planes per 4× data holds occupancy (and the candidate bound) flat.
-    The P=6 literal in the SQL twin matches the rule for n ≤ 16·2^6 =
-    1024, covering every oracle SF; larger corpora change P and fall
-    back to the recall floor. Against `dedup_embedding_cosine` (exact
+    The SQL twin computes the SAME rule from the table's row count (prm
+    CTE), so plan and oracle agree at every sf — sf0.1's 2000 vectors
+    get P=7 in both engines. Against `dedup_embedding_cosine` (exact
     all-pairs twin) the fixture recall is pinned in
     tests/test_similarity_recall.py; candidate growth vs corpus growth is
     pinned ~linear there too (round-6 VERDICT ask b)."""
@@ -988,9 +1000,11 @@ WITH c AS (
   FROM scored GROUP BY label
 )
 SELECT s.vec_id, CAST(s.label AS BIGINT) AS label, s.cos,
-       round((s.cos - st.mu) / st.sd, 6) AS z,
-       CAST(round((s.cos - st.mu) / st.sd, 6) < -{EMB_OUTLIER_Z}
-            AS BIGINT) AS is_outlier
+       CASE WHEN st.sd = 0 THEN 0.0
+            ELSE round((s.cos - st.mu) / st.sd, 6) END AS z,
+       CAST(CASE WHEN st.sd = 0 THEN 0
+                 WHEN round((s.cos - st.mu) / st.sd, 6) < -{EMB_OUTLIER_Z}
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
 FROM scored s JOIN stats st USING (label)
 ORDER BY vec_id
 """
@@ -1008,9 +1022,13 @@ def embedding_outliers(spark, sf_dir):
 
     Exactness: the per-dim centroid is an avg (summation-order
     sensitive), so the member cosine is ROUNDED to 6 dp before the
-    z-score and the z itself rounded before the threshold — both engines
-    compare identical rounded values, the same convention the corr/psi
-    family uses.
+    z-score and the z itself rounded before the threshold — the corr/psi
+    family's convention, which narrows (not eliminates) the residual
+    cross-engine exposure to rounding-boundary values of mu/sd. A label
+    with zero spread (sd = 0, e.g. a single-member label) emits
+    z = 0 / is_outlier = 0 explicitly in BOTH engines — Spark's
+    non-ANSI division would return NULL there while DuckDB returns
+    inf/NaN (round-7 ADVICE).
 
     Scale: centroids are one posexplode + (label, dim) hash agg (output
     labels×64 rows — broadcasts); scoring is a broadcast join + one
@@ -1034,9 +1052,11 @@ def embedding_outliers(spark, sf_dir):
         .select("vec_id", "label", cos.alias("cos")))
     stats = scored.groupBy("label").agg(
         F.avg("cos").alias("mu"), F.stddev_pop("cos").alias("sd"))
-    z = F.round((F.col("cos") - F.col("mu")) / F.col("sd"), 6)
+    z_raw = F.round((F.col("cos") - F.col("mu")) / F.col("sd"), 6)
+    z = F.when(F.col("sd") == 0, F.lit(0.0)).otherwise(z_raw)
+    is_outlier = (F.when(F.col("sd") == 0, F.lit(False))
+                  .otherwise(z_raw < -EMB_OUTLIER_Z).cast("long"))
     return (scored.join(F.broadcast(stats), "label")
             .select("vec_id", F.col("label").cast("long").alias("label"),
-                    "cos", z.alias("z"),
-                    (z < -EMB_OUTLIER_Z).cast("long").alias("is_outlier"))
+                    "cos", z.alias("z"), is_outlier.alias("is_outlier"))
             .orderBy("vec_id"))

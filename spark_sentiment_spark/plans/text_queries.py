@@ -1287,22 +1287,32 @@ WITH tok AS (
   WHERE text IS NOT NULL AND trim(text) <> ''
 ), wts AS (
   SELECT tf.doc_id, tf.w,
-         tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS wt
+         CAST(floor(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0))
+                    * 1000000.0) AS BIGINT) AS wti
   FROM tf JOIN df USING (w) CROSS JOIN n
   WHERE df.df BETWEEN 2 AND {_TFIDF_DEDUP_DFCAP}
 ), norms AS (
-  SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM wts GROUP BY doc_id
+  SELECT doc_id,
+         sum(CAST(wti AS DECIMAL(18,0)) * CAST(wti AS DECIMAL(18,0))) AS ss
+  FROM wts GROUP BY doc_id
 ), dots AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.wt * b.wt) AS dp
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         sum(CAST(a.wti AS DECIMAL(18,0)) * CAST(b.wti AS DECIMAL(18,0)))
+           AS dp
   FROM wts a JOIN wts b ON a.w = b.w AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+), cos AS (
+  SELECT d.doc_a, d.doc_b,
+         CAST(d.dp AS DOUBLE)
+         / sqrt(CAST(na.ss AS DOUBLE) * CAST(nb.ss AS DOUBLE)) AS cosine
+  FROM dots d
+  JOIN norms na ON d.doc_a = na.doc_id
+  JOIN norms nb ON d.doc_b = nb.doc_id
 )
-SELECT d.doc_a, d.doc_b,
-       round(d.dp / (na.nrm * nb.nrm), 6) AS cosine
-FROM dots d
-JOIN norms na ON d.doc_a = na.doc_id
-JOIN norms nb ON d.doc_b = nb.doc_id
-WHERE d.dp / (na.nrm * nb.nrm) >= {_TFIDF_DEDUP_TAU}
+SELECT doc_a, doc_b,
+       CAST(floor(cosine * 1000000.0) AS BIGINT) AS cosine_e6
+FROM cos
+WHERE cosine >= {_TFIDF_DEDUP_TAU}
 ORDER BY doc_a, doc_b
 """
 
@@ -1325,7 +1335,14 @@ def dedup_tfidf_cosine(spark, sf_dir):
     per-pair accumulation is a (doc_a, doc_b) hash agg with map-side
     combine. No all-pairs product anywhere; the df cap is the knob that
     keeps the hottest term's fanout fixed as the corpus grows (raise
-    idf-floor / lower cap at 100 TB, same table, same plan)."""
+    idf-floor / lower cap at 100 TB, same table, same plan).
+
+    Determinism: weights live on an integer 1e-6 grid (floor of
+    identical doubles agrees across engines) and dot/norm sums
+    accumulate as exact DECIMAL, so the >= tau threshold compares
+    identical values in both engines regardless of summation order —
+    the token_zipf_fit recipe, applied here after round-7 ADVICE
+    flagged the float-sum boundary."""
     docs = load(spark, sf_dir, "documents").where(
         F.col("text").isNotNull() & (F.trim("text") != ""))
     tok = (docs.select("doc_id", F.explode(
@@ -1334,28 +1351,34 @@ def dedup_tfidf_cosine(spark, sf_dir):
     tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    dec = lambda c: F.col(c).cast("decimal(18,0)")
     wts = track_persist(
         tf.join(df.where(F.col("df").between(2, _TFIDF_DEDUP_DFCAP)), "w")
         .crossJoin(F.broadcast(n_docs))
         .select("doc_id", "w",
-                (F.col("tf") * F.log((F.col("n_docs") + 1.0)
-                                     / (F.col("df") + 1.0))).alias("wt")))
+                F.floor(F.col("tf") * F.log((F.col("n_docs") + 1.0)
+                                            / (F.col("df") + 1.0))
+                        * F.lit(1_000_000.0)).cast("bigint").alias("wti")))
     norms = wts.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
+        F.sum(dec("wti") * dec("wti")).alias("ss"))
     a, b = wts.alias("a"), wts.alias("b")
     dots = (a.join(b, (F.col("a.w") == F.col("b.w"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .groupBy(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))
-            .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("dp")))
+            .agg(F.sum(dec("a.wti") * dec("b.wti")).alias("dp")))
     na = norms.select(F.col("doc_id").alias("doc_a"),
-                      F.col("nrm").alias("na"))
+                      F.col("ss").alias("ssa"))
     nb = norms.select(F.col("doc_id").alias("doc_b"),
-                      F.col("nrm").alias("nb"))
-    cosine = F.col("dp") / (F.col("na") * F.col("nb"))
+                      F.col("ss").alias("ssb"))
+    cosine = (F.col("dp").cast("double")
+              / F.sqrt(F.col("ssa").cast("double")
+                       * F.col("ssb").cast("double")))
     return (dots.join(na, "doc_a").join(nb, "doc_b")
             .where(cosine >= _TFIDF_DEDUP_TAU)
-            .select("doc_a", "doc_b", F.round(cosine, 6).alias("cosine"))
+            .select("doc_a", "doc_b",
+                    F.floor(cosine * F.lit(1_000_000.0)).cast("bigint")
+                    .alias("cosine_e6"))
             .orderBy("doc_a", "doc_b"))
 
 
