@@ -336,6 +336,136 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def _incr_minhash_oracle_sql(n_hashes: int = 32, n_bands: int = 8,
+                             seed: int = 42, threshold: float = 0.5) -> str:
+    """DuckDB twin of the INCREMENTAL MinHash query: the full-corpus LSH
+    pipeline (identical permutation constants, band keys, and agreement
+    estimate as `_minhash_oracle_sql`) restricted to candidate pairs that
+    TOUCH the incoming batch (doc_id % 5 = 4) — exactly the pair set the
+    incremental plan generates, since pairs entirely inside the already-
+    indexed corpus were emitted by earlier batches."""
+    p = _MINHASH_P
+    perms = _perm_constants(n_hashes, seed)
+    mh_cols = ",\n         ".join(
+        f"min((h * {a} + {b}) % {p}) AS mh{i}"
+        for i, (a, b) in enumerate(perms))
+    rpb = n_hashes // n_bands
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {band} AS band_id, concat_ws('-', "
+        + ", ".join(f"mh{band * rpb + r}" for r in range(rpb))
+        + ") AS bh FROM sig"
+        for band in range(n_bands))
+    agree = " + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+                       for i in range(n_hashes))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(generate_series(1, len(t) - 2),
+                                  i -> array_to_string(t[i:i+2], ' '))
+              ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+), shd AS (
+  SELECT DISTINCT doc_id, unnest(shingles) AS w FROM sh
+), hv AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT & 2147483647 AS h
+  FROM shd
+), sig AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM hv GROUP BY doc_id
+), bands AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 5 = 4 OR b.doc_id % 5 = 4
+)
+SELECT doc_a, doc_b,
+       round(({agree}) / {float(n_hashes)}, 4) AS est_jaccard,
+       CAST(CASE WHEN doc_a % 5 = 4 AND doc_b % 5 = 4
+                 THEN 0 ELSE 1 END AS BIGINT) AS vs_corpus
+FROM cand
+JOIN sig sa ON doc_a = sa.doc_id
+JOIN sig sb ON doc_b = sb.doc_id
+WHERE round(({agree}) / {float(n_hashes)}, 4) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_incremental_minhash", sql=_incr_minhash_oracle_sql(),
+          tags=("dedup", "pipeline"))
+def dedup_incremental_minhash(spark, sf_dir):
+    """Incremental NEAR-dup — the production shape for a GROWING corpus,
+    marrying `dedup_incremental` (exact-hash index maintained across
+    batches) with `dedup_minhash_lsh` (banded similarity): the persisted
+    artifact is the corpus's (doc_id, band_id, band_hash) index plus its
+    signatures; an incoming batch (the doc_id%5==4 slice, mirroring
+    `dedup_incremental`'s convention) computes signatures for ITS docs
+    only, probes the existing band index for new-vs-old candidates, and
+    self-joins its own bands for new-vs-new — old-vs-old pairs are never
+    regenerated, which is the whole point: per-batch work is
+    O(batch × bucket occupancy), independent of corpus history. Output =
+    banded candidate pairs touching the batch with signature-agreement
+    est_jaccard >= 0.5 and a vs_corpus flag (1 = partner already
+    ingested → drop the new doc; 0 = both new → keep one of the pair).
+
+    Exact-hash oracle: the generated DuckDB twin runs the FULL-corpus
+    LSH with identical md5-derived signatures and restricts to pairs
+    touching the delta — provably the same set, since every incremental
+    candidate has >= 1 batch member and band structure is shared.
+
+    Scale: at 100 TB the band index is a bucketed table on the band hash
+    (sources/bucketing.py), so the probe join is shuffle-free on the
+    corpus side every nightly batch — only the batch's bands shuffle;
+    signatures stream per-doc through the same Arrow `mapInPandas` stage
+    as the full build (no token-stream shuffle). Appending the batch's
+    bands+signatures to the index afterward is a partitioned append, so
+    the index grows without rewrites."""
+    n_hashes, n_bands = 32, 8
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    is_new = F.col("doc_id") % 5 == 4
+    # Production: corpus signatures/bands are read from the persisted
+    # index; here both sides derive from the same table, split by batch.
+    sig_new = track_persist(_minhash_signatures(docs.where(is_new),
+                                                n_hashes))
+    sig_old = track_persist(_minhash_signatures(docs.where(~is_new),
+                                                n_hashes))
+    bands_new = _band_buckets(sig_new, n_hashes, n_bands)
+    bands_old = _band_buckets(sig_old, n_hashes, n_bands)
+    nb, ob = bands_new.alias("nb"), bands_old.alias("ob")
+    cross = (nb.join(ob, (F.col("nb.bh") == F.col("ob.bh"))
+                     & (F.col("nb.band_id") == F.col("ob.band_id")))
+             .select(F.least("nb.doc_id", "ob.doc_id").alias("doc_a"),
+                     F.greatest("nb.doc_id", "ob.doc_id").alias("doc_b"),
+                     F.lit(1).cast("long").alias("vs_corpus")))
+    na, nb2 = bands_new.alias("na"), bands_new.alias("nb2")
+    intra = (na.join(nb2, (F.col("na.bh") == F.col("nb2.bh"))
+                     & (F.col("na.band_id") == F.col("nb2.band_id"))
+                     & (F.col("na.doc_id") < F.col("nb2.doc_id")))
+             .select(F.col("na.doc_id").alias("doc_a"),
+                     F.col("nb2.doc_id").alias("doc_b"),
+                     F.lit(0).cast("long").alias("vs_corpus")))
+    cand = cross.unionByName(intra).distinct()
+    sigs = sig_new.unionByName(sig_old)
+    am, bm = sigs.alias("am"), sigs.alias("bm")
+    agree = sum(
+        F.when(F.col(f"am.mh{i}") == F.col(f"bm.mh{i}"), 1).otherwise(0)
+        for i in range(n_hashes))
+    return (cand.join(am, F.col("doc_a") == F.col("am.doc_id"))
+            .join(bm, F.col("doc_b") == F.col("bm.doc_id"))
+            .select("doc_a", "doc_b",
+                    F.round(agree / F.lit(float(n_hashes)), 4)
+                    .alias("est_jaccard"),
+                    "vs_corpus")
+            .where(F.col("est_jaccard") >= 0.5)
+            .orderBy("doc_a", "doc_b"))
+
+
 _SIMHASH_BITS = 60  # 15 md5 hex chars — stays clear of the int64 sign bit
 _SIMHASH_BANDS = 4
 

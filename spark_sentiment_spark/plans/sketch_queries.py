@@ -295,6 +295,111 @@ def zorder_layout(spark, sf_dir):
         .orderBy("file_id"))
 
 
+# Probe box: the [2/8, 3/8) slice of the part range × the [5/8, 6/8) slice
+# of the supp range — integer-only arithmetic (floor division), so both
+# engines compute identical bounds from identical min/max.
+ZPROBE_SQL = f"""
+WITH bounds AS (
+  SELECT min(l_partkey) AS min_x, max(l_partkey) AS max_x,
+         min(l_suppkey) AS min_y, max(l_suppkey) AS max_y
+  FROM lineitem
+), cells AS (
+  SELECT l_partkey, l_suppkey, {_Z_XB} AS xb, {_Z_YB} AS yb
+  FROM lineitem CROSS JOIN bounds
+), filed AS (
+  SELECT l_partkey, l_suppkey,
+         {_Z_FILE.replace('zkey', _zbit_terms('xb', 'yb'))} AS file_id
+  FROM cells
+), box AS (
+  SELECT min_x + (max_x - min_x + 1) * 2 // 8 AS px_lo,
+         min_x + (max_x - min_x + 1) * 3 // 8 - 1 AS px_hi,
+         min_y + (max_y - min_y + 1) * 5 // 8 AS py_lo,
+         min_y + (max_y - min_y + 1) * 6 // 8 - 1 AS py_hi
+  FROM bounds
+), footer AS (
+  SELECT file_id, count(*) AS n_rows,
+         min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+         min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+  FROM filed GROUP BY file_id
+), matches AS (
+  SELECT file_id, count(*) AS n_match
+  FROM filed CROSS JOIN box
+  WHERE l_partkey BETWEEN px_lo AND px_hi
+    AND l_suppkey BETWEEN py_lo AND py_hi
+  GROUP BY file_id
+)
+SELECT f.file_id,
+       CAST(f.n_rows AS BIGINT) AS n_rows,
+       CAST(CASE WHEN f.max_part < b.px_lo OR f.min_part > b.px_hi
+                   OR f.max_supp < b.py_lo OR f.min_supp > b.py_hi
+            THEN 1 ELSE 0 END AS BIGINT) AS skip_by_stats,
+       CAST(coalesce(m.n_match, 0) AS BIGINT) AS n_match
+FROM footer f CROSS JOIN box b
+LEFT JOIN matches m ON f.file_id = m.file_id
+ORDER BY f.file_id
+"""
+
+
+@register("zorder_probe", sql=ZPROBE_SQL, tags=("layout",))
+def zorder_probe(spark, sf_dir):
+    """The payoff query for `zorder_layout`: prune the 64 Z-range files
+    against a two-dimensional box predicate (an eighth of EACH key range)
+    using ONLY the per-file footer stats the layout emits, then verify
+    the decision against the rows themselves. Per file: row count, the
+    footer-stats skip decision (min/max disjoint from the box on either
+    dimension), and the true number of matching rows. Soundness is IN
+    the output — every skip_by_stats=1 file must show n_match=0, and the
+    driver's value-hash check enforces it; effectiveness is visible as
+    the skipped-file fraction (~7/8 per dimension on a Z layout, vs ~0
+    for a predicate on the SECOND sort key of a linear layout).
+
+    Scale: this is the stats audit a real engine does from parquet
+    footers without touching data — here both halves are computed so
+    they can be cross-checked: one bounded min/max broadcast, the narrow
+    zkey map, a 64-group footer agg, and a filtered 64-group match agg.
+    No sort, no window, no per-row Python. The box bounds are integer
+    floor-division arithmetic on the global min/max, identical in both
+    engines."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bounds = li.agg(
+        F.min("l_partkey").alias("min_x"), F.max("l_partkey").alias("max_x"),
+        F.min("l_suppkey").alias("min_y"), F.max("l_suppkey").alias("max_y"))
+    filed = (li.crossJoin(F.broadcast(bounds))
+             .withColumn("xb", F.expr(_Z_XB))
+             .withColumn("yb", F.expr(_Z_YB))
+             .withColumn("zkey", F.expr(_zbit_terms("xb", "yb")))
+             .withColumn("file_id", F.expr(_Z_FILE))
+             .select("l_partkey", "l_suppkey", "file_id"))
+    box = bounds.select(
+        F.expr("min_x + (max_x - min_x + 1) * 2 div 8").alias("px_lo"),
+        F.expr("min_x + (max_x - min_x + 1) * 3 div 8 - 1").alias("px_hi"),
+        F.expr("min_y + (max_y - min_y + 1) * 5 div 8").alias("py_lo"),
+        F.expr("min_y + (max_y - min_y + 1) * 6 div 8 - 1").alias("py_hi"))
+    footer = (filed.groupBy("file_id")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                   F.min("l_partkey").alias("min_part"),
+                   F.max("l_partkey").alias("max_part"),
+                   F.min("l_suppkey").alias("min_supp"),
+                   F.max("l_suppkey").alias("max_supp")))
+    matches = (filed.crossJoin(F.broadcast(box))
+               .where(F.col("l_partkey").between(F.col("px_lo"),
+                                                 F.col("px_hi"))
+                      & F.col("l_suppkey").between(F.col("py_lo"),
+                                                   F.col("py_hi")))
+               .groupBy("file_id")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_match")))
+    skip = ((F.col("max_part") < F.col("px_lo"))
+            | (F.col("min_part") > F.col("px_hi"))
+            | (F.col("max_supp") < F.col("py_lo"))
+            | (F.col("min_supp") > F.col("py_hi"))).cast("long")
+    return (footer.crossJoin(F.broadcast(box))
+            .join(matches, "file_id", "left")
+            .select("file_id", "n_rows", skip.alias("skip_by_stats"),
+                    F.coalesce("n_match", F.lit(0)).cast("bigint")
+                    .alias("n_match"))
+            .orderBy("file_id"))
+
+
 # --- Salted shuffle join ----------------------------------------------------
 
 SALTED_JOIN_SQL = """
