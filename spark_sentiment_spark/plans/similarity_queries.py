@@ -942,7 +942,9 @@ def knn_classify(spark, sf_dir):
     then k rows per query). At 100 TB you swap the exact scoring pass
     for the IVF/PQ candidate generators in this module and keep the
     vote/argmax stages unchanged — the classification layer is index-
-    agnostic by construction."""
+    agnostic by construction. That swap is IMPLEMENTED as
+    `knn_classify_ivf` below (round-8), with the agreement pin in
+    tests/test_similarity_recall.py."""
     emb = load(spark, sf_dir, "embeddings")
     q = (emb.where(F.col("vec_id") < KNN_CLASSIFY_NQ)
          .select(F.col("vec_id").alias("qid"),
@@ -957,6 +959,127 @@ def knn_classify(spark, sf_dir):
             .select("qid", "true_label", "vec_id", "label",
                     cos.alias("cos"))
             .withColumn("rn", F.row_number().over(w_rank))
+            .where(F.col("rn") <= KNN_CLASSIFY_K))
+    votes = (topk.groupBy("qid", "true_label", "label")
+             .agg(F.count(F.lit(1)).alias("n_votes")))
+    w_vote = Window.partitionBy("qid").orderBy(F.desc("n_votes"),
+                                               F.asc("label"))
+    return (votes.withColumn("vr", F.row_number().over(w_vote))
+            .where(F.col("vr") == 1)
+            .select("qid",
+                    F.col("label").cast("long").alias("pred_label"),
+                    F.col("n_votes").cast("long").alias("n_votes"),
+                    F.col("true_label").cast("long").alias("true_label"),
+                    (F.col("label") == F.col("true_label"))
+                    .cast("long").alias("correct"))
+            .orderBy("qid"))
+
+
+KNN_IVF_SQL = f"""
+WITH c AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), un AS (
+  SELECT vec_id, label,
+         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
+  FROM c
+), seeds AS (
+  SELECT vec_id, u
+  FROM un ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {IVF_K}
+), cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, u AS cu
+  FROM seeds
+), scored AS (
+  SELECT un.vec_id, un.label, un.u, cent.cell,
+         row_number() OVER (
+           PARTITION BY un.vec_id
+           ORDER BY round(list_dot_product(un.u, cent.cu), 6) DESC,
+                    cent.cell) AS rn
+  FROM un CROSS JOIN cent
+), assigned AS (
+  SELECT vec_id, label, u, cell FROM scored WHERE rn <= {IVF_ASSIGN}
+), qprobes AS (
+  SELECT vec_id AS qid, label AS true_label, u AS qu, cell
+  FROM scored
+  WHERE vec_id < {KNN_CLASSIFY_NQ} AND rn <= {IVF_PROBE}
+), cand AS (
+  SELECT DISTINCT q.qid, q.true_label, a.vec_id, a.label,
+         round(list_dot_product(q.qu, a.u), 6) AS cos
+  FROM qprobes q JOIN assigned a ON q.cell = a.cell
+  WHERE a.vec_id <> q.qid
+), topk AS (
+  SELECT qid, true_label, label FROM (
+    SELECT qid, true_label, label,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos DESC, vec_id) AS rn
+    FROM cand)
+  WHERE rn <= {KNN_CLASSIFY_K}
+), votes AS (
+  SELECT qid, true_label, label, count(*) AS n_votes
+  FROM topk GROUP BY qid, true_label, label
+)
+SELECT qid, CAST(label AS BIGINT) AS pred_label,
+       CAST(n_votes AS BIGINT) AS n_votes,
+       CAST(true_label AS BIGINT) AS true_label,
+       CAST(CASE WHEN label = true_label THEN 1 ELSE 0 END AS BIGINT)
+         AS correct
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY n_votes DESC, label) AS vr
+      FROM votes)
+WHERE vr = 1
+ORDER BY qid
+"""
+
+
+@register("knn_classify_ivf", sql=KNN_IVF_SQL, tags=("similarity", "ml"))
+def knn_classify_ivf(spark, sf_dir):
+    """`knn_classify` at scale: the vote/argmax layer is index-agnostic
+    by construction, so this variant swaps the exact full-corpus scan for
+    the IVF candidate generator `ann_ivf_topk` already uses — the 50
+    query vectors probe their 3 nearest coarse cells, candidates are the
+    probed cells' multi-assigned members (bounded by probe × assign ×
+    mean cell occupancy, never the corpus), and the 10-NN majority vote
+    runs unchanged on top (round-7 VERDICT item 4). Content-addressed
+    seed centroids keep the whole pipeline engine-reproducible, so this
+    carries a full exact oracle, and tests/test_similarity_recall.py
+    pins prediction agreement with the exact classifier.
+
+    Scale: this IS the swap the exact query's docstring promises — at
+    100 TB the scored/assigned index is the persisted artifact, queries
+    join only their probed cells, and per-query work is cell-occupancy-
+    bounded; the vote stays a (query × labels-in-topk) hash agg."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = _as_double("embedding")
+    unit = F.transform(e, lambda x: x / _norm(e))
+    vecs = track_persist(emb.select("vec_id", "label", unit.alias("u")))
+    seeds = (vecs
+             .select("vec_id", "u",
+                     F.md5(F.col("vec_id").cast("string")).alias("h"))
+             .orderBy("h", "vec_id").limit(IVF_K))
+    cent = seeds.select(
+        (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cell"),
+        F.col("u").alias("cu"))
+    sim = F.round(_dot(F.col("u"), F.col("cu")), 6)
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    scored = track_persist(
+        vecs.crossJoin(F.broadcast(cent))
+        .select("vec_id", "label", "u", "cell", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(wa)))
+    assigned = scored.where(F.col("rn") <= IVF_ASSIGN) \
+        .select("vec_id", "label", "u", "cell")
+    qprobes = (scored.where((F.col("vec_id") < KNN_CLASSIFY_NQ)
+                            & (F.col("rn") <= IVF_PROBE))
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("label").alias("true_label"),
+                       F.col("u").alias("qu"), "cell"))
+    cos = F.round(_dot(F.col("qu"), F.col("u")), 6)
+    cand = (assigned.join(F.broadcast(qprobes), "cell")
+            .where(F.col("vec_id") != F.col("qid"))
+            .select("qid", "true_label", "vec_id", "label",
+                    cos.alias("cos"))
+            .distinct())
+    w_rank = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    topk = (cand.withColumn("rn", F.row_number().over(w_rank))
             .where(F.col("rn") <= KNN_CLASSIFY_K))
     votes = (topk.groupBy("qid", "true_label", "label")
              .agg(F.count(F.lit(1)).alias("n_votes")))

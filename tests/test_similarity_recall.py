@@ -59,6 +59,28 @@ def test_ann_ivf_recall_floor(spark):
     assert mean_recall >= 0.5, f"IVF recall@10 degraded to {mean_recall:.3f}"
 
 
+def test_knn_classify_ivf_agreement_floor(spark):
+    """The IVF-backed classifier must agree with the exact full-scan
+    classifier on a pinned fraction of the 50 queries — the vote layer
+    is identical, so disagreement measures only candidate-recall loss in
+    the coarse cells. Fixture ceiling: the synthetic labels are
+    content-free w.r.t. embedding geometry (exact kNN accuracy is 0.10 =
+    chance over 10 labels), so top-10 votes are near-uniform and tiny
+    candidate differences flip the argmax — measured agreement is 0.48
+    at sf0.01 and plateaus ~0.52 even at probe 8, so the floor pins the
+    machinery, not a semantic-recall claim. Deterministic
+    (content-addressed seed centroids), so the number cannot drift."""
+    exact = REGISTRY["knn_classify"].fn(spark, SF_DIR).collect()
+    ivf = REGISTRY["knn_classify_ivf"].fn(spark, SF_DIR).collect()
+    release_caches()
+    exact_pred = {r.qid: r.pred_label for r in exact}
+    ivf_pred = {r.qid: r.pred_label for r in ivf}
+    assert set(ivf_pred) == set(exact_pred)   # every query still classified
+    agree = sum(ivf_pred[q] == exact_pred[q] for q in exact_pred)
+    assert agree / len(exact_pred) >= 0.4, (
+        f"IVF classifier agreement degraded to {agree}/{len(exact_pred)}")
+
+
 def test_quantized_knn_recall_and_error(spark):
     """int8 quantization quality pinned: reconstruction cosine error tiny,
     and brute-force top-10 neighbors computed on dequantized vectors agree
