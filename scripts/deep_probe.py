@@ -94,7 +94,15 @@ def _replicate(spark, table: str, keys: list[str], k: int,
                 F.col("text"), r"(\S+)",
                 F.concat(F.lit("r"), F.col("__rep").cast("string"),
                          F.lit("_$1"))))
-    df.drop("__rep").write.mode("overwrite") \
+    # Repartition before the write: the crossJoin-broadcast replication
+    # preserves the base table's ~3 input partitions, so without this the
+    # replicated parquet lands as a few huge single-row-group files and
+    # every probe's SCAN stage runs at effective parallelism ~3 with one
+    # straggler — a harness artifact that showed up as agg_hll_sketch's
+    # 4.2x-time-for-4x-data ×8→×32 marginal (round-7 VERDICT watch item;
+    # branch isolation confirmed the post-repartition aggregation itself
+    # scales linearly). 32 files ≈ one read task per core at every factor.
+    df.drop("__rep").repartition(32).write.mode("overwrite") \
         .parquet(f"{out_dir}/{table}.parquet")
 
 

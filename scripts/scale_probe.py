@@ -100,6 +100,24 @@ PROBES = {
     "events_type_affinity": {"events": ["user_id"]},
     "events_sliding_users_hll": {"events": ["user_id"]},
     "events_temporal_join": {"events": ["user_id"]},
+    # round-8 additions. dedup_incremental_minhash and
+    # dedup_cross_source_pairs are NOT probed: both emit the MinHash pair
+    # set, whose output grows quadratically under identical-text
+    # replication (k copies -> k^2 true pairs) — the same replication
+    # artifact documented for the simjoin/tfidf/multiprobe family; their
+    # scale posture is the banded-LSH candidate bound.
+    "zorder_probe": {"lineitem": ["l_orderkey"]},
+    "knn_classify_ivf": {"embeddings": ["vec_id"]},
+    "embedding_kmeans_iter": {"embeddings": ["vec_id"]},
+    "events_rfm_scores": {"events": ["user_id"]},
+    "events_gap_percentiles": {"events": ["user_id"]},
+    "events_user_lifecycle": {"events": ["user_id"]},
+    "token_hapax_rate": {"documents": ["doc_id"]},
+    "graph_triangle_count": {"documents": ["doc_id"]},
+    "langid_kappa": {"documents": ["doc_id"]},
+    "agg_hll_merge_shards": {"events": ["event_id"]},
+    "pareto_revenue_share": {"orders": ["o_orderkey"], "customer": None,
+                             "nation": None},
 }
 
 
@@ -113,6 +131,13 @@ def replicate(spark, table: str, keys, k: int, out_dir: str):
         for key in keys:
             df = df.withColumn(key, F.col(key) * k + F.col("__rep"))
         df = df.drop("__rep")
+    # Repartition before the write (round 8): replication preserves the
+    # base table's few input partitions, so the replicated parquet would
+    # otherwise land as a handful of huge files and every probe's SCAN
+    # stage would run at effective parallelism ~3 with one straggler — a
+    # harness artifact, not an operator slope (it surfaced as
+    # agg_hll_sketch's super-linear ×8→×32 marginal in round 7).
+    df = df.repartition(32)
     df.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
     return df.count()
 

@@ -978,3 +978,169 @@ def token_zipf_fit(spark, sf_dir):
         F.round(num / (n * sxx - sx * sx), 6).alias("zipf_slope"),
         F.round((num * num) / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
                 6).alias("r2"))
+
+
+# --- Token hapax rate (lexical richness per source) -------------------------
+
+HAPAX_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKENS_SQL}) AS w
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), tf AS (
+  SELECT source, w, count(*) AS c FROM tok GROUP BY source, w
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+            AS BIGINT) AS hapax_rate_e6
+FROM tf
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("token_hapax_rate", sql=HAPAX_SQL, tags=("text", "corpus"))
+def token_hapax_rate(spark, sf_dir):
+    """Hapax-legomena share per source — the lexical-richness /
+    boilerplate dial: a source whose vocabulary is dominated by
+    once-occurring types (high hapax rate) contributes diverse text; a
+    near-zero rate signals templated or repetitive content (the same
+    signal Zipf-tail mass gives, as a single robust integer). Rate =
+    hapax/vocab on a 1e-6 integer grid via floor division — no floats,
+    engine-exact.
+
+    Scale: one explode → (source, token) hash agg (vocabulary-bounded
+    per source, with map-side combine) → source-sized final agg. Nothing
+    global, no window; the same two-agg shape as corpus_token_entropy."""
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim("text") != ""))
+    tf = (docs.select("source", F.explode(_tokens_col()).alias("w"))
+          .groupBy("source", "w").agg(F.count(F.lit(1)).alias("c")))
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return (tf.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("vocab"),
+                 hapax.cast("bigint").alias("hapax"),
+                 F.sum("c").cast("bigint").alias("n_tokens"),
+                 F.expr("sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000"
+                        " div count(*)").cast("bigint")
+                 .alias("hapax_rate_e6"))
+            .orderBy("source"))
+
+
+# --- Triangle count of the token co-occurrence graph ------------------------
+
+TRIANGLE_SQL = f"""
+WITH t AS (
+  SELECT {_TOKENS_SQL} AS l
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), bg AS (
+  SELECT z.bg[1] AS w1, z.bg[2] AS w2
+  FROM (SELECT unnest(list_zip(list_slice(l, 1, len(l) - 1), l[2:])) AS bg
+        FROM t WHERE len(l) > 1) z
+), ed AS (
+  SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+  FROM bg WHERE w1 <> w2
+), deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS v FROM ed UNION ALL SELECT b AS v FROM ed) GROUP BY v
+), oriented AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND ed.a < ed.b)
+              THEN ed.a ELSE ed.b END AS u,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND ed.a < ed.b)
+              THEN ed.b ELSE ed.a END AS v,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND ed.a < ed.b)
+              THEN db.d ELSE da.d END AS dv
+  FROM ed JOIN deg da ON ed.a = da.v JOIN deg db ON ed.b = db.v
+), wedge AS (
+  SELECT e1.v AS x, e2.v AS y
+  FROM oriented e1 JOIN oriented e2
+    ON e1.u = e2.u
+   AND ((e1.dv < e2.dv) OR (e1.dv = e2.dv AND e1.v < e2.v))
+), tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM wedge w JOIN oriented o ON w.x = o.u AND w.y = o.v
+), stats AS (
+  SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+         CAST((SELECT count(*) FROM ed) AS BIGINT) AS n_edges,
+         CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT) AS n_wedges
+)
+SELECT s.n_nodes, s.n_edges, s.n_wedges, t.n_triangles,
+       CAST(CASE WHEN s.n_wedges = 0 THEN 0
+            ELSE 3 * t.n_triangles * 1000000 // s.n_wedges END AS BIGINT)
+         AS transitivity_e6
+FROM stats s CROSS JOIN tri t
+"""
+
+
+@register("graph_triangle_count", sql=TRIANGLE_SQL, tags=("text", "graph"))
+def graph_triangle_count(spark, sf_dir):
+    """Triangle count + global transitivity of the token co-occurrence
+    graph — the third graph-analytics class in the catalog (after
+    `dedup_clusters`' label propagation and `token_pagerank`'s power
+    iteration): a COMBINATORIAL census. Edges are distinct unordered
+    adjacent-token pairs; triangles are counted once each via
+    DEGREE-ORDERED ORIENTATION (Schank-Wagner / MR node-iterator++):
+    every edge points from its (degree, token)-smaller endpoint to the
+    larger, wedges pair the out-neighbors of each node, and a wedge
+    closes iff its endpoints carry the closing oriented edge.
+    Transitivity = 3·triangles / wedges on a 1e-6 integer grid (floor
+    division — all-integer pipeline, engine-exact).
+
+    Scale: orientation is WHY this survives skew — a hub of degree d
+    contributes C(d,2) wedges undirected, but oriented out-degree is
+    bounded by ~sqrt(2m) (a node keeps only edges toward
+    higher-degree peers), so wedge work is Σ outdeg² = O(m^1.5) worst
+    case instead of Σ deg² — the hot-token explosion never happens. Both
+    joins (wedge build, wedge close) hash-partition on token keys of the
+    vocabulary-bounded edge table; the corpus itself is touched once."""
+    docs = load(spark, sf_dir, "documents")
+    t = (docs.where(F.col("text").isNotNull() & (F.trim("text") != ""))
+         .select(_tokens_col().alias("l")))
+    bg = (t.where(F.size("l") > 1)
+          .select(F.explode(F.expr(
+              "zip_with(slice(l, 1, size(l)-1), slice(l, 2, size(l)-1),"
+              " (a, b) -> struct(a AS w1, b AS w2))")).alias("bg"))
+          .select("bg.w1", "bg.w2")
+          .where(F.col("w1") != F.col("w2")))
+    ed = track_persist(
+        bg.select(F.least("w1", "w2").alias("a"),
+                  F.greatest("w1", "w2").alias("b")).distinct())
+    deg = track_persist(
+        ed.select(F.col("a").alias("v"))
+        .unionByName(ed.select(F.col("b").alias("v")))
+        .groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("d")))
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    fwd = ((F.col("da") < F.col("db"))
+           | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))))
+    oriented = track_persist(
+        ed.join(da, "a").join(db, "b")
+        .select(F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+                F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+                F.when(fwd, F.col("db")).otherwise(F.col("da"))
+                .alias("dv")))
+    e1 = oriented.select(F.col("u"), F.col("v").alias("x"),
+                         F.col("dv").alias("dx"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("y"),
+                         F.col("dv").alias("dy"))
+    wedge = (e1.join(e2, "u")
+             .where((F.col("dx") < F.col("dy"))
+                    | ((F.col("dx") == F.col("dy"))
+                       & (F.col("x") < F.col("y"))))
+             .select("x", "y"))
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = (wedge.join(closing, ["x", "y"])
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles")))
+    stats = (deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.expr("sum(d * (d - 1) div 2)").cast("bigint").alias("n_wedges"))
+        .crossJoin(ed.agg(F.count(F.lit(1)).cast("bigint")
+                          .alias("n_edges"))))
+    trans = (F.when(F.col("n_wedges") == 0, F.lit(0))
+             .otherwise(F.expr("3 * n_triangles * 1000000 div n_wedges"))
+             .cast("bigint"))
+    return (stats.crossJoin(F.broadcast(tri))
+            .select("n_nodes", "n_edges", "n_wedges", "n_triangles",
+                    trans.alias("transitivity_e6")))

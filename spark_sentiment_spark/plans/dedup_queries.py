@@ -1355,3 +1355,121 @@ def dedup_sentence_exact(spark, sf_dir):
                     F.coalesce("n_kept", F.lit(0)).cast("bigint")
                     .alias("n_kept"))
             .orderBy("doc_id"))
+
+
+def _cross_source_oracle_sql(n_hashes: int = 32, n_bands: int = 8,
+                             seed: int = 42, threshold: float = 0.5) -> str:
+    """DuckDB twin of the provenance-matrix query: the full MinHash-LSH
+    pair pipeline (identical constants as `_minhash_oracle_sql`) joined
+    back to each side's ``source`` and rolled up per unordered source
+    pair. Kept as its own generator rather than refactoring the shared
+    prefix out of the sibling oracles — their SQL strings are
+    hash-snapshotted by the driver-window guard, so byte-identical
+    stability wins over DRY here."""
+    p = _MINHASH_P
+    perms = _perm_constants(n_hashes, seed)
+    mh_cols = ",\n         ".join(
+        f"min((h * {a} + {b}) % {p}) AS mh{i}"
+        for i, (a, b) in enumerate(perms))
+    rpb = n_hashes // n_bands
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {band} AS band_id, concat_ws('-', "
+        + ", ".join(f"mh{band * rpb + r}" for r in range(rpb))
+        + ") AS bh FROM sig"
+        for band in range(n_bands))
+    agree = " + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+                       for i in range(n_hashes))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(generate_series(1, len(t) - 2),
+                                  i -> array_to_string(t[i:i+2], ' '))
+              ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+), shd AS (
+  SELECT DISTINCT doc_id, unnest(shingles) AS w FROM sh
+), hv AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT & 2147483647 AS h
+  FROM shd
+), sig AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM hv GROUP BY doc_id
+), bands AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+), pairs AS (
+  SELECT doc_a, doc_b FROM cand
+  JOIN sig sa ON doc_a = sa.doc_id
+  JOIN sig sb ON doc_b = sb.doc_id
+  WHERE round(({agree}) / {float(n_hashes)}, 4) >= {threshold}
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(least(da.source, db.source) = greatest(da.source, db.source)
+            AS BIGINT) AS within_source
+FROM pairs
+JOIN documents da ON doc_a = da.doc_id
+JOIN documents db ON doc_b = db.doc_id
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+
+
+@register("dedup_cross_source_pairs", sql=_cross_source_oracle_sql(),
+          tags=("dedup", "pipeline"))
+def dedup_cross_source_pairs(spark, sf_dir):
+    """Provenance matrix of near-dup mass: the `dedup_minhash_lsh` pair
+    set (est_jaccard >= 0.5) rolled up per unordered SOURCE pair — the
+    table that drives provenance-aware dedup policy. Within-source pairs
+    are usually true re-crawls (drop all but one); cross-source pairs
+    can be syndicated content where policy may keep one per source or
+    prefer the higher-quality origin. `source_overlap` gives the same
+    matrix for exact boilerplate prefixes; this is its NEAR-dup
+    generalization.
+
+    Scale: everything up to the pair set is the banded-LSH path (no
+    all-pairs); the source join-back touches only surviving pairs and
+    the rollup is bounded by sources². The doc→source map would be a
+    broadcast dimension at any corpus size where sources matter."""
+    docs = load(spark, sf_dir, "documents")
+    n_hashes, n_bands = 32, 8
+    mins = track_persist(_minhash_signatures(docs, n_hashes))
+    bands = _band_buckets(mins, n_hashes, n_bands)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    am, bm = mins.alias("am"), mins.alias("bm")
+    agree = sum(
+        F.when(F.col(f"am.mh{i}") == F.col(f"bm.mh{i}"), 1).otherwise(0)
+        for i in range(n_hashes))
+    pairs = (cand.join(am, F.col("doc_a") == F.col("am.doc_id"))
+             .join(bm, F.col("doc_b") == F.col("bm.doc_id"))
+             .select("doc_a", "doc_b",
+                     F.round(agree / F.lit(float(n_hashes)), 4)
+                     .alias("est"))
+             .where(F.col("est") >= 0.5))
+    da = docs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("source").alias("sa"))
+    db = docs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("source").alias("sb"))
+    return (pairs.join(da, "doc_a").join(db, "doc_b")
+            .groupBy(F.least("sa", "sb").alias("source_a"),
+                     F.greatest("sa", "sb").alias("source_b"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+            .select("source_a", "source_b", "n_pairs",
+                    (F.col("source_a") == F.col("source_b")).cast("long")
+                    .alias("within_source"))
+            .orderBy("source_a", "source_b"))

@@ -1291,3 +1291,200 @@ def events_temporal_join(spark, sf_dir):
     return (joined.groupBy("state", "event_type")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
             .orderBy("state", "event_type"))
+
+
+# --- RFM segmentation (recency / frequency / monetary quintiles) ------------
+
+RFM_SQL = """
+WITH mx AS (SELECT max(ts) AS tmax FROM events),
+per_user AS (
+  SELECT user_id, max(ts) AS umax,
+         count(*) AS f_events,
+         sum(CAST(floor(value * 10000) AS BIGINT)) AS m_e4
+  FROM events GROUP BY user_id
+), scored AS (
+  SELECT user_id,
+         (epoch_ms((SELECT tmax FROM mx)) - epoch_ms(umax)) // 86400000
+           AS r_days,
+         f_events, m_e4
+  FROM per_user
+)
+SELECT user_id,
+       CAST(r_days AS BIGINT) AS r_days,
+       CAST(f_events AS BIGINT) AS f_events,
+       CAST(m_e4 AS BIGINT) AS m_e4,
+       CAST(ntile(5) OVER (ORDER BY r_days, user_id) AS BIGINT) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY f_events DESC, user_id) AS BIGINT)
+         AS f_score,
+       CAST(ntile(5) OVER (ORDER BY m_e4 DESC, user_id) AS BIGINT)
+         AS m_score
+FROM scored
+ORDER BY user_id
+"""
+
+
+@register("events_rfm_scores", sql=RFM_SQL, tags=("events",))
+def events_rfm_scores(spark, sf_dir):
+    """RFM segmentation — the classic behavioral-cohort scoring: per
+    user, Recency (whole days between their last event and the corpus
+    horizon), Frequency (event count) and Monetary (value mass), each
+    cut into quintiles by ntile(5). Score 1 = best quintile on every
+    axis (most recent / most active / highest value). Determinism:
+    recency is integer floor-division epoch arithmetic, the monetary
+    mass lives on an integer 1e-4 grid (floor of identical doubles, then
+    exact integer sums — no float accumulation anywhere), and every
+    ntile ordering carries user_id as a total tiebreak, so quintile
+    membership is engine-exact.
+
+    Scale: the fact table reduces to one row per user in a single hash
+    agg before any window; the ntile windows are single-partition but
+    run over USERS, not events — and at true scale the standard swap is
+    percentile cut points (4 values per axis from the digest agg)
+    broadcast against the per-user table, which changes no output for
+    distinct-valued axes. The corpus horizon is a 1-row broadcast."""
+    ev = load(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("tmax"))
+    per_user = (ev.groupBy("user_id")
+                .agg(F.max("ts").alias("umax"),
+                     F.count(F.lit(1)).cast("bigint").alias("f_events"),
+                     F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
+                     .cast("bigint").alias("m_e4")))
+    scored = (per_user.crossJoin(F.broadcast(mx))
+              .withColumn("r_days",
+                          F.expr("(unix_millis(tmax) - unix_millis(umax))"
+                                 " div 86400000")))
+    w_r = Window.orderBy("r_days", "user_id")
+    w_f = Window.orderBy(F.desc("f_events"), F.asc("user_id"))
+    w_m = Window.orderBy(F.desc("m_e4"), F.asc("user_id"))
+    return (scored.select(
+        "user_id", F.col("r_days").cast("bigint").alias("r_days"),
+        "f_events", "m_e4",
+        F.ntile(5).over(w_r).cast("long").alias("r_score"),
+        F.ntile(5).over(w_f).cast("long").alias("f_score"),
+        F.ntile(5).over(w_m).cast("long").alias("m_score"))
+        .orderBy("user_id"))
+
+
+# --- Inter-arrival gap percentiles per event type ---------------------------
+
+GAP_PCT_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         (epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id))) / 1000.0 AS gap_s
+  FROM events
+)
+SELECT event_type,
+       CAST(count(gap_s) AS BIGINT) AS n_gaps,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_s), 6) AS p50_s,
+       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY gap_s), 6) AS p90_s,
+       round(percentile_cont(0.99) WITHIN GROUP (ORDER BY gap_s), 6)
+         AS p99_s
+FROM gaps
+WHERE gap_s IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("events_gap_percentiles", sql=GAP_PCT_SQL, tags=("events",))
+def events_gap_percentiles(spark, sf_dir):
+    """Inter-arrival time distribution per event type: each event's gap
+    to the SAME USER's previous event (any type — the behavioral pause
+    before this action), attributed to the later event's type, then
+    exact p50/p90/p99 per type — the latency-profile shape behind
+    session-gap threshold tuning (events_sessionize's 1h gap is exactly
+    a cut on this distribution) and bot detection (impossibly tight
+    p50s). Gap seconds = integer epoch-ms difference over one IEEE
+    division, identical in both engines; percentiles follow the
+    agg_percentiles recipe (exact interpolated percentile over identical
+    doubles, 6-dp rounded).
+
+    Scale: one user_id sort+window computes every gap; the percentile
+    digest is partial+final per type (types x digest state, never raw
+    rows on the shuffle). The 100 TB swap is approx_percentile or the
+    mergeable histogram sketch, with this exact form as its oracle."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = ((F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w)))
+           / F.lit(1000.0))
+    return (ev.select("event_type", gap.alias("gap_s"))
+            .where(F.col("gap_s").isNotNull())
+            .groupBy("event_type")
+            .agg(F.count("gap_s").cast("bigint").alias("n_gaps"),
+                 F.round(F.percentile("gap_s", F.lit(0.5)), 6)
+                 .alias("p50_s"),
+                 F.round(F.percentile("gap_s", F.lit(0.9)), 6)
+                 .alias("p90_s"),
+                 F.round(F.percentile("gap_s", F.lit(0.99)), 6)
+                 .alias("p99_s"))
+            .orderBy("event_type"))
+
+
+# --- Weekly user lifecycle accounting (new / retained / resurrected) --------
+
+LIFECYCLE_SQL = """
+WITH weekly AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+), flagged AS (
+  SELECT user_id, wk,
+         lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+  FROM weekly
+), classed AS (
+  SELECT wk,
+         CASE WHEN prev_wk IS NULL THEN 'new'
+              WHEN wk = prev_wk + INTERVAL 7 DAY THEN 'retained'
+              ELSE 'resurrected' END AS cls
+  FROM flagged
+)
+SELECT strftime(wk, '%Y-%m-%d') AS week_start,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_retained,
+       CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_resurrected
+FROM classed
+GROUP BY wk
+ORDER BY week_start
+"""
+
+
+@register("events_user_lifecycle", sql=LIFECYCLE_SQL, tags=("events",))
+def events_user_lifecycle(spark, sf_dir):
+    """Weekly growth-accounting lifecycle: every active (user, week) is
+    NEW (first week ever), RETAINED (also active the immediately
+    preceding week) or RESURRECTED (returning after >= 1 idle week) —
+    the decomposition behind every growth dashboard, complementing
+    `events_retention_cohorts` (which fixes the cohort and tracks decay)
+    and `events_cumulative_users` (which counts only first-times). All
+    integer set logic on date_trunc('week') boundaries (ISO Monday in
+    both engines) — no floats anywhere.
+
+    Scale: the fact table DISTINCT-collapses to (user, week) — bounded
+    by users x active weeks — in one hash agg; the lag window partitions
+    per user over their few active weeks; the final agg is weeks-sized.
+    Churn is derivable as prev-week active minus retained, so it is not
+    emitted separately."""
+    ev = load(spark, sf_dir, "events")
+    weekly = (ev.select("user_id", F.date_trunc("week", "ts").alias("wk"))
+              .distinct())
+    w = Window.partitionBy("user_id").orderBy("wk")
+    classed = (weekly
+               .withColumn("prev_wk", F.lag("wk").over(w))
+               .select("wk", F.when(F.col("prev_wk").isNull(), "new")
+                       .when(F.col("wk") == F.col("prev_wk")
+                             + F.expr("INTERVAL 7 DAY"), "retained")
+                       .otherwise("resurrected").alias("cls")))
+    return (classed.groupBy("wk")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"),
+                 F.sum(F.when(F.col("cls") == "new", 1).otherwise(0))
+                 .cast("bigint").alias("n_new"),
+                 F.sum(F.when(F.col("cls") == "retained", 1).otherwise(0))
+                 .cast("bigint").alias("n_retained"),
+                 F.sum(F.when(F.col("cls") == "resurrected", 1).otherwise(0))
+                 .cast("bigint").alias("n_resurrected"))
+            .select(F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+                    "n_active", "n_new", "n_retained", "n_resurrected")
+            .orderBy("week_start"))

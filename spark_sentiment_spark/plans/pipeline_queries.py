@@ -864,6 +864,105 @@ def langid_confusion(spark, sf_dir):
             .orderBy("lang", "predicted_lang"))
 
 
+# Cohen's kappa of the stop-word classifier vs the labeled lang column —
+# entirely from the integer confusion matrix: kappa's numerator/denominator
+# stay integers (n·agree − Σ row·col marginal products, n² − Σ r·c) and only
+# the final ratio touches floats, as floor(1e6·num/den) over identical
+# doubles (safe for either sign, unlike integer floor division whose
+# negative-operand semantics differ between engines).
+KAPPA_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN ('the', 'a', 'of', 'and', 'is')))
+              AS BIGINT) AS en_hits,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN ('der', 'die', 'das', 'und', 'ist')))
+              AS BIGINT) AS de_hits,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN ('le', 'la', 'et', 'est', 'les')))
+              AS BIGINT) AS fr_hits
+  FROM documents
+),
+pred AS (
+  SELECT lang,
+         CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0
+                THEN 'en'
+              WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+              WHEN fr_hits > 0 THEN 'fr'
+              ELSE 'unknown' END AS predicted_lang
+  FROM scored
+),
+cm AS (
+  SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+), tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM cm),
+agree AS (
+  SELECT CAST(coalesce(sum(CASE WHEN lang = predicted_lang THEN n END), 0)
+              AS BIGINT) AS a
+  FROM cm
+), marg AS (
+  SELECT CAST(coalesce(sum(r.rn * c.cn), 0) AS BIGINT) AS rc
+  FROM (SELECT lang AS k, sum(n) AS rn FROM cm GROUP BY lang) r
+  JOIN (SELECT predicted_lang AS k, sum(n) AS cn
+        FROM cm GROUP BY predicted_lang) c
+    ON r.k = c.k
+)
+SELECT t.n AS n_docs,
+       a.a AS n_agree,
+       m.rc AS chance_mass,
+       CAST(CASE WHEN t.n * t.n = m.rc THEN 0
+            ELSE floor(CAST(t.n * a.a - m.rc AS DOUBLE) * 1000000.0
+                       / (t.n * t.n - m.rc)) END AS BIGINT) AS kappa_e6
+FROM tot t CROSS JOIN agree a CROSS JOIN marg m
+"""
+
+
+@register("langid_kappa", sql=KAPPA_SQL, tags=("pipeline", "text", "eval"))
+def langid_kappa(spark, sf_dir):
+    """Cohen's kappa for the stop-word language classifier against the
+    labeled lang column — the CHANCE-CORRECTED companion to
+    `langid_confusion`'s raw matrix: on a skewed label mix a classifier
+    that always answers the majority class scores high accuracy but
+    kappa ~0, which is why eval dashboards report both. Computed
+    entirely from the integer confusion matrix — numerator
+    n·agree − Σ(row_i·col_i) and denominator n² − Σ(row_i·col_i) stay
+    exact integers; only the final ratio is floated, floor-scaled to a
+    1e-6 grid (floor of identical doubles, sign-safe).
+
+    Scale: one bounded (|langs|²) confusion agg (the langid_confusion
+    shape), then constant-size marginal joins — scan-speed at any
+    corpus size."""
+    from spark_sentiment_spark.plans.text_queries import langid_stopword
+
+    cm = (langid_stopword(spark, sf_dir)
+          .groupBy("lang", "predicted_lang")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    tot = cm.agg(F.sum("n").cast("bigint").alias("n"))
+    agree = cm.agg(
+        F.coalesce(F.sum(F.when(F.col("lang") == F.col("predicted_lang"),
+                                F.col("n"))), F.lit(0))
+        .cast("bigint").alias("a"))
+    r = cm.groupBy(F.col("lang").alias("k")).agg(F.sum("n").alias("rn"))
+    c = (cm.groupBy(F.col("predicted_lang").alias("k"))
+         .agg(F.sum("n").alias("cn")))
+    marg = (r.join(c, "k")
+            .agg(F.coalesce(F.sum(F.col("rn") * F.col("cn")), F.lit(0))
+                 .cast("bigint").alias("rc")))
+    kappa = (F.when(F.col("n") * F.col("n") == F.col("rc"), F.lit(0))
+             .otherwise(F.floor(
+                 (F.col("n") * F.col("a") - F.col("rc")).cast("double")
+                 * F.lit(1_000_000.0)
+                 / (F.col("n") * F.col("n") - F.col("rc"))))
+             .cast("bigint"))
+    return (tot.crossJoin(F.broadcast(agree))
+            .crossJoin(F.broadcast(marg))
+            .select(F.col("n").alias("n_docs"),
+                    F.col("a").alias("n_agree"),
+                    F.col("rc").alias("chance_mass"),
+                    kappa.alias("kappa_e6")))
+
+
 # --- Event-volume anomaly detection (z-score over hourly counts) ------------
 
 ANOMALY_SQL = """

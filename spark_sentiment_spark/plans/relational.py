@@ -1019,3 +1019,92 @@ def agg_mad_by_group(spark, sf_dir):
                      F.lit(0.5)), 6).alias("mad_price"),
                  F.count(F.lit(1)).cast("bigint").alias("n"))
             .orderBy("l_returnflag"))
+
+
+# --- Pareto concentration of customer spend per nation ----------------------
+
+PARETO_SQL = """
+WITH spend AS (
+  SELECT n_name, c_custkey,
+         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS s
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, c_custkey
+), ranked AS (
+  SELECT n_name, c_custkey, s,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY s DESC, c_custkey) AS rk,
+         sum(s) OVER (PARTITION BY n_name ORDER BY s DESC, c_custkey
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(s) OVER (PARTITION BY n_name) AS total,
+         count(*) OVER (PARTITION BY n_name) AS n_cust
+  FROM spend
+)
+SELECT n_name AS nation,
+       CAST(any_value(n_cust) AS BIGINT) AS n_cust,
+       CAST(any_value(total) AS BIGINT) AS total_c,
+       CAST(min(CASE WHEN 10 * cum >= 8 * total THEN rk END) AS BIGINT)
+         AS n_top80,
+       CAST(sum(CASE WHEN rk <= (n_cust + 9) // 10 THEN s ELSE 0 END)
+            * 1000000 // any_value(total) AS BIGINT) AS top10_share_e6
+FROM ranked
+GROUP BY n_name
+ORDER BY nation
+"""
+
+
+@register("pareto_revenue_share", sql=PARETO_SQL, tags=("agg", "window"))
+def pareto_revenue_share(spark, sf_dir):
+    """Pareto (80/20) concentration of customer spend per nation: how
+    many customers cover 80% of a nation's order value (the minimal
+    top-spender prefix), and what share the top decile holds — the
+    concentration profile behind account-management tiering and the
+    skew-awareness twin of `skew_profile` on the MONEY axis rather than
+    the key axis. All arithmetic is integer: spend lives in cents
+    (floor of identical doubles), cumulative and total sums are exact
+    integer window sums, the 80% test is the cross-multiplied
+    10·cum >= 8·total (no division), the decile cut is floor-division
+    rank arithmetic and the decile share lands on a 1e-6 integer grid —
+    engine-exact end to end.
+
+    Scale: spend reduces orders to one row per (nation, customer) in a
+    hash agg; ranking/cumsum/total share ONE nation-partitioned window
+    sort (Catalyst evaluates all four functions in a single window
+    stage); the final agg is nations-sized. Per-partition width is a
+    nation's customer count — the natural shard key for this analysis."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    spend = (orders
+             .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+             .join(F.broadcast(nation),
+                   F.col("c_nationkey") == F.col("n_nationkey"))
+             .groupBy("n_name", "c_custkey")
+             .agg(F.sum(F.floor(F.col("o_totalprice") * 100)
+                        .cast("bigint")).cast("bigint").alias("s")))
+    w = Window.partitionBy("n_name").orderBy(F.desc("s"), "c_custkey")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wp = Window.partitionBy("n_name")
+    ranked = spend.select(
+        "n_name", "c_custkey", "s",
+        F.row_number().over(w).alias("rk"),
+        F.sum("s").over(wcum).alias("cum"),
+        F.sum("s").over(wp).alias("total"),
+        F.count(F.lit(1)).over(wp).alias("n_cust"))
+    agg = (ranked.groupBy("n_name")
+           .agg(F.first("n_cust").alias("nc"),
+                F.first("total").alias("tc"),
+                F.min(F.when(F.col("cum") * 10 >= F.col("total") * 8,
+                             F.col("rk"))).alias("n80"),
+                F.sum(F.when(
+                    F.col("rk") <= F.expr("(n_cust + 9) div 10"),
+                    F.col("s")).otherwise(0)).alias("topdec")))
+    return (agg.select(
+        F.col("n_name").alias("nation"),
+        F.col("nc").cast("bigint").alias("n_cust"),
+        F.col("tc").cast("bigint").alias("total_c"),
+        F.col("n80").cast("bigint").alias("n_top80"),
+        F.expr("topdec * 1000000 div tc").cast("bigint")
+        .alias("top10_share_e6"))
+        .orderBy("nation"))

@@ -1183,3 +1183,147 @@ def embedding_outliers(spark, sf_dir):
             .select("vec_id", F.col("label").cast("long").alias("label"),
                     "cos", z.alias("z"), is_outlier.alias("is_outlier"))
             .orderBy("vec_id"))
+
+
+# --- One Lloyd iteration of k-means, engine-exact ---------------------------
+
+KMEANS_K = 16
+KMEANS_GRID = 1_000_000.0   # unit-vector components on a 1e-6 integer grid
+
+KMEANS_SQL = f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), un AS (
+  SELECT vec_id,
+         list_transform(e, x -> floor(x / sqrt(list_dot_product(e, e))
+                                      * {KMEANS_GRID})) AS ui
+  FROM c
+), seeds AS (
+  SELECT vec_id, ui
+  FROM un ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {KMEANS_K}
+), cent0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, ui AS cu
+  FROM seeds
+), a0 AS (
+  SELECT vec_id, ui, cell FROM (
+    SELECT un.vec_id, un.ui, cent0.cell,
+           row_number() OVER (
+             PARTITION BY un.vec_id
+             ORDER BY list_dot_product(un.ui, cent0.cu) DESC,
+                      cent0.cell) AS rn
+    FROM un CROSS JOIN cent0)
+  WHERE rn = 1
+), n0 AS (
+  SELECT cell, count(*) AS n FROM a0 GROUP BY cell
+), per_dim AS (
+  SELECT cell, i, sum(ui[i]) AS s
+  FROM a0, generate_series(1, 64) AS t(i)
+  GROUP BY cell, i
+), cent1 AS (
+  SELECT cell, list(s ORDER BY i) AS sv FROM per_dim GROUP BY cell
+), a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT un.vec_id, cent1.cell,
+           row_number() OVER (
+             PARTITION BY un.vec_id
+             ORDER BY list_dot_product(un.ui, cent1.sv) / n0.n DESC,
+                      cent1.cell) AS rn
+    FROM un CROSS JOIN cent1 JOIN n0 ON cent1.cell = n0.cell)
+  WHERE rn = 1
+), mv AS (
+  SELECT a1.cell AS cell, count(*) AS n_in,
+         sum(CASE WHEN a0.cell <> a1.cell THEN 1 ELSE 0 END) AS moved_in
+  FROM a1 JOIN a0 USING (vec_id) GROUP BY a1.cell
+)
+SELECT c0.cell,
+       CAST(coalesce(n0.n, 0) AS BIGINT) AS n_iter0,
+       CAST(coalesce(mv.n_in, 0) AS BIGINT) AS n_iter1,
+       CAST(coalesce(mv.moved_in, 0) AS BIGINT) AS n_moved_in
+FROM cent0 c0
+LEFT JOIN n0 ON c0.cell = n0.cell
+LEFT JOIN mv ON c0.cell = mv.cell
+ORDER BY c0.cell
+"""
+
+
+@register("embedding_kmeans_iter", sql=KMEANS_SQL,
+          tags=("similarity", "ml"))
+def embedding_kmeans_iter(spark, sf_dir):
+    """ONE LLOYD ITERATION of spherical k-means, engine-exact — the
+    refinement step the catalog's content-addressed coarse quantizers
+    (`dedup_semantic`, `ann_ivf_topk`) deliberately skip, isolated here
+    as its own checked operator: seed assignment (argmax cosine against
+    the 16 md5-chosen seeds), centroid UPDATE (per-dimension member
+    sums), re-assignment against the updated centroids, and per-cell
+    movement accounting (n_iter0 / n_iter1 / moved-in count — the
+    convergence signal a k-means driver loop watches).
+
+    Exactness: floats would make the update step summation-order-
+    dependent, so unit vectors live on a 1e-6 integer grid (floor of
+    identical doubles) and centroids are kept UN-normalized as (per-dim
+    integer sum, member count) — the argmax compares dot(u, S_c)/n_c,
+    exact-integer operands under one IEEE division, so assignments are
+    engine-identical; ties break to the lower cell. Integer-in-float64
+    exactness holds while per-cell membership < ~9000 (dot bound
+    n·1e12 < 2^53); larger cells re-scale the grid — a constant, not a
+    plan change.
+
+    Scale: each iteration is one broadcast-k cross join (k scores per
+    vector, linear) + a (cell, dim) hash agg (k×64 rows) — the Pregel-
+    free k-means step; further iterations repeat the same two stages.
+    The movement join is vec_id-local. A real driver loop would
+    checkpoint per round exactly like `token_pagerank`."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = _as_double("embedding")
+    unit = F.transform(e, lambda x: x / _norm(e))
+    ui = F.transform(unit, lambda x: F.floor(x * KMEANS_GRID)
+                     .cast("double"))
+    un = track_persist(emb.select("vec_id", ui.alias("ui")))
+    seeds = (un.select("vec_id", "ui",
+                       F.md5(F.col("vec_id").cast("string")).alias("h"))
+             .orderBy("h", "vec_id").limit(KMEANS_K))
+    cent0 = seeds.select(
+        (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cell"),
+        F.col("ui").alias("cu"))
+    w_a = Window.partitionBy("vec_id").orderBy(F.desc("score"),
+                                               F.asc("cell"))
+    a0 = track_persist(
+        un.crossJoin(F.broadcast(cent0))
+        .select("vec_id", "ui", "cell",
+                _dot(F.col("ui"), F.col("cu")).alias("score"))
+        .withColumn("rn", F.row_number().over(w_a))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "ui", "cell"))
+    n0 = a0.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    cent1 = (a0.select("cell", F.posexplode("ui").alias("i", "x"))
+             .groupBy("cell", "i").agg(F.sum("x").alias("s"))
+             .groupBy("cell")
+             .agg(F.array_sort(F.collect_list(F.struct("i", "s")))
+                  .alias("iv"))
+             .select("cell", F.expr("transform(iv, t -> t.s)").alias("sv"))
+             .join(n0, "cell"))
+    a1 = (un.crossJoin(F.broadcast(cent1))
+          .select("vec_id", "cell",
+                  (_dot(F.col("ui"), F.col("sv")) / F.col("n"))
+                  .alias("score"))
+          .withColumn("rn", F.row_number().over(w_a))
+          .where(F.col("rn") == 1)
+          .select("vec_id", F.col("cell").alias("cell1")))
+    mv = (a1.join(a0.select("vec_id", F.col("cell").alias("cell0")),
+                  "vec_id")
+          .groupBy(F.col("cell1").alias("cell"))
+          .agg(F.count(F.lit(1)).alias("n_in"),
+               F.sum(F.when(F.col("cell0") != F.col("cell1"), 1)
+                     .otherwise(0)).alias("moved_in")))
+    return (cent0.select("cell")
+            .join(n0, "cell", "left")
+            .join(mv, "cell", "left")
+            .select("cell",
+                    F.coalesce("n", F.lit(0)).cast("bigint")
+                    .alias("n_iter0"),
+                    F.coalesce("n_in", F.lit(0)).cast("bigint")
+                    .alias("n_iter1"),
+                    F.coalesce("moved_in", F.lit(0)).cast("bigint")
+                    .alias("n_moved_in"))
+            .orderBy("cell"))

@@ -920,3 +920,102 @@ def events_sliding_users_hll(spark, sf_dir):
                             / F.col("n_exact") * 10000).cast("bigint")
                     .alias("rel_err_bp"))
             .orderBy("window_start"))
+
+
+# --- HLL shard merge: the mergeability theorem as a checked output ----------
+
+HLL_MERGE_SQL = f"""
+WITH keyed AS (
+  SELECT event_id % 8 AS shard, user_id,
+         md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events
+), shard_buckets AS (
+  SELECT shard, {_HLL_BUCKET} AS bucket, max({_HLL_RHO}) AS mj
+  FROM keyed GROUP BY 1, 2
+), merged_buckets AS (
+  SELECT bucket, max(mj) AS mj FROM shard_buckets GROUP BY bucket
+), direct_buckets AS (
+  SELECT {_HLL_BUCKET} AS bucket, max({_HLL_RHO}) AS mj
+  FROM keyed GROUP BY 1
+), est_m AS (
+  SELECT round({_HLL_A} / CAST(
+           CAST(sum({_HLL_POW2}) AS BIGINT)
+           + ({_HLL_M} - count(*)) * {2 ** (_HLL_BITS + 1)} AS DOUBLE),
+         2) AS e
+  FROM merged_buckets
+), est_d AS (
+  SELECT round({_HLL_A} / CAST(
+           CAST(sum({_HLL_POW2}) AS BIGINT)
+           + ({_HLL_M} - count(*)) * {2 ** (_HLL_BITS + 1)} AS DOUBLE),
+         2) AS e
+  FROM direct_buckets
+), exact AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM keyed
+), shards AS (
+  SELECT CAST(count(DISTINCT shard) AS BIGINT) AS n_shards
+  FROM shard_buckets
+)
+SELECT x.n_exact, s.n_shards,
+       m.e AS n_est_merged,
+       d.e AS n_est_direct,
+       CAST(m.e = d.e AS BIGINT) AS merge_exact
+FROM exact x CROSS JOIN shards s CROSS JOIN est_m m CROSS JOIN est_d d
+"""
+
+
+@register("agg_hll_merge_shards", sql=HLL_MERGE_SQL, tags=("sketch",))
+def agg_hll_merge_shards(spark, sf_dir):
+    """The MERGEABILITY theorem of the HLL sketch, checked as an output:
+    events are split into 8 shards (event_id % 8 — users deliberately
+    SPAN shards, so naive per-shard distinct counts would double-count),
+    each shard builds its own 256-bucket maxima, the shard sketches
+    merge by per-bucket max, and the merged estimate must EQUAL the
+    single-pass direct estimate (merge_exact = 1). This is the property
+    the whole 100 TB sketch story rests on — 1000 executors, 1000 days,
+    or 1000 Kafka partitions merge their O(256-int) states losslessly
+    where exact distinct state cannot be merged without a reshuffle —
+    here it is asserted by the hash-checked output rather than assumed.
+    The exact COUNT(DISTINCT) rides along as the error twin.
+
+    Scale: per-shard aggregation is one (shard, bucket) hash agg with
+    map-side combine (8×256 rows), the merge another 256-group agg —
+    the same two-tier shape as `events_sliding_users_hll`'s minute
+    partials. Everything after the scan is constant-size."""
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(
+        (F.col("event_id") % 8).alias("shard"), "user_id",
+        F.md5(F.col("user_id").cast("string")).alias("h"))
+    shard_buckets = (keyed
+                     .select("shard", F.expr(_HLL_BUCKET).alias("bucket"),
+                             F.expr(_HLL_RHO).alias("rho"))
+                     .groupBy("shard", "bucket")
+                     .agg(F.max("rho").alias("mj")))
+    merged_buckets = (shard_buckets.groupBy("bucket")
+                      .agg(F.max("mj").alias("mj")))
+    direct_buckets = (keyed
+                      .select(F.expr(_HLL_BUCKET).alias("bucket"),
+                              F.expr(_HLL_RHO).alias("rho"))
+                      .groupBy("bucket").agg(F.max("rho").alias("mj")))
+
+    def estimate(buckets):
+        return buckets.agg(
+            F.round(F.lit(float(_HLL_A))
+                    / (F.sum(F.expr(_HLL_POW2)).cast("bigint")
+                       + (F.lit(_HLL_M) - F.count(F.lit(1)))
+                       * F.lit(2 ** (_HLL_BITS + 1))).cast("double"),
+                    2).alias("e"))
+
+    est_m = estimate(merged_buckets)
+    est_d = estimate(direct_buckets)
+    exact = keyed.agg(F.countDistinct("user_id").cast("bigint")
+                      .alias("n_exact"))
+    shards = shard_buckets.agg(F.countDistinct("shard").cast("bigint")
+                               .alias("n_shards"))
+    return (exact.crossJoin(F.broadcast(shards))
+            .crossJoin(F.broadcast(est_m.select(F.col("e")
+                                                .alias("n_est_merged"))))
+            .crossJoin(F.broadcast(est_d.select(F.col("e")
+                                                .alias("n_est_direct"))))
+            .select("n_exact", "n_shards", "n_est_merged", "n_est_direct",
+                    (F.col("n_est_merged") == F.col("n_est_direct"))
+                    .cast("long").alias("merge_exact")))
