@@ -2479,3 +2479,154 @@ def multimodal_phash_dedup(spark, sf_dir):
             .where(ham <= 3)
             .select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
             .orderBy("doc_a", "doc_b"))
+
+
+# --- Distribution window functions (percent_rank / cume_dist) ---------------
+
+WINDOW_DIST_SQL = """
+WITH b AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket
+  FROM lineitem
+), wr AS (
+  SELECT flag, bucket,
+         percent_rank() OVER (PARTITION BY flag ORDER BY bucket) AS pr,
+         cume_dist() OVER (PARTITION BY flag ORDER BY bucket) AS cd
+  FROM b
+)
+SELECT flag, bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(floor(any_value(pr) * 1000000.0) AS BIGINT) AS pr_e6,
+       CAST(floor(any_value(cd) * 1000000.0) AS BIGINT) AS cd_e6
+FROM wr
+GROUP BY flag, bucket
+ORDER BY flag, bucket
+"""
+
+
+@register("window_dist_funcs", sql=WINDOW_DIST_SQL, tags=("agg", "window"))
+def window_dist_funcs(spark, sf_dir):
+    """The DISTRIBUTION window functions the rank family doesn't cover:
+    percent_rank (= (rank-1)/(N-1)) and cume_dist (= peers-so-far / N)
+    of each price bucket within its return-flag partition — the
+    percentile-position shape behind "what fraction of orders are below
+    this tier". Peer semantics are the point: all rows of a bucket share
+    one pr/cd value (rank counts predecessors, cume_dist counts through
+    the peer group), so the per-bucket collapse is lossless. Both
+    functions are integer-ratio outputs over identical operands,
+    floor-scaled to a 1e-6 grid — engine-exact.
+
+    Scale: one flag-partitioned window sort evaluates both functions in
+    a single stage; the collapse is a bounded (flags × buckets) hash
+    agg. At 100 TB the same answer comes cheaper from the bucket
+    histogram (counts per bucket → prefix sums), which is exactly what
+    the peer-collapse here demonstrates."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select(F.col("l_returnflag").alias("flag"),
+                  F.floor(F.col("l_extendedprice") / 10000).cast("bigint")
+                  .alias("bucket"))
+    w = Window.partitionBy("flag").orderBy("bucket")
+    wr = b.select("flag", "bucket",
+                  F.percent_rank().over(w).alias("pr"),
+                  F.cume_dist().over(w).alias("cd"))
+    return (wr.groupBy("flag", "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.floor(F.first("pr") * 1_000_000.0).cast("bigint")
+                 .alias("pr_e6"),
+                 F.floor(F.first("cd") * 1_000_000.0).cast("bigint")
+                 .alias("cd_e6"))
+            .orderBy("flag", "bucket"))
+
+
+# --- IO round-trips through the engine's own source/sink layer --------------
+
+IO_JSON_SQL = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("io_json_roundtrip", sql=IO_JSON_SQL, tags=("io", "pipeline"))
+def io_json_roundtrip(spark, sf_dir):
+    """S1/S8/S11 routed through the DRIVER gate, not just unit tests:
+    the documents table is written as JSON lines by the engine's own
+    format-dispatched sink (`sources.io.save`), read back by its
+    extension-dispatched scan (`sources.io.load`), and aggregated per
+    source — counts, distinct langs, character masses INCLUDING the
+    free-text column (so JSON string escaping round-trips or the hash
+    check fails). The oracle aggregates the original parquet directly:
+    any loss or mangling in either IO direction breaks the match.
+
+    Scale: the sink/scan are the engine's normal distributed writers
+    (one file per partition); the aggregate is sources-sized. The temp
+    staging dir is per-call (content never reused across runs)."""
+    import tempfile
+
+    from spark_sentiment_spark.sources import io as sio
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars")
+    out = tempfile.mkdtemp(prefix="io_json_rt_") + "/docs.json"
+    sio.save(docs, out, "json")
+    back, ftype = sio.load(spark, out)
+    assert ftype == "json"
+    return (back.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.countDistinct("lang").cast("bigint").alias("n_langs"),
+                 F.sum("n_chars").cast("bigint").alias("sum_chars"),
+                 F.sum(F.length("text")).cast("bigint")
+                 .alias("sum_text_len"))
+            .orderBy("source"))
+
+
+IO_CSV_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("io_csv_roundtrip", sql=IO_CSV_SQL, tags=("io", "pipeline"))
+def io_csv_roundtrip(spark, sf_dir):
+    """S2/S3/S4/S8/S12 routed through the DRIVER gate: the documents
+    table (metadata columns — the free-text column is JSON's job, CSV
+    quoting of embedded delimiters is covered by the unit suite) is
+    written by the engine's CSV sink with headers, then read back by the
+    SNIFFING scan — `load_csv` with every dialect option unspecified, so
+    delimiter detection, header detection and escape detection all run
+    against a genuinely engine-produced file — and aggregated per lang.
+    The oracle aggregates the original parquet: a wrong sniff (treating
+    the header as data, splitting on the wrong delimiter, dropping a
+    column) breaks row counts, doc_id extrema, or sums.
+
+    Scale: same posture as the JSON twin — distributed sink/scan, a
+    langs-sized aggregate, per-call staging."""
+    import tempfile
+
+    from spark_sentiment_spark.sources import io as sio
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    out = tempfile.mkdtemp(prefix="io_csv_rt_") + "/docs.csv"
+    sio.save(docs, out, "csv")
+    back, ftype = sio.load(spark, out)
+    assert ftype == "csv"
+    return (back.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.countDistinct("source").cast("bigint").alias("n_sources"),
+                 F.sum("n_chars").cast("bigint").alias("sum_chars"),
+                 F.min("doc_id").cast("bigint").alias("min_doc"),
+                 F.max("doc_id").cast("bigint").alias("max_doc"))
+            .orderBy("lang"))
