@@ -118,6 +118,10 @@ PROBES = {
     "agg_hll_merge_shards": {"events": ["event_id"]},
     "pareto_revenue_share": {"orders": ["o_orderkey"], "customer": None,
                              "nation": None},
+    # re-keying both fact sides with the same ×K formula preserves
+    # referential integrity, so join cardinality scales with the data
+    "join_bucketed": {"orders": ["o_orderkey"], "lineitem": ["l_orderkey"]},
+    "io_schema_evolution": {"documents": ["doc_id"]},
 }
 
 

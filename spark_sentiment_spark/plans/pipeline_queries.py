@@ -2630,3 +2630,60 @@ def io_csv_roundtrip(spark, sf_dir):
                  F.min("doc_id").cast("bigint").alias("min_doc"),
                  F.max("doc_id").cast("bigint").alias("max_doc"))
             .orderBy("lang"))
+
+
+IO_EVOLVE_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN doc_id % 2 = 1 THEN source END) AS BIGINT)
+         AS n_with_source,
+       CAST(count(DISTINCT CASE WHEN doc_id % 2 = 1 THEN source END)
+            AS BIGINT) AS n_sources,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("io_schema_evolution", sql=IO_EVOLVE_SQL, tags=("io", "pipeline"))
+def io_schema_evolution(spark, sf_dir):
+    """Schema evolution across a long-lived table's lifetime, routed
+    through the driver gate: an "old" batch (even doc_ids, written
+    BEFORE the ``source`` column existed) and a "new" batch (odd
+    doc_ids, with ``source``) are written by the engine's parquet sink
+    into partition subdirectories ``batch=old`` / ``batch=new``, then
+    read back as ONE table by the engine's scan with
+    ``merge_schema=True`` (`sources/io.py::load`) — partition discovery
+    fills the ``batch`` column, footer-merging unions the two file
+    schemas, and the old batch surfaces ``source`` as NULL. The
+    aggregate counts per-lang docs, non-null sources, distinct sources
+    and character mass; the oracle replays the even/odd drift rule on
+    the original parquet, so a wrong schema union (dropping the new
+    column, mis-filling old rows, losing a batch to partition
+    discovery) breaks counts or null accounting.
+
+    Scale: this is exactly how a 100 TB table accretes columns —
+    mergeSchema costs one footer pass (why it's opt-in, io.py:140),
+    partition pruning on ``batch`` still works, and the aggregate is
+    langs-sized. Staging is per-call tempdir."""
+    import tempfile
+
+    from spark_sentiment_spark.sources import io as sio
+
+    docs = load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="io_evolve_") + "/docs.parquet"
+    old = (docs.filter(F.col("doc_id") % 2 == 0)
+           .select("doc_id", "lang", "n_chars"))
+    new = (docs.filter(F.col("doc_id") % 2 == 1)
+           .select("doc_id", "lang", "n_chars", "source"))
+    sio.save(old, root + "/batch=old", "parquet")
+    sio.save(new, root + "/batch=new", "parquet")
+    back, ftype = sio.load(spark, root, merge_schema=True)
+    assert ftype == "parquet" and "batch" in back.columns
+    return (back.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.count("source").cast("bigint").alias("n_with_source"),
+                 F.countDistinct("source").cast("bigint").alias("n_sources"),
+                 F.sum("n_chars").cast("bigint").alias("sum_chars"))
+            .orderBy("lang"))

@@ -1108,3 +1108,74 @@ def pareto_revenue_share(spark, sf_dir):
         F.expr("topdec * 1000000 div tc").cast("bigint")
         .alias("top10_share_e6"))
         .orderBy("nation"))
+
+
+BUCKETED_SQL = """
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_c
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY priority
+"""
+
+
+@register("join_bucketed", sql=BUCKETED_SQL, tags=("join", "layout"))
+def join_bucketed(spark, sf_dir):
+    """Co-located (bucketed) fact-fact join — the layout answer to the
+    one shuffle class this catalog couldn't otherwise avoid: two big
+    fact tables joining on a shared key. Orders and lineitem are
+    written ONCE as bucketed tables (8 buckets on the orderkey, sorted
+    within buckets; `repartition(nb, key)` before the write so each
+    bucket is exactly one file), then joined back bucket-to-bucket: the
+    SortMergeJoin consumes both scans with NO Exchange on either side —
+    the join cost is a co-partitioned merge pass, pinned in
+    `tests/test_plan_shape.py::test_join_bucketed_colocated`. (Spark
+    still inserts partition-LOCAL Sorts above the scans: since 3.0 a
+    bucketed scan only advertises its sortBy order under
+    `spark.sql.legacy.bucketedTableScan.outputOrdering`; sorting an
+    already-sorted single-file bucket is a linear, spill-free pass, and
+    the flag elides it where that pass matters.)
+    The oracle is the plain join+agg over the original parquet, so the
+    bucketed write→scan→join path must preserve every row and value.
+    Money stays integer (floor-cents per item, summed exactly).
+
+    Scale: THE recurring-join layout at 100 TB — pay the partitioned
+    write once, then every subsequent join/groupBy on the orderkey is
+    shuffle-free regardless of table size; bucket count scales with the
+    cluster (8 here for the local demo), and AQE never needs to touch
+    the join because there is nothing to re-plan. The one-time write IS
+    a shuffle — amortized across every downstream consumer."""
+    import tempfile
+
+    nb = 8
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice")
+    base = tempfile.mkdtemp(prefix="bkt_join_")
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    (orders.repartition(nb, F.col("o_orderkey"))
+     .write.format("parquet").mode("overwrite")
+     .bucketBy(nb, "o_orderkey").sortBy("o_orderkey")
+     .option("path", base + "/orders").saveAsTable("bkt_orders"))
+    (li.repartition(nb, F.col("l_orderkey"))
+     .write.format("parquet").mode("overwrite")
+     .bucketBy(nb, "l_orderkey").sortBy("l_orderkey")
+     .option("path", base + "/lineitem").saveAsTable("bkt_lineitem"))
+    bo = spark.table("bkt_orders")
+    bl = spark.table("bkt_lineitem")
+    joined = bl.hint("merge").join(
+        bo, bl["l_orderkey"] == bo["o_orderkey"])
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                 F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+                 F.sum(F.floor(F.col("l_extendedprice") * 100)
+                       .cast("bigint")).cast("bigint").alias("price_c"))
+            .select(F.col("o_orderpriority").alias("priority"),
+                    "n_items", "sum_qty", "price_c")
+            .orderBy("priority"))

@@ -390,3 +390,29 @@ def test_bm25_broadcasts_queries_and_scalar_only(spark):
     plan = _plan(spark, "search_bm25")
     release_caches()
     assert "SortMergeJoin" not in plan
+
+
+def test_join_bucketed_colocated(spark):
+    """join_bucketed: both sides of the SortMergeJoin read pre-bucketed
+    tables, so NO Exchange feeds the join — the only shuffles in the
+    whole plan are the final agg + output sort, both ABOVE the join in
+    the tree. The scans must actually use the bucketing (`Bucketed:
+    true`, all 8 buckets selected), not fall back to a plain file scan."""
+    plan = _plan(spark, "join_bucketed")
+    assert plan.count("SortMergeJoin") == 1
+    assert plan.count("Bucketed: true") == 2
+    assert plan.count("SelectedBucketsCount: 8 out of 8") == 2
+    # toString prints top-down: everything after the SMJ line is its
+    # subtree — the co-location claim is "no shuffle below the join"
+    below_join = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in below_join
+    assert plan.count("Exchange") == 2  # final agg + output sort only
+
+
+def test_io_schema_evolution_merged_read(spark):
+    """io_schema_evolution: the merged scan reads BOTH partition subdirs
+    of the evolved table (partition discovery), and the whole aggregate
+    is native JVM."""
+    plan = _plan(spark, "io_schema_evolution")
+    assert "Python" not in plan
+    assert plan.count("FileScan parquet") == 1
