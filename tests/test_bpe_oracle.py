@@ -58,7 +58,13 @@ def _python_merges(texts: list[list[str]],
     return _merge_loop(freq, n_merges)
 
 
-@pytest.mark.parametrize("n_merges,max_examples", [(8, 40), (25, 10)])
+@pytest.mark.parametrize("n_merges,max_examples", [
+    # the 40-example sweep is the deep fuzz — slow-marked so the fast
+    # path keeps one 10-example differential per operator (plus the
+    # round-8 driver-window oracles for bpe_merges/bpe_token_counts)
+    pytest.param(8, 40, marks=pytest.mark.slow),
+    (25, 10),
+])
 def test_merges_sql_matches_python_trainer(n_merges, max_examples):
     @settings(max_examples=max_examples, deadline=None)
     @given(corpus)
@@ -75,7 +81,13 @@ def test_merges_sql_matches_python_trainer(n_merges, max_examples):
     check()
 
 
-@pytest.mark.parametrize("n_merges,max_examples", [(8, 40), (25, 10)])
+@pytest.mark.parametrize("n_merges,max_examples", [
+    # the 40-example sweep is the deep fuzz — slow-marked so the fast
+    # path keeps one 10-example differential per operator (plus the
+    # round-8 driver-window oracles for bpe_merges/bpe_token_counts)
+    pytest.param(8, 40, marks=pytest.mark.slow),
+    (25, 10),
+])
 def test_token_counts_sql_matches_gpt2_encoder(n_merges, max_examples):
     @settings(max_examples=max_examples, deadline=None)
     @given(corpus)
