@@ -122,6 +122,10 @@ PROBES = {
     # referential integrity, so join cardinality scales with the data
     "join_bucketed": {"orders": ["o_orderkey"], "lineitem": ["l_orderkey"]},
     "io_schema_evolution": {"documents": ["doc_id"]},
+    # part is replicated WITHOUT re-keying brand, so block sizes grow
+    # with the data — the honest stress for blocked candidate generation
+    "link_parts_fuzzy": {"part": ["p_partkey"]},
+    "token_burstiness": {"documents": ["doc_id"]},
 }
 
 

@@ -1144,3 +1144,68 @@ def graph_triangle_count(spark, sf_dir):
     return (stats.crossJoin(F.broadcast(tri))
             .select("n_nodes", "n_edges", "n_wedges", "n_triangles",
                     trans.alias("transitivity_e6")))
+
+
+# --- Token burstiness (variance-to-mean of per-doc counts) ------------------
+
+BURSTINESS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS w
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), per_doc AS (
+  SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY w, doc_id
+), stats AS (
+  SELECT w,
+         CAST(count(*) AS BIGINT)    AS df,
+         CAST(sum(c) AS BIGINT)      AS tf_total,
+         CAST(sum(c * c) AS BIGINT)  AS tf_sq
+  FROM per_doc GROUP BY w
+)
+SELECT w AS term, df, tf_total,
+       CAST((df * tf_sq - tf_total * tf_total) * 1000000
+            // (df * tf_total) AS BIGINT) AS vmr_e6
+FROM stats
+WHERE df >= 20
+ORDER BY vmr_e6 DESC, term
+LIMIT 50
+"""
+
+
+@register("token_burstiness", sql=BURSTINESS_SQL, tags=("text", "corpus"))
+def token_burstiness(spark, sf_dir):
+    """Church–Gale burstiness of each term: the variance-to-mean ratio
+    of its per-document counts, restricted to documents that contain it.
+    A term that appears once wherever it appears (VMR → 0) is
+    content-bearing background vocabulary; a term that CLUMPS — few
+    documents, many repeats each — is a boilerplate/template signal the
+    df-only dials (hapax rate, tf-idf) cannot see, because df treats a
+    100-repeat doc and a 1-repeat doc identically. VMR over containing
+    docs = (df·Σc² − (Σc)²)/(df·Σc): numerator and denominator are
+    exact integers, the published ratio lands on a 1e-6 grid by floor
+    division — engine-exact, no float accumulation anywhere. df ≥ 20
+    keeps the statistic stable; top-50 by (vmr desc, term) is totally
+    ordered.
+
+    Scale: explode → (term, doc) hash agg (map-side combine collapses
+    repeats within a partition) → term-level agg (vocabulary-sized) →
+    global top-k via TakeOrdered. The same two-agg shape as
+    token_hapax_rate with one extra power sum; no window, nothing
+    quadratic, per-term state is three integers."""
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim("text") != ""))
+    per_doc = (docs.select("doc_id", F.explode(_tokens_col()).alias("w"))
+               .groupBy("w", "doc_id")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    stats = (per_doc.groupBy("w")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("df"),
+                  F.sum("c").cast("bigint").alias("tf_total"),
+                  F.sum(F.col("c") * F.col("c")).cast("bigint")
+                  .alias("tf_sq")))
+    return (stats.filter(F.col("df") >= 20)
+            .select(F.col("w").alias("term"), "df", "tf_total",
+                    F.expr("(df * tf_sq - tf_total * tf_total) * 1000000"
+                           " div (df * tf_total)").cast("bigint")
+                    .alias("vmr_e6"))
+            .orderBy(F.desc("vmr_e6"), "term")
+            .limit(50))

@@ -131,7 +131,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # rows are r5; at 16-18 new queries/round the full-refresh cycle stays
 # ~4 rounds at window 50.
 #
-# Slot accounting for the round-9 cut, already determined: the 18
+# Slot accounting for the round-9 cut, already determined: the 20
 # round-8 additions (never driver-checked, all local-replica green on
 # landing day — dedup_incremental_minhash, zorder_probe,
 # knn_classify_ivf, events_rfm_scores, events_gap_percentiles,
@@ -139,10 +139,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # pareto_revenue_share, agg_hll_merge_shards, dedup_cross_source_pairs,
 # embedding_kmeans_iter, langid_kappa, window_dist_funcs,
 # io_json_roundtrip, io_csv_roundtrip, join_bucketed,
-# io_schema_evolution) take the priority slots; no upgraded-since-row
-# entries are pending (the round-8 ADVICE fixes all landed on queries
-# inside the round-8 window, so their driver rows certify the new
-# code); 32 backfill slots clear the r5-stale rows oldest-first.
+# io_schema_evolution, link_parts_fuzzy, token_burstiness) take the
+# priority slots; no upgraded-since-row entries are pending (the
+# round-8 ADVICE fixes all landed on queries inside the round-8 window,
+# so their driver rows certify the new code); 30 backfill slots clear
+# the r5-stale rows oldest-first.
 _WINDOW_PRIORITY = [
     # — never driver-checked (round-7 additions, all local-replica green) —
     "agg_mad_by_group",

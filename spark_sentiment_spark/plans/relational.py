@@ -1179,3 +1179,69 @@ def join_bucketed(spark, sf_dir):
             .select(F.col("o_orderpriority").alias("priority"),
                     "n_items", "sum_qty", "price_c")
             .orderBy("priority"))
+
+
+LINK_FUZZY_SQL = """
+WITH pairs AS (
+  SELECT a.p_brand AS brand,
+         levenshtein(a.p_name, b.p_name) AS dist,
+         a.p_partkey * 100000000 + b.p_partkey AS pair_code
+  FROM part a
+  JOIN part b
+    ON a.p_brand = b.p_brand
+   AND a.p_partkey < b.p_partkey
+   AND abs(length(a.p_name) - length(b.p_name)) <= 2
+   AND levenshtein(a.p_name, b.p_name) <= 3
+)
+SELECT brand,
+       CAST(dist AS BIGINT) AS dist,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(pair_code) AS BIGINT) AS first_pair
+FROM pairs
+GROUP BY brand, dist
+ORDER BY brand, dist
+"""
+
+
+@register("link_parts_fuzzy", sql=LINK_FUZZY_SQL,
+          tags=("join", "fuzzy", "curation"))
+def link_parts_fuzzy(spark, sf_dir):
+    """Blocked record linkage (entity resolution) over the part catalog:
+    candidate pairs come ONLY from within a blocking key (p_brand — the
+    equi-join Catalyst plans as the shuffle/broadcast key), survive a
+    free length-difference prefilter (|len(a)-len(b)| <= 2 is a lower
+    bound on edit distance — rows it kills never reach the O(n·m)
+    verifier), and are verified by JVM-native `levenshtein` <= 3. The
+    output is the linkage profile per (brand, distance): pair counts
+    plus the smallest encoded pair as a deterministic witness. This is
+    the classic filter-verification ER shape (blocking → cheap bound →
+    exact verify) the dedup family applies to documents, here on the
+    ENTITY axis with an edit-distance matcher; `levenshtein` is
+    engine-identical in Spark and DuckDB so the oracle replays it
+    exactly.
+
+    Scale: candidate work is Σ(block²), never n² — brand alone bounds it
+    here; at 100 TB the blocking key widens to (brand, length-band) with
+    each record exploded into its own and neighboring bands (so the
+    ±2-length matches stay co-located), and hot blocks get the same
+    salting the skew family demonstrates. The verifier cost is bounded
+    by the prefilter's survivors; the rollup is (brands × 4)-sized.
+    Pair encoding at 1e8 keeps the witness integer-exact."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    a, b = p.alias("a"), p.alias("b")
+    an, bn = F.col("a.p_name"), F.col("b.p_name")
+    pairs = (a.join(b,
+                    (F.col("a.p_brand") == F.col("b.p_brand"))
+                    & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+                    & (F.abs(F.length(an) - F.length(bn)) <= 2)
+                    & (F.levenshtein(an, bn) <= 3))
+             .select(F.col("a.p_brand").alias("brand"),
+                     F.levenshtein(an, bn).alias("dist"),
+                     (F.col("a.p_partkey") * 100000000
+                      + F.col("b.p_partkey")).alias("pair_code")))
+    return (pairs.groupBy("brand", "dist")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 F.min("pair_code").cast("bigint").alias("first_pair"))
+            .select("brand", F.col("dist").cast("bigint").alias("dist"),
+                    "n_pairs", "first_pair")
+            .orderBy("brand", "dist"))
