@@ -416,3 +416,26 @@ def test_io_schema_evolution_merged_read(spark):
     plan = _plan(spark, "io_schema_evolution")
     assert "Python" not in plan
     assert plan.count("FileScan parquet") == 1
+
+
+def test_link_parts_fuzzy_blocked_not_cartesian(spark):
+    """link_parts_fuzzy: the brand blocking key must carry the join as
+    an equi-join (hash join, levenshtein as residual predicate) — never
+    a cartesian/BNLJ over all part pairs — and the whole pipeline stays
+    JVM-native."""
+    plan = _plan(spark, "link_parts_fuzzy")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("ShuffledHashJoin" in plan) \
+        or ("SortMergeJoin" in plan)
+
+
+def test_token_burstiness_two_agg_topk(spark):
+    """token_burstiness: explode → (term, doc) agg → term agg → global
+    top-k as TakeOrdered; no window, no join, no Python."""
+    plan = _plan(spark, "token_burstiness")
+    assert "Python" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
