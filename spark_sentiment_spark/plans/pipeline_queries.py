@@ -2565,7 +2565,14 @@ def io_json_roundtrip(spark, sf_dir):
 
     Scale: the sink/scan are the engine's normal distributed writers
     (one file per partition); the aggregate is sources-sized. The temp
-    staging dir is per-call (content never reused across runs)."""
+    staging dir is per-call (content never reused across runs).
+
+    Empty-source contract: JSON is schema-on-read — zero rows leave
+    NOTHING to infer from, so the read-back relation has no columns
+    (unlike parquet, whose footers carry schema even for empty files —
+    see io_schema_evolution). The guard returns the stable empty output
+    instead of failing resolution, which is what a nightly pipeline
+    needs on a quiet source."""
     import tempfile
 
     from spark_sentiment_spark.sources import io as sio
@@ -2576,6 +2583,10 @@ def io_json_roundtrip(spark, sf_dir):
     sio.save(docs, out, "json")
     back, ftype = sio.load(spark, out)
     assert ftype == "json"
+    if not {"source", "lang", "n_chars", "text"} <= set(back.columns):
+        return spark.createDataFrame(
+            [], "source string, n_docs bigint, n_langs bigint, "
+                "sum_chars bigint, sum_text_len bigint")
     return (back.groupBy("source")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.countDistinct("lang").cast("bigint").alias("n_langs"),
@@ -2612,7 +2623,14 @@ def io_csv_roundtrip(spark, sf_dir):
     column) breaks row counts, doc_id extrema, or sums.
 
     Scale: same posture as the JSON twin — distributed sink/scan, a
-    langs-sized aggregate, per-call staging."""
+    langs-sized aggregate, per-call staging.
+
+    Empty-source contract: an empty CSV write yields data-less files
+    (Spark's writer emits the header only for non-empty partitions), so
+    the sniffing read has no header row to detect and surfaces
+    positional `_c*` columns. The guard returns the stable empty output
+    instead of failing resolution — the quiet-source behavior the
+    empty-tables contract test pins."""
     import tempfile
 
     from spark_sentiment_spark.sources import io as sio
@@ -2623,6 +2641,10 @@ def io_csv_roundtrip(spark, sf_dir):
     sio.save(docs, out, "csv")
     back, ftype = sio.load(spark, out)
     assert ftype == "csv"
+    if not {"doc_id", "lang", "source", "n_chars"} <= set(back.columns):
+        return spark.createDataFrame(
+            [], "lang string, n_docs bigint, n_sources bigint, "
+                "sum_chars bigint, min_doc bigint, max_doc bigint")
     return (back.groupBy("lang")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.countDistinct("source").cast("bigint").alias("n_sources"),
