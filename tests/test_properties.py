@@ -806,3 +806,43 @@ def test_rolling_distinct_matches_python_windows(spark, evs,
         want[eid] = len({t2 for _, ts2, u2, t2, _, _ in rows
                          if u2 == u and ts - timedelta(hours=1) <= ts2 <= ts})
     assert got == want
+
+
+# --- link_parts_fuzzy / token_burstiness invariants (round 8) ---------------
+
+_words = st.text(alphabet="abcde ", min_size=0, max_size=12)
+
+
+@PROP
+@given(pairs=st.lists(st.tuples(_words, _words), min_size=1, max_size=30))
+def test_length_filter_is_a_levenshtein_lower_bound(spark, pairs):
+    """link_parts_fuzzy's |len(a)-len(b)| <= 2 prefilter is LOSSLESS for
+    a lev <= 3 matcher iff |len diff| is a true lower bound on edit
+    distance — pin that inequality on Spark's own levenshtein (each
+    insertion/deletion changes length by one, so no edit script can
+    close a length gap faster than one per edit)."""
+    df = spark.createDataFrame(pairs, "a string, b string")
+    viol = df.filter(
+        F.levenshtein("a", "b") < F.abs(F.length("a") - F.length("b")))
+    assert viol.count() == 0
+
+
+@PROP
+@given(counts=st.lists(st.integers(1, 50), min_size=1, max_size=25))
+def test_burstiness_integer_formula_matches_float_vmr(spark, counts):
+    """token_burstiness' integer VMR — (df·Σc² − (Σc)²)·1e6 // (df·Σc) —
+    equals floor(1e6 · variance/mean) of the per-doc counts (population
+    variance over containing docs), and is non-negative by
+    Cauchy–Schwarz with equality iff all counts are equal."""
+    df = len(counts)
+    tf = sum(counts)
+    sq = sum(c * c for c in counts)
+    got = (df * sq - tf * tf) * 1_000_000 // (df * tf)
+    mean = tf / df
+    var = sum((c - mean) ** 2 for c in counts) / df
+    import math
+    want = math.floor(1_000_000 * var / mean + 1e-6)
+    assert abs(got - want) <= 1  # exact integer form vs float reference
+    assert got >= 0
+    if len(set(counts)) == 1:
+        assert got == 0
