@@ -64,6 +64,10 @@ PROBES = [
     # round-7 addition with the steepest own-cohort ×8 slope (2.9×):
     # two exact percentile digests over the fact table
     ("agg_mad_by_group", "agg_mad_by_group", "rekey"),
+    # round-8 addition with the steepest own-cohort ×8 slope (2.6×,
+    # write-inclusive): the bucketed-layout write is the dominant term —
+    # ×32 checks the pay-once shuffle stays linear past one shuffle round
+    ("join_bucketed", "join_bucketed", "rekey"),
 ]
 
 # variant -> {table: rekey columns}. documents in the disjoint variant
