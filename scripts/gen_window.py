@@ -59,6 +59,13 @@ UPGRADED_SINCE_ROW = {
     # the expired round-6 exact-oracle entries.
     "bpe_merges": 7,
     "bpe_token_counts": 7,
+    # round 8: the oracle's session running sum gains the (ts, event_id)
+    # tiebreak the Spark twin already had — the same divergence class as
+    # the round-7 ADVICE peak-concurrency/affinity fixes, caught by the
+    # round-8 self-audit; latent only (fixtures have no (user_id, ts)
+    # collisions), but n_sessions could shift by one when a user's first
+    # rows tie.
+    "events_sessionize": 8,
 }
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -74,7 +74,7 @@ def events_sliding_hour(spark, sf_dir):
 
 SESSION_SQL = """
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 3600000
               OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
   FROM events
@@ -82,7 +82,7 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )

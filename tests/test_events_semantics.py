@@ -99,3 +99,30 @@ def test_temporal_join_change_instant_sees_new_version(spark, tmp_path):
            for r in REGISTRY["events_temporal_join"]
            .fn(spark, str(tmp_path)).collect()}
     assert out == {("A", "A"): 2, ("B", "B"): 1}
+
+
+def test_sessionize_equal_ts_first_rows_agree_with_oracle(spark, tmp_path):
+    """Round-8 self-audit pin: a user whose FIRST two events share one ts
+    is exactly the shape where a ts-only running-sum tiebreak could shift
+    n_sessions by one between engines (the 0-flag tie ordered before the
+    1-flag first row yields prefix sums {0,1,2}). Both windows now order
+    by (ts, event_id) in Spark AND the oracle; pin the value and the
+    cross-engine agreement on the constructed tie."""
+    import duckdb
+
+    from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
+    from tests.oracle_utils import compare
+
+    all_queries()
+    rows = [((5, 9, 0), 4, "view"), ((5, 9, 0), 4, "view"),
+            ((5, 12, 0), 4, "view")]
+    df = _events(spark, rows)
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    q = REGISTRY["events_sessionize"]
+    out = q.fn(spark, str(tmp_path)).collect()
+    assert [(r.user_id, r.n_sessions, r.n_events) for r in out] == [(4, 2, 3)]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet/*.parquet')")
+    ok, msg = compare(q.fn(spark, str(tmp_path)), con, q.sql)
+    assert ok, msg
