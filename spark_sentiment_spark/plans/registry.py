@@ -114,90 +114,79 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # catalog entries, so ordering is an explicit, audited decision rather
 # than an accident of import order.
 #
-# The round-8 window is COMPUTED, not hand-maintained (the round-5
+# The round-9 window is COMPUTED, not hand-maintained (the round-5
 # hand-written rotation note undercounted and went stale as the catalog
 # grew): `python scripts/gen_window.py` derives it from the registry and
 # the CORRECTNESS_r*.json history for rounds strictly before WINDOW_ROUND
-# (=8, so the list stays frozen when the driver lands the current round's
+# (=9, so the list stays frozen when the driver lands the current round's
 # artifact mid-round), and tests/test_registry_window.py asserts this
-# committed list matches that computation. Cut 2026-08-14 at round-8
-# start, matching the accounting committed in round 7 exactly: the 16
-# round-7 additions (never driver-checked) + the bpe pair (upgraded r7,
-# whitespace-class change) = 18 priority slots, backfilled by the 32
-# alphabetically-first r4-stale rows — which clears ALL 29 remaining r4
-# rows plus the 3 alphabetically-first r5 rows. Rows-only queries never
-# take a slot. Round-8 additions land BELOW the window (normal rotation
-# reaches them at the round-9 cut). After this round the oldest stale
-# rows are r5; at 16-18 new queries/round the full-refresh cycle stays
-# ~4 rounds at window 50.
-#
-# Slot accounting for the round-9 cut, already determined: the 20
-# round-8 additions (never driver-checked, all local-replica green on
-# landing day — dedup_incremental_minhash, zorder_probe,
-# knn_classify_ivf, events_rfm_scores, events_gap_percentiles,
-# events_user_lifecycle, token_hapax_rate, graph_triangle_count,
-# pareto_revenue_share, agg_hll_merge_shards, dedup_cross_source_pairs,
-# embedding_kmeans_iter, langid_kappa, window_dist_funcs,
-# io_json_roundtrip, io_csv_roundtrip, join_bucketed,
-# io_schema_evolution, link_parts_fuzzy, token_burstiness) take the
-# priority slots; no upgraded-since-row entries are pending (the
-# round-8 ADVICE fixes all landed on queries inside the round-8 window,
-# so their driver rows certify the new code); 30 backfill slots clear
-# the r5-stale rows oldest-first.
+# committed list matches that computation. Cut 2026-08-15 at round-9
+# start, matching the accounting committed in round 8 with one
+# refinement: the 20 round-8 additions (never driver-checked) take the
+# priority slots, PLUS `events_sessionize` as an upgraded-since-row slot
+# (its oracle gained the (ts, event_id) running-sum tiebreak in round-8
+# commit da6aa86, AFTER the round-8 window was frozen, so its r5 row no
+# longer certifies the current SQL — the gen_window UPGRADED_SINCE_ROW
+# mechanism picked it up exactly as designed). That leaves 29 backfill
+# slots, clearing the 29 alphabetically-first r5-stale rows. Rows-only
+# queries never take a slot. Round-9 additions land BELOW the window
+# (normal rotation reaches them at the round-10 cut). After this round
+# the stale set is ~18 r5 + 48 r6 rows; at ≤20 new queries/round the
+# full-refresh cycle stays ~4 rounds at window 50.
 _WINDOW_PRIORITY = [
-    # — never driver-checked (round-7 additions, all local-replica green) —
-    "agg_mad_by_group",
-    "dedup_embedding_multiprobe",
-    "dedup_sentence_exact",
-    "dedup_span_excise",
-    "dedup_tfidf_cosine",
-    "embedding_outliers",
-    "events_cumulative_users",
-    "events_peak_concurrency",
-    "events_scd2_history",
-    "events_sliding_users_hll",
-    "events_temporal_join",
-    "events_type_affinity",
-    "knn_classify",
-    "search_bm25",
-    "streaming_topk_types",
-    "token_zipf_fit",
+    # — never driver-checked (round-8 additions, all local-replica green) —
+    "agg_hll_merge_shards",
+    "dedup_cross_source_pairs",
+    "dedup_incremental_minhash",
+    "embedding_kmeans_iter",
+    "events_gap_percentiles",
+    "events_rfm_scores",
+    "events_user_lifecycle",
+    "graph_triangle_count",
+    "io_csv_roundtrip",
+    "io_json_roundtrip",
+    "io_schema_evolution",
+    "join_bucketed",
+    "knn_classify_ivf",
+    "langid_kappa",
+    "link_parts_fuzzy",
+    "pareto_revenue_share",
+    "token_burstiness",
+    "token_hapax_rate",
+    "window_dist_funcs",
+    "zorder_probe",
     # — upgraded after latest row —
-    "bpe_merges",  # r6
-    "bpe_token_counts",  # r6
+    "events_sessionize",  # r5
     # — oldest-stale backfill —
-    "join_anti",  # r4
-    "join_left_outer",  # r4
-    "join_null_safe",  # r4
-    "join_semi",  # r4
-    "mixture_temperature",  # r4
-    "preference_pairs",  # r4
-    "q10_returned_items",  # r4
-    "q17_small_qty_revenue",  # r4
-    "q18_large_orders",  # r4
-    "q1_pricing_summary",  # r4
-    "q3_shipping_priority",  # r4
-    "q4_priority_exists",  # r4
-    "q5_local_supplier",  # r4
-    "q6_forecast_revenue",  # r4
-    "q7_volume_shipping",  # r4
-    "scalar_math_funcs",  # r4
-    "scalar_string_funcs",  # r4
-    "set_except",  # r4
-    "set_intersect",  # r4
-    "set_union",  # r4
-    "shard_balance",  # r4
-    "sort_topk_global",  # r4
-    "source_overlap",  # r4
-    "streaming_multimodal_headers",  # r4
-    "streaming_sessionize",  # r4
-    "window_lag_delta",  # r4
-    "window_rank_mix",  # r4
-    "window_running_sum",  # r4
-    "window_topk_per_group",  # r4
-    "boilerplate_ngrams",  # r5
-    "clean_text",  # r5
-    "decontaminate_ngram",  # r5
+    "dedup_semantic",  # r5
+    "doc_chunks",  # r5
+    "doc_fingerprints",  # r5
+    "events_asof_cogroup",  # r5
+    "events_asof_join",  # r5
+    "events_funnel",  # r5
+    "events_gap_fill",  # r5
+    "events_json_extract",  # r5
+    "events_props_map",  # r5
+    "events_range_join",  # r5
+    "events_retention_cohorts",  # r5
+    "events_rolling_1h",  # r5
+    "events_sliding_hour",  # r5
+    "events_tumbling_hour",  # r5
+    "events_user_rates",  # r5
+    "langid_stopword",  # r5
+    "mixture_apply",  # r5
+    "multimodal_decode_features",  # r5
+    "multimodal_frame_sample",  # r5
+    "multimodal_ppm_decode",  # r5
+    "multimodal_wav_decode",  # r5
+    "q11_nation_concentration",  # r5
+    "q12_priority_classes",  # r5
+    "q13_customer_distribution",  # r5
+    "q14_promo_revenue",  # r5
+    "q15_top_supplier",  # r5
+    "q16_supplier_variety",  # r5
+    "q19_disjunctive_brackets",  # r5
+    "q20_part_suppliers",  # r5
 ]
 
 
