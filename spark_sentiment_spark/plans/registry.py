@@ -220,5 +220,14 @@ def all_oracles() -> dict[str, str]:
 
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Name-sorted, NOT registry order: registry order follows the
+    # correctness-window rotation, so before round 9 each cut silently
+    # reshuffled the bench execution order — and position in the session
+    # is worth ~1.4x on sub-2s queries (early runs still pay JVM/JIT
+    # warm-up; the round-9 q10 adjudication in PLANS.md measured
+    # early=1.33s vs late=0.93s medians for the same plan in one
+    # session). A fixed order keeps per-query medians comparable across
+    # rounds.
     all_queries()
-    return {name: q.fn for name, q in REGISTRY.items() if q.bench}
+    return {name: REGISTRY[name].fn
+            for name in sorted(REGISTRY) if REGISTRY[name].bench}
