@@ -66,6 +66,10 @@ UPGRADED_SINCE_ROW = {
     # collisions), but n_sessions could shift by one when a user's first
     # rows tie.
     "events_sessionize": 8,
+    # round 9: staging dirs routed through track_staging_dir (leak fix,
+    # round-8 ADVICE) — no semantic change, but the fn source drifted
+    # out-of-window, so the r10 cut re-verifies it.
+    "streaming_volume_anomaly": 9,
 }
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

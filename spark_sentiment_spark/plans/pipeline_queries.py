@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_sentiment_spark.plans.registry import load, register
+from spark_sentiment_spark.plans.registry import (load, register,
+                                                  track_staging_dir)
 
 # Whitespace tokenization shared by both sides. Spark `split` and DuckDB
 # `string_split_regex` agree on '\\s+' for trimmed, non-empty text.
@@ -2579,7 +2580,8 @@ def io_json_roundtrip(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars")
-    out = tempfile.mkdtemp(prefix="io_json_rt_") + "/docs.json"
+    out = track_staging_dir(
+        tempfile.mkdtemp(prefix="io_json_rt_")) + "/docs.json"
     sio.save(docs, out, "json")
     back, ftype = sio.load(spark, out)
     assert ftype == "json"
@@ -2637,7 +2639,8 @@ def io_csv_roundtrip(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars")
-    out = tempfile.mkdtemp(prefix="io_csv_rt_") + "/docs.csv"
+    out = track_staging_dir(
+        tempfile.mkdtemp(prefix="io_csv_rt_")) + "/docs.csv"
     sio.save(docs, out, "csv")
     back, ftype = sio.load(spark, out)
     assert ftype == "csv"
@@ -2694,7 +2697,8 @@ def io_schema_evolution(spark, sf_dir):
     from spark_sentiment_spark.sources import io as sio
 
     docs = load(spark, sf_dir, "documents")
-    root = tempfile.mkdtemp(prefix="io_evolve_") + "/docs.parquet"
+    root = track_staging_dir(
+        tempfile.mkdtemp(prefix="io_evolve_")) + "/docs.parquet"
     old = (docs.filter(F.col("doc_id") % 2 == 0)
            .select("doc_id", "lang", "n_chars"))
     new = (docs.filter(F.col("doc_id") % 2 == 1)

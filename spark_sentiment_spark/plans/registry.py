@@ -14,6 +14,7 @@ the value-hash comparison deterministic:
 
 from __future__ import annotations
 
+import atexit
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
@@ -46,10 +47,38 @@ def track_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+# Queries that stage data on local disk (bucketed-table materialization,
+# sink→scan round-trips, streaming checkpoints) register the staging dir
+# here, and any catalog table they create alongside it. Same lifetime
+# contract as _PERSISTED: the staged files back the *returned lazy
+# DataFrame*, so the query function cannot delete them itself; harnesses
+# call release_caches() after consuming the result. An atexit sweep
+# catches one-shot processes that never call it, so repeated runs can't
+# accumulate unbounded /tmp usage (round-8 ADVICE).
+_STAGED_DIRS: list[str] = []
+_TEMP_TABLES: list[tuple[SparkSession, str]] = []
+
+
+def track_staging_dir(path: str) -> str:
+    """Register a staging dir for removal at the next release_caches()."""
+    _STAGED_DIRS.append(path)
+    return path
+
+
+def track_temp_table(spark: SparkSession, name: str) -> str:
+    """Register a catalog table for DROP at the next release_caches()."""
+    _TEMP_TABLES.append((spark, name))
+    return name
+
+
 def release_caches() -> int:
-    """Unpersist every intermediate cached by catalog queries so far.
-    Returns the number released. Safe to call at any time AFTER the
-    consuming action (collect/write) of the queries that cached them."""
+    """Unpersist every intermediate cached by catalog queries so far,
+    drop their temp catalog tables, and remove their staging dirs.
+    Returns the number of caches released. Safe to call at any time
+    AFTER the consuming action (collect/write) of the queries that
+    cached/staged them."""
+    import shutil
+
     n = 0
     while _PERSISTED:
         try:
@@ -57,7 +86,25 @@ def release_caches() -> int:
             n += 1
         except Exception:
             pass  # session already stopped — nothing to free
+    while _TEMP_TABLES:
+        spark, name = _TEMP_TABLES.pop()
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        except Exception:
+            pass  # session already stopped — metastore entry is orphaned
+    while _STAGED_DIRS:
+        shutil.rmtree(_STAGED_DIRS.pop(), ignore_errors=True)
     return n
+
+
+@atexit.register
+def _cleanup_staging_at_exit() -> None:
+    # Tables are skipped here (the JVM is usually gone by atexit time);
+    # only the disk footprint matters for leak prevention.
+    import shutil
+
+    while _STAGED_DIRS:
+        shutil.rmtree(_STAGED_DIRS.pop(), ignore_errors=True)
 
 
 def register(name: str, sql: str | None = None, bench: bool = False,

@@ -17,7 +17,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_sentiment_spark.plans.registry import load, register
+from spark_sentiment_spark.plans.registry import (load, register,
+                                                  track_staging_dir,
+                                                  track_temp_table)
 
 # --- TPC-H-style aggregations ----------------------------------------------
 
@@ -1149,6 +1151,7 @@ def join_bucketed(spark, sf_dir):
     cluster (8 here for the local demo), and AQE never needs to touch
     the join because there is nothing to re-plan. The one-time write IS
     a shuffle — amortized across every downstream consumer."""
+    import os
     import tempfile
 
     nb = 8
@@ -1156,19 +1159,25 @@ def join_bucketed(spark, sf_dir):
         "o_orderkey", "o_orderpriority")
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_extendedprice")
-    base = tempfile.mkdtemp(prefix="bkt_join_")
-    spark.sql("DROP TABLE IF EXISTS bkt_orders")
-    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    # Per-invocation table names (suffixed with the mkdtemp basename) so
+    # two invocations sharing a metastore can't clobber each other's
+    # catalog entries mid-query; the dir and both tables are tracked for
+    # release_caches() so repeated runs don't accumulate /tmp or
+    # metastore garbage (round-8 ADVICE).
+    base = track_staging_dir(tempfile.mkdtemp(prefix="bkt_join_"))
+    suffix = os.path.basename(base)
+    t_orders = track_temp_table(spark, f"bkt_orders_{suffix}")
+    t_li = track_temp_table(spark, f"bkt_lineitem_{suffix}")
     (orders.repartition(nb, F.col("o_orderkey"))
      .write.format("parquet").mode("overwrite")
      .bucketBy(nb, "o_orderkey").sortBy("o_orderkey")
-     .option("path", base + "/orders").saveAsTable("bkt_orders"))
+     .option("path", base + "/orders").saveAsTable(t_orders))
     (li.repartition(nb, F.col("l_orderkey"))
      .write.format("parquet").mode("overwrite")
      .bucketBy(nb, "l_orderkey").sortBy("l_orderkey")
-     .option("path", base + "/lineitem").saveAsTable("bkt_lineitem"))
-    bo = spark.table("bkt_orders")
-    bl = spark.table("bkt_lineitem")
+     .option("path", base + "/lineitem").saveAsTable(t_li))
+    bo = spark.table(t_orders)
+    bl = spark.table(t_li)
     joined = bl.hint("merge").join(
         bo, bl["l_orderkey"] == bo["o_orderkey"])
     return (joined.groupBy("o_orderpriority")

@@ -24,7 +24,8 @@ import itertools
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_sentiment_spark.plans.registry import load, register
+from spark_sentiment_spark.plans.registry import (load, register,
+                                                  track_staging_dir)
 from spark_sentiment_spark.streaming.streams import (
     read_event_stream,
     run_to_memory,
@@ -227,8 +228,8 @@ def streaming_volume_anomaly(spark, sf_dir):
         .agg(F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma"))
         .where(F.col("sigma") > 0))
 
-    out_dir = tempfile.mkdtemp(prefix="anomstream_out_")
-    ckpt = tempfile.mkdtemp(prefix="anomstream_ckpt_")
+    out_dir = track_staging_dir(tempfile.mkdtemp(prefix="anomstream_out_"))
+    ckpt = track_staging_dir(tempfile.mkdtemp(prefix="anomstream_ckpt_"))
 
     def write_batch(df, batch_id):
         z = (F.col("n") - F.col("mu")) / F.col("sigma")

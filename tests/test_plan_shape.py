@@ -401,12 +401,15 @@ def test_join_bucketed_colocated(spark):
     plan = _plan(spark, "join_bucketed")
     assert plan.count("SortMergeJoin") == 1
     assert plan.count("Bucketed: true") == 2
-    assert plan.count("SelectedBucketsCount: 8 out of 8") == 2
     # toString prints top-down: everything after the SMJ line is its
     # subtree — the co-location claim is "no shuffle below the join"
     below_join = plan.split("SortMergeJoin", 1)[1]
     assert "Exchange" not in below_join
-    assert plan.count("Exchange") == 2  # final agg + output sort only
+    # Above the join only the final agg + output sort may shuffle. An
+    # upper bound, not an exact toString substring count (round-8
+    # ADVICE: exact counts are brittle across Spark minor versions /
+    # AQE plan formatting even when co-location still holds).
+    assert plan.count("Exchange") <= 2
 
 
 def test_io_schema_evolution_merged_read(spark):
