@@ -101,6 +101,83 @@ def test_temporal_join_change_instant_sees_new_version(spark, tmp_path):
     assert out == {("A", "A"): 2, ("B", "B"): 1}
 
 
+def _oracle_ok(spark, tmp_path, name, table="events"):
+    """Run a registered query on the constructed corpus in tmp_path and
+    compare it against its own DuckDB oracle SQL."""
+    import duckdb
+
+    from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
+    from tests.oracle_utils import compare
+
+    all_queries()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW {table} AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/{table}.parquet/*.parquet')")
+    q = REGISTRY[name]
+    return compare(q.fn(spark, str(tmp_path)), con, q.sql, name)
+
+
+def test_lifecycle_same_week_multi_event_user_ties(spark, tmp_path):
+    """Round-8 self-audit pattern (a) pin: the lifecycle lag window
+    orders by `wk`, which is unique per user only AFTER the DISTINCT
+    weekly collapse — the safety claim rests on that derived table, so
+    construct the tie shape it must collapse: user 1 has THREE events
+    inside one ISO week (would be duplicate (user, wk) rows without the
+    DISTINCT, making lag(wk) nondeterministic), then a retained week,
+    then a resurrected week after a gap; user 2 has two same-week
+    events in their first week. Pin the exact class counts AND the
+    cross-engine hash agreement on this corpus."""
+    from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
+
+    all_queries()
+    # ISO Mondays in Jan 2024: 1st, 8th, 15th, 22nd.
+    rows = [((2, 9, 0), 1, "view"), ((3, 9, 0), 1, "view"),
+            ((5, 9, 0), 1, "view"),                       # u1 week Jan-01 x3
+            ((9, 9, 0), 1, "view"),                       # u1 week Jan-08
+            ((23, 9, 0), 1, "view"),                      # u1 week Jan-22
+            ((9, 9, 0), 2, "click"), ((10, 9, 0), 2, "click")]  # u2 wk Jan-08
+    _events(spark, rows).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet")
+    out = {r.week_start: (r.n_active, r.n_new, r.n_retained, r.n_resurrected)
+           for r in REGISTRY["events_user_lifecycle"]
+           .fn(spark, str(tmp_path)).collect()}
+    assert out == {"2024-01-01": (1, 1, 0, 0),
+                   "2024-01-08": (2, 1, 1, 0),
+                   "2024-01-22": (1, 0, 0, 1)}
+    ok, msg = _oracle_ok(spark, tmp_path, "events_user_lifecycle")
+    assert ok, msg
+
+
+def test_rfm_full_metric_tie_splits_by_user_id(spark, tmp_path):
+    """Round-8 self-audit pattern (a) pin: the RFM ntiles order by
+    (metric, user_id) where user_id is unique only because per_user is
+    one-row-per-user — and when every METRIC ties, the trailing user_id
+    is the ONLY thing separating quintiles. Three users with byte-equal
+    (r_days, f_events, m_e4) must land in tiles 1/2/3 by user_id in
+    BOTH engines."""
+    from datetime import datetime
+
+    from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
+
+    all_queries()
+    rows = [(i * 2 + j, datetime(2024, 1, 10 + 2 * j, 9, 0), u, "view",
+             1.5, "{}")
+            for i, u in enumerate((1, 2, 3)) for j in (0, 1)]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r.user_id: (r.r_days, r.f_events, r.m_e4,
+                       r.r_score, r.f_score, r.m_score)
+           for r in REGISTRY["events_rfm_scores"]
+           .fn(spark, str(tmp_path)).collect()}
+    assert out == {1: (0, 2, 30000, 1, 1, 1),
+                   2: (0, 2, 30000, 2, 2, 2),
+                   3: (0, 2, 30000, 3, 3, 3)}
+    ok, msg = _oracle_ok(spark, tmp_path, "events_rfm_scores")
+    assert ok, msg
+
+
 def test_sessionize_equal_ts_first_rows_agree_with_oracle(spark, tmp_path):
     """Round-8 self-audit pin: a user whose FIRST two events share one ts
     is exactly the shape where a ts-only running-sum tiebreak could shift

@@ -213,3 +213,34 @@ def test_multiprobe_candidate_bound_scales_linearly(spark):
     assert n4 <= 5.0 * n1, (
         f"candidates grew {n4 / max(n1, 1):.1f}x for {k}x data "
         f"({n1} -> {n4}) under adaptive planes — super-linear occupancy")
+
+
+def test_knn_vote_tie_breaks_to_smaller_label(spark, tmp_path):
+    """Round-8 self-audit pattern (a) pin: the vote argmax orders by
+    (n_votes DESC, label) — `label` is unique per (qid, label) vote row
+    by construction, but when two labels TIE on votes the trailing key
+    is the only separator, and the fixture corpus never produces an
+    exact tie. Construct one: query 0's 10 nearest neighbors split 5/5
+    between labels 1 and 2 (distinct cosines, so the rank window has no
+    ties of its own) — the winner must be the smaller label, and the
+    whole result must hash-match the DuckDB oracle on the same corpus."""
+    import duckdb
+
+    from tests.oracle_utils import compare
+
+    rows = [(0, [1.0, 0.0], 1)] + [
+        (i, [1.0, 0.25 * i], 2 - (i % 2)) for i in range(1, 11)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = {r.qid: (r.pred_label, r.n_votes)
+           for r in REGISTRY["knn_classify"].fn(spark, str(tmp_path))
+           .collect()}
+    assert out[0] == (1, 5)  # 5/5 tie -> smaller label wins
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')")
+    ok, msg = compare(REGISTRY["knn_classify"].fn(spark, str(tmp_path)),
+                      con, REGISTRY["knn_classify"].sql, "knn_classify")
+    assert ok, msg
