@@ -1473,3 +1473,143 @@ def dedup_cross_source_pairs(spark, sf_dir):
                     (F.col("source_a") == F.col("source_b")).cast("long")
                     .alias("within_source"))
             .orderBy("source_a", "source_b"))
+
+
+# --- Bucketed band-index probe (the 100 TB layout for the incremental
+# near-dup, materialized instead of promised) --------------------------------
+
+
+def _probe_minhash_oracle_sql(n_hashes: int = 32, n_bands: int = 8,
+                              seed: int = 42,
+                              threshold: float = 0.5) -> str:
+    """DuckDB twin of the BUCKETED band-index probe: the full-corpus LSH
+    pipeline (identical constants to `_minhash_oracle_sql`) restricted
+    to pairs with EXACTLY ONE side in the incoming batch (doc_id%5=4) —
+    the new-vs-old probe set; new-vs-new pairs belong to the batch
+    self-join, old-vs-old to earlier batches."""
+    p = _MINHASH_P
+    perms = _perm_constants(n_hashes, seed)
+    mh_cols = ",\n         ".join(
+        f"min((h * {a} + {b}) % {p}) AS mh{i}"
+        for i, (a, b) in enumerate(perms))
+    rpb = n_hashes // n_bands
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {band} AS band_id, concat_ws('-', "
+        + ", ".join(f"mh{band * rpb + r}" for r in range(rpb))
+        + ") AS bh FROM sig"
+        for band in range(n_bands))
+    agree = " + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+                       for i in range(n_hashes))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(generate_series(1, len(t) - 2),
+                                  i -> array_to_string(t[i:i+2], ' '))
+              ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+), shd AS (
+  SELECT DISTINCT doc_id, unnest(shingles) AS w FROM sh
+), hv AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT & 2147483647 AS h
+  FROM shd
+), sig AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM hv GROUP BY doc_id
+), bands AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+  WHERE (a.doc_id % 5 = 4) <> (b.doc_id % 5 = 4)
+)
+SELECT doc_a, doc_b,
+       round(({agree}) / {float(n_hashes)}, 4) AS est_jaccard
+FROM cand
+JOIN sig sa ON doc_a = sa.doc_id
+JOIN sig sb ON doc_b = sb.doc_id
+WHERE round(({agree}) / {float(n_hashes)}, 4) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_minhash_bucketed_probe", sql=_probe_minhash_oracle_sql(),
+          tags=("dedup", "layout", "pipeline"))
+def dedup_minhash_bucketed_probe(spark, sf_dir):
+    """The incremental near-dup's band-index probe routed through an
+    ACTUAL bucketed layout (sources/bucketing.py) — materializing the
+    claim in `dedup_incremental_minhash`'s docstring instead of
+    promising it: the corpus band index and the batch's bands are both
+    written bucketed+sorted on a single band key `bkey`
+    (band_id ':' band-hash), and the new-vs-old probe is a co-located
+    SortMergeJoin with NO Exchange on either side (pinned in
+    tests/test_plan_shape.py — no `Exchange hashpartitioning(bkey`
+    anywhere in the plan). Output = new-vs-old candidate pairs with
+    signature-agreement est_jaccard >= 0.5, exactly the vs_corpus=1
+    slice of the incremental query.
+
+    Exact-hash oracle: the full-corpus LSH twin restricted to pairs
+    with exactly one side in the batch — the same set, since band
+    structure is shared and the probe generates every banded new-old
+    collision.
+
+    Scale: at 100 TB the index table is written ONCE (bucketed on
+    bkey), each nightly batch writes only ITS bands bucketed the same
+    way (batch-sized shuffle), and the probe join reads co-located
+    buckets — corpus-side shuffle is ZERO per batch, which is the
+    entire point of paying the bucketed layout up front. Appending the
+    batch's bands into the index afterward keeps the layout for the
+    next batch."""
+    import os
+    import tempfile
+
+    from spark_sentiment_spark.plans.registry import (track_staging_dir,
+                                                      track_temp_table)
+    from spark_sentiment_spark.sources.bucketing import save_bucketed
+
+    n_hashes, n_bands, nb = 32, 8, 8
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    is_new = F.col("doc_id") % 5 == 4
+    sig_new = track_persist(_minhash_signatures(docs.where(is_new),
+                                                n_hashes))
+    sig_old = track_persist(_minhash_signatures(docs.where(~is_new),
+                                                n_hashes))
+
+    def keyed(bands, id_alias):
+        return bands.select(
+            F.concat_ws(":", F.col("band_id"), F.col("bh")).alias("bkey"),
+            F.col("doc_id").alias(id_alias))
+
+    base = track_staging_dir(tempfile.mkdtemp(prefix="mh_probe_"))
+    suffix = os.path.basename(base)
+    t_idx = track_temp_table(spark, f"mh_band_index_{suffix}")
+    t_bat = track_temp_table(spark, f"mh_band_batch_{suffix}")
+    save_bucketed(keyed(_band_buckets(sig_old, n_hashes, n_bands), "old_id")
+                  .repartition(nb, F.col("bkey")),
+                  t_idx, ["bkey"], nb, ["bkey"], base + "/index")
+    save_bucketed(keyed(_band_buckets(sig_new, n_hashes, n_bands), "new_id")
+                  .repartition(nb, F.col("bkey")),
+                  t_bat, ["bkey"], nb, ["bkey"], base + "/batch")
+
+    cand = (spark.table(t_bat).hint("merge")
+            .join(spark.table(t_idx), "bkey")
+            .select(F.least("new_id", "old_id").alias("doc_a"),
+                    F.greatest("new_id", "old_id").alias("doc_b"))
+            .distinct())
+    sigs = sig_new.unionByName(sig_old)
+    am, bm = sigs.alias("am"), sigs.alias("bm")
+    agree = sum(
+        F.when(F.col(f"am.mh{i}") == F.col(f"bm.mh{i}"), 1).otherwise(0)
+        for i in range(n_hashes))
+    return (cand.join(am, F.col("doc_a") == F.col("am.doc_id"))
+            .join(bm, F.col("doc_b") == F.col("bm.doc_id"))
+            .select("doc_a", "doc_b",
+                    F.round(agree / F.lit(float(n_hashes)), 4)
+                    .alias("est_jaccard"))
+            .where(F.col("est_jaccard") >= 0.5)
+            .orderBy("doc_a", "doc_b"))

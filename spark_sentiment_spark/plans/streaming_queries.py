@@ -526,3 +526,79 @@ def streaming_topk_types(spark, sf_dir):
             .withColumn("rn", F.row_number().over(w).cast("long"))
             .where(F.col("rn") <= 3)
             .orderBy("window_start", "rn"))
+
+
+from spark_sentiment_spark.plans.dedup_queries import \
+    _probe_minhash_oracle_sql  # noqa: E402  (shared batch-twin oracle)
+
+
+@register("streaming_minhash_probe", sql=_probe_minhash_oracle_sql(),
+          tags=("streaming", "dedup", "join"))
+def streaming_minhash_probe(spark, sf_dir):
+    """Streaming incremental NEAR-dup ingest — the stream twin completing
+    the dedup family's batch (`dedup_minhash_lsh`) / incremental
+    (`dedup_incremental_minhash`, `dedup_minhash_bucketed_probe`) /
+    streaming triad: incoming documents (the doc_id%5==4 batch slice as
+    a file-source stream) flow through the SAME Arrow `mapInPandas`
+    signature stage as the batch build (stateless — per-doc shingle set
+    and all 32 mins computed inside the micro-batch), band keys explode
+    per row, and each band row probes the PERSISTED corpus band index
+    (static side, signatures denormalized alongside the band keys for a
+    one-hop probe) in a stream–static equi-join. Signature agreement is
+    computed row-wise, filtered at est >= 0.5 BEFORE the stateful
+    pair-dedup aggregation, so streaming state is near-dup-pairs-sized,
+    never collision-sized. Oracle = the bucketed batch twin's SQL
+    (`_probe_minhash_oracle_sql`): over the finite availableNow source,
+    stream output == batch probe output exactly.
+
+    Scale: per micro-batch work is O(batch bands × bucket occupancy) —
+    the static index is read/broadcast per batch and never shuffled by
+    the stream; the 100 TB posture is the bucketed index layout of
+    `dedup_minhash_bucketed_probe` with this query as its continuous
+    consumer."""
+    from spark_sentiment_spark.plans.dedup_queries import (
+        _band_buckets, _minhash_signatures)
+    from spark_sentiment_spark.streaming.streams import read_document_stream
+
+    n_hashes, n_bands = 32, 8
+    rpb = n_hashes // n_bands
+
+    # Static probe index: corpus (old) band keys with signatures
+    # denormalized — the persisted artifact a deployment would maintain.
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    is_new = F.col("doc_id") % 5 == 4
+    sig_old = _minhash_signatures(docs.where(~is_new), n_hashes)
+    index = (_band_buckets(sig_old, n_hashes, n_bands)
+             .join(sig_old, "doc_id")
+             .select(F.col("doc_id").alias("old_id"), "band_id", "bh",
+                     *[F.col(f"mh{i}").alias(f"omh{i}")
+                       for i in range(n_hashes)]))
+
+    # Stream side: same signature stage, band keys exploded per row with
+    # the new doc's signature carried along.
+    stream_docs = (read_document_stream(spark, sf_dir)
+                   .where(is_new & F.col("text").isNotNull()))
+    sig_new = _minhash_signatures(stream_docs, n_hashes)
+    band_hashes = F.array(*[
+        F.concat_ws("-", *[F.col(f"mh{band * rpb + r}")
+                           for r in range(rpb)])
+        for band in range(n_bands)])
+    bands_new = sig_new.select(
+        F.col("doc_id").alias("new_id"),
+        *[F.col(f"mh{i}").alias(f"nmh{i}") for i in range(n_hashes)],
+        F.posexplode(band_hashes).alias("band_id", "bh"))
+
+    agree = sum(
+        F.when(F.col(f"nmh{i}") == F.col(f"omh{i}"), 1).otherwise(0)
+        for i in range(n_hashes))
+    hits = (bands_new.join(index, ["band_id", "bh"])
+            .select(F.least("new_id", "old_id").alias("doc_a"),
+                    F.greatest("new_id", "old_id").alias("doc_b"),
+                    F.round(agree / F.lit(float(n_hashes)), 4)
+                    .alias("est"))
+            .where(F.col("est") >= 0.5)
+            .groupBy("doc_a", "doc_b")
+            .agg(F.max("est").alias("est_jaccard")))
+    out = run_to_memory(hits, _unique("stream_mh_probe"))
+    return out.orderBy("doc_a", "doc_b")
+

@@ -249,3 +249,12 @@ def write_exactly_once(stream_df: DataFrame, out_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def read_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (schema from a
+    static read; no timestamp normalization needed — the table carries
+    no temporal columns)."""
+    path = f"{sf_dir}/documents.parquet"
+    static = spark.read.parquet(path)
+    return spark.readStream.schema(static.schema).parquet(_stage_dir(path))

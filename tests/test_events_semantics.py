@@ -203,3 +203,34 @@ def test_sessionize_equal_ts_first_rows_agree_with_oracle(spark, tmp_path):
                 f"read_parquet('{tmp_path}/events.parquet/*.parquet')")
     ok, msg = compare(q.fn(spark, str(tmp_path)), con, q.sql)
     assert ok, msg
+
+
+def test_scd2_merge_delta_boundary_semantics(spark, tmp_path):
+    """events_scd2_merge_delta on a corpus built around its 70%-of-span
+    cutoff (06:18 here): a delta observation equal to the open row's
+    state appends NOTHING (the run continues across the boundary), a
+    genuine delta change closes the open row at ITS ts and numbers
+    onward from the open version, a delta-only user starts at version 1,
+    and an untouched history user's open row passes through. Plus the
+    full-rebuild oracle equivalence on the same corpus."""
+    from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
+
+    all_queries()
+    rows = [((1, 0, 0), 1, "A"), ((1, 2, 0), 1, "B"),   # u1 history
+            ((1, 8, 0), 1, "B"),                        # u1 delta: run cont.
+            ((1, 9, 0), 1, "C"),                        # u1 delta: change
+            ((1, 8, 30), 2, "X"),                       # u2 delta-only
+            ((1, 1, 0), 3, "A")]                        # u3 history-only
+    _events(spark, rows).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet")
+    out = [(r.user_id, r.state, r.version, r.valid_to, r.is_current)
+           for r in REGISTRY["events_scd2_merge_delta"]
+           .fn(spark, str(tmp_path)).collect()]
+    assert out == [
+        (1, "A", 1, "2024-01-01 02:00:00", 0),
+        (1, "B", 2, "2024-01-01 09:00:00", 0),
+        (1, "C", 3, None, 1),
+        (2, "X", 1, None, 1),
+        (3, "A", 1, None, 1)]
+    ok, msg = _oracle_ok(spark, tmp_path, "events_scd2_merge_delta")
+    assert ok, msg

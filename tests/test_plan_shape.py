@@ -442,3 +442,18 @@ def test_token_burstiness_two_agg_topk(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_bucketed_probe_no_bkey_shuffle(spark):
+    """dedup_minhash_bucketed_probe: the band-index probe join consumes
+    two same-bucketed tables, so Catalyst never inserts a hash Exchange
+    on the probe key — the corpus index side is read co-located, which
+    is the whole claim of the bucketed layout. Later signature joins
+    may shuffle on doc ids; the probe key must not."""
+    from spark_sentiment_spark.plans.registry import release_caches
+
+    plan = _plan(spark, "dedup_minhash_bucketed_probe")
+    release_caches()
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") >= 2
+    assert "Exchange hashpartitioning(bkey" not in plan
