@@ -1209,3 +1209,100 @@ def token_burstiness(spark, sf_dir):
                     .alias("vmr_e6"))
             .orderBy(F.desc("vmr_e6"), "term")
             .limit(50))
+
+
+ASSORT_SQL = f"""
+WITH t AS (
+  SELECT {_TOKENS_SQL} AS l
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), bg AS (
+  SELECT z.bg[1] AS w1, z.bg[2] AS w2
+  FROM (SELECT unnest(list_zip(list_slice(l, 1, len(l) - 1), l[2:])) AS bg
+        FROM t WHERE len(l) > 1) z
+), ed AS (
+  SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+  FROM bg WHERE w1 <> w2
+), deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS v FROM ed UNION ALL SELECT b AS v FROM ed) GROUP BY v
+), sym AS (
+  SELECT da.d AS x, db.d AS y
+  FROM ed JOIN deg da ON ed.a = da.v JOIN deg db ON ed.b = db.v
+  UNION ALL
+  SELECT db.d AS x, da.d AS y
+  FROM ed JOIN deg da ON ed.a = da.v JOIN deg db ON ed.b = db.v
+), sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(x * x) AS BIGINT) AS q,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM sym
+)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST(n // 2 AS BIGINT) AS n_edges,
+       CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                  * 1000000) AS BIGINT) AS assortativity_e6
+FROM sums
+"""
+
+
+@register("graph_degree_assortativity", sql=ASSORT_SQL,
+          tags=("text", "graph"))
+def graph_degree_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman's r) of the token co-occurrence
+    graph — completing the graph-analytics family's structural triple
+    (components, transitivity, MIXING): the Pearson correlation of
+    endpoint degrees over the symmetrized edge list. Negative r =
+    hub-and-spoke (hubs link to leaves — the Zipfian corpus shape),
+    positive = core-periphery. Determinism recipe: all four moments
+    (n, Σx, Σx², Σxy) accumulate as EXACT BIGINTs (order-free), the
+    final ratio is a fixed dag of IEEE ops over those identical
+    integers, and the output is floor(r * 1e6) — floor of identical
+    doubles agrees across engines (the corr_matrix recipe; by symmetry
+    Σx = Σy and Σx² = Σy², so the generic Pearson collapses to
+    (nΣxy − S²)/(nΣx² − S²)).
+
+    Scale: the edge list is vocabulary-bounded, degrees come from one
+    hash agg over it, the moment sums are one partial+final agg over
+    2m rows — the corpus is scanned once; no join touches fact-table
+    cardinality. Degree-ordered orientation is not needed here (no
+    wedge blowup: the join fan-out is exactly 2 rows per edge)."""
+    docs = load(spark, sf_dir, "documents")
+    t = (docs.where(F.col("text").isNotNull() & (F.trim("text") != ""))
+         .select(_tokens_col().alias("l")))
+    bg = (t.where(F.size("l") > 1)
+          .select(F.explode(F.expr(
+              "zip_with(slice(l, 1, size(l)-1), slice(l, 2, size(l)-1),"
+              " (a, b) -> struct(a AS w1, b AS w2))")).alias("bg"))
+          .select("bg.w1", "bg.w2")
+          .where(F.col("w1") != F.col("w2")))
+    ed = track_persist(
+        bg.select(F.least("w1", "w2").alias("a"),
+                  F.greatest("w1", "w2").alias("b")).distinct())
+    deg = track_persist(
+        ed.select(F.col("a").alias("v"))
+        .unionByName(ed.select(F.col("b").alias("v")))
+        .groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("d")))
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    edd = ed.join(da, "a").join(db, "b")
+    sym = (edd.select(F.col("da").alias("x"), F.col("db").alias("y"))
+           .unionByName(
+               edd.select(F.col("db").alias("x"), F.col("da").alias("y"))))
+    sums = sym.agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                   F.sum("x").cast("bigint").alias("s"),
+                   F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+                   F.sum(F.col("x") * F.col("y")).cast("bigint")
+                   .alias("sxy"))
+    nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    nd, sd = F.col("n").cast("double"), F.col("s").cast("double")
+    qd, xyd = F.col("q").cast("double"), F.col("sxy").cast("double")
+    return (sums.crossJoin(nodes)
+            .select("n_nodes",
+                    F.expr("n div 2").cast("bigint").alias("n_edges"),
+                    F.floor((nd * xyd - sd * sd) / (nd * qd - sd * sd)
+                            * 1_000_000).cast("bigint")
+                    .alias("assortativity_e6")))

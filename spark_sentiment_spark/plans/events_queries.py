@@ -1596,3 +1596,219 @@ def events_scd2_merge_delta(spark, sf_dir):
                     F.col("valid_to").isNull().cast("long")
                     .alias("is_current"))
             .orderBy("user_id", "version"))
+
+
+# --- Windowed funnel (conversion deadlines per step) ------------------------
+
+FUNNEL_WINDOWED_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND epoch_ms(e.ts) - epoch_ms(s1.t1) <= 3600000
+  GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND epoch_ms(e.ts) - epoch_ms(s2.t2) <= 86400000
+  GROUP BY 1)
+SELECT n_signup, n_click_1h, n_purchase_24h,
+       CASE WHEN n_signup = 0 THEN 0
+            ELSE n_click_1h * 1000000 // n_signup END AS click_rate_ppm,
+       CASE WHEN n_click_1h = 0 THEN 0
+            ELSE n_purchase_24h * 1000000 // n_click_1h
+       END AS purchase_rate_ppm
+FROM (SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_signup,
+             CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_click_1h,
+             CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase_24h)
+"""
+
+
+@register("events_funnel_windowed", sql=FUNNEL_WINDOWED_SQL,
+          tags=("events", "funnel"))
+def events_funnel_windowed(spark, sf_dir):
+    """The production variant of `events_funnel`: each step must land
+    within a CONVERSION WINDOW of the previous one (click within 1h of
+    first signup, purchase within 24h of that click) — the deadline is
+    what separates attribution-grade funnels from mere ordering, and
+    what the unwindowed twin can't express. Rates are integer ppm
+    (cross-multiplied, no floats).
+
+    Scale: identical posture to `events_funnel` — every stage joins and
+    aggregates on user_id so one hash partitioning serves all shuffles,
+    step outputs shrink monotonically, and the deadline predicate
+    tightens each join before aggregation (less state, never more)."""
+    ev = load(spark, sf_dir, "events")
+
+    def first_within(prev, etype, prev_ts, out_ts, limit_ms):
+        step = ev.where(F.col("event_type") == etype)
+        cond = ((step["user_id"] == prev["user_id"])
+                & (step["ts"] > prev[prev_ts])
+                & (F.unix_millis(step["ts"]) - F.unix_millis(prev[prev_ts])
+                   <= limit_ms))
+        return (step.join(prev, cond)
+                .groupBy(step["user_id"])
+                .agg(F.min(step["ts"]).alias(out_ts)))
+
+    s1 = (ev.where(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    s2 = first_within(s1, "click", "t1", "t2", 3_600_000)
+    s3 = first_within(s2, "purchase", "t2", "t3", 86_400_000)
+    counts = (s1.agg(F.count(F.lit(1)).alias("n_signup"))
+              .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_click_1h")))
+              .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase_24h"))))
+    return counts.select(
+        F.col("n_signup").cast("bigint").alias("n_signup"),
+        F.col("n_click_1h").cast("bigint").alias("n_click_1h"),
+        F.col("n_purchase_24h").cast("bigint").alias("n_purchase_24h"),
+        F.when(F.col("n_signup") == 0, F.lit(0)).otherwise(
+            F.expr("n_click_1h * 1000000L div n_signup"))
+        .cast("bigint").alias("click_rate_ppm"),
+        F.when(F.col("n_click_1h") == 0, F.lit(0)).otherwise(
+            F.expr("n_purchase_24h * 1000000L div n_click_1h"))
+        .cast("bigint").alias("purchase_rate_ppm"))
+
+
+# --- Seasonal (hour-of-day) volume anomaly ----------------------------------
+
+SEASONAL_ANOMALY_SQL = """
+WITH cells AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(hour(ts) AS BIGINT) AS hod, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+), days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+hods AS (SELECT unnest(generate_series(0, 23)) AS hod),
+grid AS (
+  SELECT t.event_type, d.day, CAST(h.hod AS BIGINT) AS hod
+  FROM types t CROSS JOIN days d CROSS JOIN hods h
+), filled AS (
+  SELECT g.event_type, g.day, g.hod, COALESCE(c.n, 0) AS n
+  FROM grid g LEFT JOIN cells c
+    ON g.event_type = c.event_type AND g.day = c.day AND g.hod = c.hod
+), base AS (
+  SELECT event_type, hod,
+         CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(n) AS BIGINT) AS s,
+         CAST(sum(n * n) AS BIGINT) AS q
+  FROM filled GROUP BY 1, 2
+)
+SELECT f.event_type AS event_type, strftime(f.day, '%Y-%m-%d') AS day,
+       f.hod AS hod, f.n AS n,
+       CAST(CASE WHEN b.nd * f.n - b.s >= 0 THEN 1 ELSE -1 END
+            * (((b.nd * f.n - b.s) * (b.nd * f.n - b.s) * (b.nd - 1))
+               * 1000000 // (b.nd * (b.nd * b.q - b.s * b.s)))
+            AS BIGINT) AS z2_e6
+FROM filled f JOIN base b
+  ON f.event_type = b.event_type AND f.hod = b.hod
+WHERE b.nd * b.q - b.s * b.s > 0
+  AND (b.nd * f.n - b.s) * (b.nd * f.n - b.s) * (b.nd - 1)
+      >= 4 * b.nd * (b.nd * b.q - b.s * b.s)
+ORDER BY f.event_type, day, f.hod
+"""
+
+
+@register("events_seasonal_anomaly", sql=SEASONAL_ANOMALY_SQL,
+          tags=("events", "anomaly"))
+def events_seasonal_anomaly(spark, sf_dir):
+    """Seasonality-aware volume anomaly: each (event_type, day,
+    hour-of-day) cell is z-scored against ITS OWN hour-of-day baseline
+    across all days — the diurnal-pattern-respecting upgrade of
+    `events_volume_anomaly` (whose flat mean flags every rush hour).
+    Missing cells gap-fill to 0 so quiet hours count in the baseline.
+    Everything is integer: the |z| >= 2 cut is the cross-multiplied
+    inequality (nd*n - s)^2 * (nd-1) >= 4 * nd * (nd*q - s^2), and the
+    reported signed z^2 magnitude is an exact integer ppm — no float
+    enters either engine. Zero-variance baselines are excluded (a cell
+    can't be anomalous against a constant series it belongs to).
+
+    Scale: cells collapse the fact table to |types| x |days| x 24 in one
+    partial+final hash agg; the grid/baseline/join stages all run on
+    that bounded cell table, so the anomaly pass costs one scan plus
+    cell-sized work regardless of event volume."""
+    ev = load(spark, sf_dir, "events")
+    cells = (ev.groupBy("event_type",
+                        F.date_trunc("day", "ts").alias("day"),
+                        F.hour("ts").cast("bigint").alias("hod"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    days = ev.select(F.date_trunc("day", "ts").alias("day")).distinct()
+    types = ev.select("event_type").distinct()
+    hods = spark.range(24).select(F.col("id").cast("bigint").alias("hod"))
+    grid = types.crossJoin(days).crossJoin(F.broadcast(hods))
+    filled = (grid.join(cells, ["event_type", "day", "hod"], "left")
+              .select("event_type", "day", "hod",
+                      F.coalesce(F.col("n"), F.lit(0)).alias("n")))
+    base = (filled.groupBy("event_type", "hod")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("nd"),
+                 F.sum("n").cast("bigint").alias("s"),
+                 F.sum(F.col("n") * F.col("n")).cast("bigint").alias("q")))
+    dev = F.col("nd") * F.col("n") - F.col("s")
+    var_n = F.col("nd") * F.col("q") - F.col("s") * F.col("s")
+    return (filled.join(base, ["event_type", "hod"])
+            .where((var_n > 0)
+                   & (dev * dev * (F.col("nd") - 1)
+                      >= 4 * F.col("nd") * var_n))
+            .select("event_type",
+                    F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "hod", "n",
+                    (F.when(dev >= 0, 1).otherwise(-1)
+                     * F.expr("(nd * n - s) * (nd * n - s) * (nd - 1) "
+                              "* 1000000L div (nd * (nd * q - s * s))"))
+                    .cast("bigint").alias("z2_e6"))
+            .orderBy("event_type", "day", "hod"))
+
+
+# --- DAU / MAU stickiness ---------------------------------------------------
+
+STICKINESS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+), days AS (SELECT DISTINCT d FROM ud),
+dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+mau AS (
+  SELECT days.d, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS mau
+  FROM days JOIN ud
+    ON ud.d <= days.d AND ud.d > days.d - INTERVAL 28 DAY
+  GROUP BY 1)
+SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, mau.mau,
+       dau.dau * 1000000 // mau.mau AS stickiness_ppm
+FROM dau JOIN mau ON dau.d = mau.d
+ORDER BY day
+"""
+
+
+@register("events_stickiness", sql=STICKINESS_SQL, tags=("events",))
+def events_stickiness(spark, sf_dir):
+    """DAU / trailing-28-day-MAU stickiness per day — the engagement
+    ratio every growth dashboard pairs with `events_user_lifecycle`'s
+    flow accounting. Exact rolling distinct: the fact table collapses
+    to distinct (user, day) pairs first, then a bounded range join
+    (|days| x user-days) counts each day's trailing active set; the
+    ratio is integer ppm.
+
+    Scale: user-days is bounded by users x active days — the range join
+    fans each user-day to <= 28 day rows, so the exact form costs
+    28 x user-days, fine for dashboard cardinalities. At extreme user
+    counts the sketch swap is `events_sliding_users_hll` (mergeable
+    28-day HLL per day) with this exact form as its oracle."""
+    ev = load(spark, sf_dir, "events")
+    ud = (ev.select("user_id", F.date_trunc("day", "ts").alias("d"))
+          .distinct())
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    mau = (days.alias("g")
+           .join(ud.alias("u"),
+                 (F.col("u.d") <= F.col("g.d"))
+                 & (F.col("u.d") > F.col("g.d") - F.expr("INTERVAL 28 DAY")))
+           .groupBy(F.col("g.d").alias("d"))
+           .agg(F.countDistinct("u.user_id").cast("bigint").alias("mau")))
+    return (dau.join(mau, "d")
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    "dau", "mau",
+                    F.expr("dau * 1000000L div mau").cast("bigint")
+                    .alias("stickiness_ppm"))
+            .orderBy("day"))

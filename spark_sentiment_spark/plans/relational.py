@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spark_sentiment_spark.plans.registry import (load, register,
+                                                  track_persist,
                                                   track_staging_dir,
                                                   track_temp_table)
 
@@ -1254,3 +1255,80 @@ def link_parts_fuzzy(spark, sf_dir):
             .select("brand", F.col("dist").cast("bigint").alias("dist"),
                     "n_pairs", "first_pair")
             .orderBy("brand", "dist"))
+
+
+BASKET_LIFT_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), nb AS (
+  SELECT brand, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY 1
+), pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b
+    ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM items
+)
+SELECT brand_a, brand_b, n_ab, na.n AS n_a, nbb.n AS n_b,
+       n_ab * 1000000 // n_orders AS support_ppm,
+       n_ab * 1000000 // na.n AS confidence_ppm,
+       n_ab * n_orders * 1000000 // (na.n * nbb.n) AS lift_e6
+FROM pairs
+JOIN nb na ON brand_a = na.brand
+JOIN nb nbb ON brand_b = nbb.brand
+CROSS JOIN tot
+WHERE n_ab >= 5
+ORDER BY brand_a, brand_b
+"""
+
+
+@register("orders_basket_lift", sql=BASKET_LIFT_SQL,
+          tags=("join", "agg", "curation"))
+def orders_basket_lift(spark, sf_dir):
+    """Market-basket association rules over order baskets: for every
+    pair of part brands co-occurring in >= 5 orders, support,
+    confidence and lift — the relational co-occurrence analysis
+    complementing `token_pmi_bigrams` (tokens) and
+    `events_type_affinity` (event types). All-integer: ppm/1e-6 grids
+    by cross-multiplied floor division, no floats.
+
+    Scale: baskets collapse to DISTINCT (order, brand) first — bounded
+    by orders x brands — and the pair self-join fans each order to
+    C(k,2) pairs of its FEW distinct brands (k <= |brands| = 25), never
+    lineitem x lineitem; brand marginals and the scalar order count
+    broadcast into the final join. Skewless by construction: the pair
+    space is at most |brands|^2."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = track_persist(
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"),
+                F.col("p_brand").alias("brand"))
+        .distinct())
+    nb = items.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (a.join(b, (F.col("a.okey") == F.col("b.okey"))
+                    & (F.col("a.brand") < F.col("b.brand")))
+             .groupBy(F.col("a.brand").alias("brand_a"),
+                      F.col("b.brand").alias("brand_b"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+             .where(F.col("n_ab") >= 5))
+    tot = items.agg(F.countDistinct("okey").cast("bigint")
+                    .alias("n_orders"))
+    na = nb.select(F.col("brand").alias("brand_a"), F.col("n").alias("n_a"))
+    nbb = nb.select(F.col("brand").alias("brand_b"), F.col("n").alias("n_b"))
+    return (pairs.join(F.broadcast(na), "brand_a")
+            .join(F.broadcast(nbb), "brand_b")
+            .crossJoin(F.broadcast(tot))
+            .select("brand_a", "brand_b", "n_ab", "n_a", "n_b",
+                    F.expr("n_ab * 1000000L div n_orders").cast("bigint")
+                    .alias("support_ppm"),
+                    F.expr("n_ab * 1000000L div n_a").cast("bigint")
+                    .alias("confidence_ppm"),
+                    F.expr("n_ab * n_orders * 1000000L div (n_a * n_b)")
+                    .cast("bigint").alias("lift_e6"))
+            .orderBy("brand_a", "brand_b"))

@@ -1019,3 +1019,63 @@ def agg_hll_merge_shards(spark, sf_dir):
             .select("n_exact", "n_shards", "n_est_merged", "n_est_direct",
                     (F.col("n_est_merged") == F.col("n_est_direct"))
                     .cast("long").alias("merge_exact")))
+
+
+PARTITIONED_PRUNE_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS val_e4
+FROM events
+WHERE date_trunc('day', ts) IN
+      (TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-12')
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
+@register("io_partitioned_prune", sql=PARTITIONED_PRUNE_SQL,
+          tags=("io", "layout"))
+def io_partitioned_prune(spark, sf_dir):
+    """Hive-style partition PRUNING — the third leg of the layout
+    family, next to footer-stats skipping (`zorder_probe`) and bucketed
+    co-location (`join_bucketed`): the events table is written
+    partitioned by day (day=YYYY-MM-DD directories), and a two-day
+    query reads back ONLY those directories — the filter is satisfied
+    by the directory listing, before any file is opened. The oracle
+    runs the same two-day aggregate over the ORIGINAL table, so the
+    partitioned write→scan path must preserve every row and value
+    (including the ts roundtrip through the partition column's
+    directory encoding). Plan pin (tests/test_plan_shape.py): the
+    pruned scan's PartitionFilters carry the day predicate and the
+    relation reads 2 of the 30 day directories.
+
+    Scale: day-partitioned fact layout is THE default 100 TB ingest
+    shape; every time-bounded query prunes to its day range in the
+    driver's listing phase, and the daily append never rewrites old
+    partitions. The demo write shuffles once on day (30 output dirs,
+    repartitioned by the partition column so each directory is written
+    by one task, not torn across all of them)."""
+    import tempfile
+
+    from spark_sentiment_spark.plans.registry import track_staging_dir
+
+    ev = load(spark, sf_dir, "events")
+    base = track_staging_dir(tempfile.mkdtemp(prefix="part_prune_"))
+    (ev.withColumn("day", F.date_format(F.date_trunc("day", "ts"),
+                                        "yyyy-MM-dd"))
+     .repartition(F.col("day"))
+     .write.mode("overwrite").partitionBy("day")
+     .parquet(base + "/events_by_day"))
+    back = (spark.read.parquet(base + "/events_by_day")
+            .where(F.col("day").isin("2024-01-05", "2024-01-12")))
+    # Partition discovery infers day= as DATE; the output contract (and
+    # the oracle) use the string form.
+    return (back.withColumn("day", F.col("day").cast("string"))
+            .groupBy("day", "event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.countDistinct("user_id").cast("bigint").alias("n_users"),
+                 F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
+                 .cast("bigint").alias("val_e4"))
+            .orderBy("day", "event_type"))

@@ -457,3 +457,19 @@ def test_minhash_bucketed_probe_no_bkey_shuffle(spark):
     assert "SortMergeJoin" in plan
     assert plan.count("Bucketed: true") >= 2
     assert "Exchange hashpartitioning(bkey" not in plan
+
+
+def test_partitioned_prune_filter_in_partition_filters(spark):
+    """io_partitioned_prune: the day predicate is satisfied ENTIRELY by
+    partition-directory pruning — it lands in the scan's
+    PartitionFilters and leaves DataFilters empty, so non-matching day
+    directories are never opened."""
+    from spark_sentiment_spark.plans.registry import release_caches
+
+    plan = _plan(spark, "io_partitioned_prune")
+    release_caches()
+    scan = next(l for l in plan.splitlines()
+                if "PartitionFilters" in l and "day" in l)
+    assert "DataFilters: []" in scan
+    pf = scan.split("PartitionFilters: [", 1)[1]
+    assert "2024-01-05" in pf and "2024-01-12" in pf
