@@ -40,7 +40,7 @@ WINDOW_SIZE = 50
 # globbing ALL history made the frozen window churn the moment
 # CORRECTNESS_r06.json appeared in the working tree). Bump this constant when
 # deliberately cutting the next rotation, then re-run this script.
-WINDOW_ROUND = 9
+WINDOW_ROUND = 10
 
 # Queries whose plan or oracle changed after their latest green row (the
 # row no longer certifies the current code), keyed by the ROUND of the
@@ -70,6 +70,11 @@ UPGRADED_SINCE_ROW = {
     # round-8 ADVICE) — no semantic change, but the fn source drifted
     # out-of-window, so the r10 cut re-verifies it.
     "streaming_volume_anomaly": 9,
+    # round 10: rebased onto the shared _scd2_dim builder (round-9 ADVICE
+    # dedup item) — logic byte-equivalent, oracle re-verified locally at
+    # two SFs, but the r8 row no longer hashes the live source; the r11
+    # cut re-verifies it.
+    "events_scd2_history": 10,
 }
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -1246,6 +1246,8 @@ SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
                   * 1000000) AS BIGINT) AS assortativity_e6
 FROM sums
+WHERE CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) > 0
 """
 
 
@@ -1300,7 +1302,12 @@ def graph_degree_assortativity(spark, sf_dir):
     nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
     nd, sd = F.col("n").cast("double"), F.col("s").cast("double")
     qd, xyd = F.col("q").cast("double"), F.col("sxy").cast("double")
+    # Zero-variance guard: equal degrees everywhere (ring/degenerate
+    # corpus) make the denominator 0 and r undefined — exclude the row
+    # in BOTH engines rather than diverge on inf handling (the
+    # events_seasonal_anomaly var_n > 0 convention).
     return (sums.crossJoin(nodes)
+            .where(nd * qd - sd * sd > 0)
             .select("n_nodes",
                     F.expr("n div 2").cast("bigint").alias("n_edges"),
                     F.floor((nd * xyd - sd * sd) / (nd * qd - sd * sd)

@@ -939,21 +939,15 @@ def events_scd2_history(spark, sf_dir):
     ts break on event_id in EVERY window here — change detection,
     version numbering, and the lead() interval close — so version
     numbers and valid_to assignment are deterministic even when two
-    retained changes share (user_id, ts) (round-7 ADVICE)."""
-    ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = (ev
-               .withColumn("prev_type", F.lag("event_type").over(w))
-               .where(F.col("prev_type").isNull()
-                      | (F.col("event_type") != F.col("prev_type")))
-               .select("user_id", "ts", "event_id",
-                       F.col("event_type").alias("state")))
-    wv = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (changes
-            .withColumn("valid_to", F.lead("ts").over(wv))
-            .withColumn("version", F.row_number().over(wv).cast("long"))
+    retained changes share (user_id, ts) (round-7 ADVICE). The build
+    itself is `_scd2_dim` (shared with `events_scd2_merge_delta`, whose
+    oracle is this very query's SQL — one definition keeps the full
+    rebuild and the incremental merge equivalent by construction); this
+    wrapper only formats timestamps and derives is_current."""
+    dim = _scd2_dim(load(spark, sf_dir, "events"))
+    return (dim
             .select("user_id", "state",
-                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+                    F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss")
                     .alias("valid_from"),
                     F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss")
                     .alias("valid_to"),
@@ -1542,6 +1536,8 @@ def events_scd2_merge_delta(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     lo, hi = ev.agg(F.min(F.unix_millis("ts")),
                     F.max(F.unix_millis("ts"))).first()
+    if lo is None:  # empty source: degenerate cutoff, both halves empty
+        lo = hi = 0
     cutoff = F.timestamp_millis(F.lit(lo + (hi - lo) * 7 // 10))
 
     hist_dim = _scd2_dim(ev.where(F.col("ts") < cutoff))
@@ -1725,6 +1721,13 @@ def events_seasonal_anomaly(spark, sf_dir):
     reported signed z^2 magnitude is an exact integer ppm — no float
     enters either engine. Zero-variance baselines are excluded (a cell
     can't be anomalous against a constant series it belongs to).
+    Int64 bound on the exactness claim: the z^2 numerator
+    (nd*n - s)^2 * (nd-1) * 1e6 stays under 2^63 only while per-cell
+    counts n are below ~1e5 at nd ~ 30 baseline days (more generally
+    n^2 * nd^3 < ~9.2e12); beyond that, pre-aggregate cells to a
+    coarser grain or switch the ratio to the floor-of-identical-DOUBLEs
+    recipe (graph_degree_assortativity) before trusting cross-engine
+    equality — DuckDB raises on overflow while non-ANSI Spark wraps.
 
     Scale: cells collapse the fact table to |types| x |days| x 24 in one
     partial+final hash agg; the grid/baseline/join stages all run on

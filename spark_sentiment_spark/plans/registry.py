@@ -161,79 +161,79 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # catalog entries, so ordering is an explicit, audited decision rather
 # than an accident of import order.
 #
-# The round-9 window is COMPUTED, not hand-maintained (the round-5
+# The round-10 window is COMPUTED, not hand-maintained (the round-5
 # hand-written rotation note undercounted and went stale as the catalog
 # grew): `python scripts/gen_window.py` derives it from the registry and
 # the CORRECTNESS_r*.json history for rounds strictly before WINDOW_ROUND
-# (=9, so the list stays frozen when the driver lands the current round's
-# artifact mid-round), and tests/test_registry_window.py asserts this
-# committed list matches that computation. Cut 2026-08-15 at round-9
-# start, matching the accounting committed in round 8 with one
-# refinement: the 20 round-8 additions (never driver-checked) take the
-# priority slots, PLUS `events_sessionize` as an upgraded-since-row slot
-# (its oracle gained the (ts, event_id) running-sum tiebreak in round-8
-# commit da6aa86, AFTER the round-8 window was frozen, so its r5 row no
-# longer certifies the current SQL — the gen_window UPGRADED_SINCE_ROW
-# mechanism picked it up exactly as designed). That leaves 29 backfill
-# slots, clearing the 29 alphabetically-first r5-stale rows. Rows-only
-# queries never take a slot. Round-9 additions land BELOW the window
-# (normal rotation reaches them at the round-10 cut). After this round
-# the stale set is ~18 r5 + 48 r6 rows; at ≤20 new queries/round the
-# full-refresh cycle stays ~4 rounds at window 50.
+# (=10, so the list stays frozen when the driver lands the current
+# round's artifact mid-round), and tests/test_registry_window.py asserts
+# this committed list matches that computation. Cut 2026-08-15 at
+# round-10 start, matching the round-9 verdict accounting: the 9 round-9
+# additions (never driver-checked; all re-verified against their oracles
+# at sf0.001+sf0.01 this round after the empty-input fixes) take the
+# priority slots, PLUS `streaming_volume_anomaly` as an upgraded-since-
+# row slot (its staging path moved to track_staging_dir in round 9,
+# after the round-9 window froze, so its r7 row no longer hashes the
+# live source). That leaves 40 backfill slots: all 17 remaining r5-stale
+# rows plus the 23 alphabetically-first r6-stale rows. Rows-only queries
+# never take a slot. Round-10 additions land BELOW the window (normal
+# rotation reaches them at the round-11 cut). After this round the stale
+# set is ~25 r6 rows + this round's additions; the full-refresh cycle
+# stays ~2 rounds at window 50 if catalog growth holds at ≤10/round.
 _WINDOW_PRIORITY = [
-    # — never driver-checked (round-8 additions, all local-replica green) —
-    "agg_hll_merge_shards",
-    "dedup_cross_source_pairs",
-    "dedup_incremental_minhash",
-    "embedding_kmeans_iter",
-    "events_gap_percentiles",
-    "events_rfm_scores",
-    "events_user_lifecycle",
-    "graph_triangle_count",
-    "io_csv_roundtrip",
-    "io_json_roundtrip",
-    "io_schema_evolution",
-    "join_bucketed",
-    "knn_classify_ivf",
-    "langid_kappa",
-    "link_parts_fuzzy",
-    "pareto_revenue_share",
-    "token_burstiness",
-    "token_hapax_rate",
-    "window_dist_funcs",
-    "zorder_probe",
+    # — never driver-checked (round-9 additions, all local-replica green) —
+    "dedup_minhash_bucketed_probe",
+    "events_funnel_windowed",
+    "events_scd2_merge_delta",
+    "events_seasonal_anomaly",
+    "events_stickiness",
+    "graph_degree_assortativity",
+    "io_partitioned_prune",
+    "orders_basket_lift",
+    "streaming_minhash_probe",
     # — upgraded after latest row —
-    "events_sessionize",  # r5
+    "streaming_volume_anomaly",  # r7
     # — oldest-stale backfill —
-    "dedup_semantic",  # r5
-    "doc_chunks",  # r5
-    "doc_fingerprints",  # r5
-    "events_asof_cogroup",  # r5
-    "events_asof_join",  # r5
-    "events_funnel",  # r5
-    "events_gap_fill",  # r5
-    "events_json_extract",  # r5
-    "events_props_map",  # r5
-    "events_range_join",  # r5
-    "events_retention_cohorts",  # r5
-    "events_rolling_1h",  # r5
-    "events_sliding_hour",  # r5
-    "events_tumbling_hour",  # r5
-    "events_user_rates",  # r5
-    "langid_stopword",  # r5
-    "mixture_apply",  # r5
-    "multimodal_decode_features",  # r5
-    "multimodal_frame_sample",  # r5
-    "multimodal_ppm_decode",  # r5
-    "multimodal_wav_decode",  # r5
-    "q11_nation_concentration",  # r5
-    "q12_priority_classes",  # r5
-    "q13_customer_distribution",  # r5
-    "q14_promo_revenue",  # r5
-    "q15_top_supplier",  # r5
-    "q16_supplier_variety",  # r5
-    "q19_disjunctive_brackets",  # r5
-    "q20_part_suppliers",  # r5
+    "q22_dormant_customers",  # r5
+    "q8_market_share",  # r5
+    "q9_product_profit",  # r5
+    "quality_outlier_trim",  # r5
+    "quality_repetition",  # r5
+    "quality_scores",  # r5
+    "quality_zscore_by_lang",  # r5
+    "sample_stratified",  # r5
+    "streaming_stateful_counts",  # r5
+    "streaming_static_enrich",  # r5
+    "streaming_tumbling_hour",  # r5
+    "text_stats_by_lang",  # r5
+    "text_tfidf_topk",  # r5
+    "token_counts",  # r5
+    "token_pmi_bigrams",  # r5
+    "wordlist_extraction",  # r5
+    "wordscore_sentiment",  # r5
+    "agg_hll_sketch",  # r6
+    "ann_ivf_topk",  # r6
+    "ann_lsh_topk",  # r6
+    "ann_pq_topk",  # r6
+    "audit_referential",  # r6
+    "cap_per_source",  # r6
+    "corr_matrix",  # r6
+    "curate_corpus",  # r6
+    "curriculum_buckets",  # r6
+    "decontaminate_minhash",  # r6
+    "dedup_char_ngrams",  # r6
+    "dedup_cluster_canonical",  # r6
+    "dedup_cluster_stats",  # r6
+    "dedup_clusters",  # r6
+    "dedup_containment_prefix",  # r6
+    "dedup_embedding_cosine",  # r6
+    "dedup_exact",  # r6
+    "dedup_keep_best",  # r6
+    "dedup_simjoin_prefix",  # r6
+    "events_cdc_state",  # r6
+    "events_daily_rollup",  # r6
+    "events_daily_uniques_hll",  # r6
+    "events_rolling_distinct",  # r6
 ]
 
 

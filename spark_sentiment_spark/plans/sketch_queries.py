@@ -1063,16 +1063,21 @@ def io_partitioned_prune(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events")
     base = track_staging_dir(tempfile.mkdtemp(prefix="part_prune_"))
-    (ev.withColumn("day", F.date_format(F.date_trunc("day", "ts"),
-                                        "yyyy-MM-dd"))
+    staged = ev.withColumn("day", F.date_format(F.date_trunc("day", "ts"),
+                                                "yyyy-MM-dd"))
+    (staged
      .repartition(F.col("day"))
      .write.mode("overwrite").partitionBy("day")
      .parquet(base + "/events_by_day"))
-    back = (spark.read.parquet(base + "/events_by_day")
+    # Read back with the WRITER-SIDE schema, the production contract
+    # for a partitioned lake table: the catalog owns the schema, never
+    # directory inference (which also fails outright on a zero-row
+    # write, where no part file exists to infer from). Declaring day as
+    # string pins the partition column's type; pruning is unaffected.
+    back = (spark.read.schema(staged.schema)
+            .parquet(base + "/events_by_day")
             .where(F.col("day").isin("2024-01-05", "2024-01-12")))
-    # Partition discovery infers day= as DATE; the output contract (and
-    # the oracle) use the string form.
-    return (back.withColumn("day", F.col("day").cast("string"))
+    return (back
             .groupBy("day", "event_type")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
                  F.countDistinct("user_id").cast("bigint").alias("n_users"),
