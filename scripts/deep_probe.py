@@ -68,6 +68,13 @@ PROBES = [
     # write-inclusive): the bucketed-layout write is the dominant term —
     # ×32 checks the pay-once shuffle stays linear past one shuffle round
     ("join_bucketed", "join_bucketed", "rekey"),
+    # round-9: the band-index probe emits new-vs-old near-dup PAIRS, so
+    # it must run on textually-DISJOINT replicas (identical texts grow
+    # the pair set ×k² by construction); ×32 checks the per-batch claim —
+    # bucketed write + co-located probe, no Exchange on the probe key —
+    # stays linear when both the index and the batch grow 32×
+    ("dedup_minhash_bucketed_probe", "dedup_minhash_bucketed_probe",
+     "disjoint"),
 ]
 
 # variant -> {table: rekey columns}. documents in the disjoint variant
@@ -204,7 +211,12 @@ def main() -> None:
         f"{ratio('agg_mad_by_group')}× at 32× data — all sub-linear",
         "overall; see the ×8→×32 marginal slopes for the amortized (fixed",
         "cost out of the denominator) per-volume cost of these single- or",
-        "two-pass hash-aggregate shapes.",
+        "two-pass hash-aggregate shapes. dedup_minhash_bucketed_probe",
+        f"{ratio('dedup_minhash_bucketed_probe')}× on disjoint texts,",
+        "write-inclusive (both bucketed band tables rebuilt per run): the",
+        "banded candidate set and the co-located probe grow with the data,",
+        "never quadratically — the per-batch cost claim its docstring",
+        "makes for the incremental near-dup family.",
         "Raw32: `" + json.dumps(results) + "`",
     ]
 

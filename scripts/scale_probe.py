@@ -126,6 +126,41 @@ PROBES = {
     # with the data — the honest stress for blocked candidate generation
     "link_parts_fuzzy": {"part": ["p_partkey"]},
     "token_burstiness": {"documents": ["doc_id"]},
+    # round-9 additions. dedup_minhash_bucketed_probe is NOT probed here:
+    # it emits the new-vs-old near-dup PAIR set, which grows ×k² under
+    # identical-text replication (the documented artifact class) — it is
+    # probed honestly with DISJOINT texts in deep_probe.py at ×32.
+    # streaming_minhash_probe is its streaming twin (same signature
+    # stage, same bound); like the rest of the streaming family it runs
+    # a bounded micro-batch harness that measures trigger plumbing, not
+    # an operator slope, so the batch twin's disjoint probe carries the
+    # family's scale claim. events_scd2_merge_delta additionally gets
+    # the fixed-delta history-growth probe (scripts/merge_probe.py) that
+    # isolates merge cost from the inline history rebuild.
+    # NOTE the harness replicates each TABLE once per factor with the
+    # FIRST spec's keys — events is re-keyed on user_id (set by
+    # events_sessionize above), which suits all four: per-user windows
+    # partition by the re-keyed id, the seasonal grid and the partition
+    # prune count rows/users per cell, never event_id.
+    "events_funnel_windowed": {"events": ["user_id"]},
+    "events_seasonal_anomaly": {"events": ["user_id"]},
+    "events_stickiness": {"events": ["user_id"]},
+    "events_scd2_merge_delta": {"events": ["user_id"]},
+    "graph_degree_assortativity": {"documents": ["doc_id"]},
+    # write-inclusive like join_bucketed: the day-partitioned staging
+    # write is the dominant term and the honest cost of the layout
+    "io_partitioned_prune": {"events": ["user_id"]},
+    # brands keep their cardinality, so per-brand basket counts grow
+    # with the data while the pair grid stays |brands|² — dims-fixed
+    "orders_basket_lift": {"lineitem": ["l_orderkey"], "part": None},
+    # round-10 additions. streaming_scd2_merge is NOT probed (streaming
+    # trigger harness; its batch twin events_scd2_merge_delta is probed
+    # here and scripts/merge_probe.py isolates the fixed-delta merge
+    # cost the pair shares).
+    "events_rfm_distributed": {"events": ["user_id"]},
+    "io_compact_small_files": {"events": ["user_id"]},
+    "io_orc_roundtrip": {"documents": ["doc_id"]},
+    "doc_winnowing": {"documents": ["doc_id"]},
 }
 
 

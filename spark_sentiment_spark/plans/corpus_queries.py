@@ -1313,3 +1313,139 @@ def graph_degree_assortativity(spark, sf_dir):
                     F.floor((nd * xyd - sd * sd) / (nd * qd - sd * sd)
                             * 1_000_000).cast("bigint")
                     .alias("assortativity_e6")))
+
+
+# --- Winnowing document fingerprints (Schleimer/Wilkerson/Aiken MOSS) -------
+
+from spark_sentiment_spark.plans.sketch_queries import _hexpoly  # noqa: E402
+
+_WN_K = 3   # tokens per k-gram
+_WN_W = 4   # k-grams per winnowing window
+# 48-bit integer hash of the k-gram text: first 12 md5 hex chars as an
+# instr() polynomial — valid and identical in Spark SQL and DuckDB.
+_WN_HASH = _hexpoly("md5(kg)", 1, 12)
+
+WINNOW_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS l FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+), idx AS (
+  SELECT doc_id, l, unnest(generate_series(1, len(l) - {_WN_K - 1})) AS pos
+  FROM t WHERE len(l) >= {_WN_K}
+), kg AS (
+  SELECT doc_id, pos,
+         {_WN_HASH.replace('kg', f"array_to_string(l[pos:pos+{_WN_K - 1}], ' ')")} AS h
+  FROM idx
+), win AS (
+  SELECT doc_id, pos, h,
+         lag(h, 1) OVER w AS g1, lag(h, 2) OVER w AS g2,
+         lag(h, 3) OVER w AS g3,
+         lead(h, 1) OVER w AS e1, lead(h, 2) OVER w AS e2,
+         lead(h, 3) OVER w AS e3,
+         count(*) OVER (PARTITION BY doc_id) AS m
+  FROM kg
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), reach AS (
+  SELECT doc_id, pos, h, m,
+         coalesce(CAST(g1 >= h AS INT), 0)
+           + coalesce(CAST(g1 >= h AS INT), 0)
+             * coalesce(CAST(g2 >= h AS INT), 0)
+           + coalesce(CAST(g1 >= h AS INT), 0)
+             * coalesce(CAST(g2 >= h AS INT), 0)
+             * coalesce(CAST(g3 >= h AS INT), 0) AS a,
+         coalesce(CAST(e1 > h AS INT), 0)
+           + coalesce(CAST(e1 > h AS INT), 0)
+             * coalesce(CAST(e2 > h AS INT), 0)
+           + coalesce(CAST(e1 > h AS INT), 0)
+             * coalesce(CAST(e2 > h AS INT), 0)
+             * coalesce(CAST(e3 > h AS INT), 0) AS b
+  FROM win
+), sel AS (
+  SELECT doc_id, h,
+         CASE WHEN greatest(1, pos - a)
+                   <= least(pos, m - {_WN_W - 1}, pos + b - {_WN_W - 1})
+              THEN 1 ELSE 0 END AS s
+  FROM reach
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_kgrams,
+       CAST(sum(s) AS BIGINT) AS n_fp,
+       CAST(min(CASE WHEN s = 1 THEN h END) AS BIGINT) AS fp_min,
+       CAST(sum(CASE WHEN s = 1 THEN h END) AS BIGINT) AS fp_sum
+FROM sel
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("doc_winnowing", sql=WINNOW_SQL, tags=("text", "dedup"))
+def doc_winnowing(spark, sf_dir):
+    """WINNOWING fingerprints (Schleimer–Wilkerson–Aiken, the MOSS
+    algorithm) — the position-robust upgrade of `doc_fingerprints` and
+    `dedup_prefix`: hash every K-token k-gram, slide a window of W
+    consecutive k-gram hashes, and select each window's MINIMUM
+    (rightmost on ties). The guarantee the simpler fingerprint dials
+    lack: any match of at least W+K-1 tokens between two documents
+    shares at least one selected fingerprint, while selection density
+    stays ~2/(W+1) — local plagiarism/boilerplate detection with a
+    bounded sketch per document.
+
+    Selection is computed WITHOUT per-window materialization: a
+    position q is some window's rightmost minimum iff a window start s
+    fits in [max(1, q-a), min(q, m-W+1, q+b-W+1)], where a = how many
+    consecutive predecessors are >= h(q) (ties tolerated on the left)
+    and b = how many consecutive successors are STRICTLY greater (a tie
+    on the right steals the selection) — both bounded by W-1, so three
+    lags and three leads of ONE doc-partitioned window evaluate the
+    whole algorithm; equivalence to the window-by-window definition is
+    pinned against a brute-force reference in
+    tests/test_round10_queries.py. The 48-bit k-gram hash is the
+    engine-shared md5/instr polynomial (`sketch_queries._hexpoly`), so
+    the DuckDB twin replays fingerprint SETS bit-for-bit (count, min,
+    sum per doc), not just counts.
+
+    Scale: embarrassingly doc-local — one explode to (doc, pos, hash)
+    rows, one window partitioned by doc_id (frame state: 7 scalars),
+    one doc-sized hash agg; nothing crosses documents, so the operator
+    partitions perfectly at any corpus size. W and K are the standard
+    MOSS defaults scaled to the fixture's short docs."""
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim("text") != ""))
+    t = (docs.select("doc_id", _tokens_col().alias("l"))
+         .where(F.size("l") >= _WN_K))
+    kg = (t.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(1, size(l) - {_WN_K - 1}),"
+            f" i -> array_join(slice(l, i, {_WN_K}), ' '))"))
+        .alias("pos0", "kg"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"),
+                F.expr(_WN_HASH).alias("h")))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    wm = Window.partitionBy("doc_id")
+    g1, g2, g3 = (F.lag("h", i).over(w) for i in (1, 2, 3))
+    e1, e2, e3 = (F.lead("h", i).over(w) for i in (1, 2, 3))
+    h = F.col("h")
+
+    def ind(cond):
+        return F.coalesce(cond.cast("int"), F.lit(0))
+
+    c1, c2, c3 = ind(g1 >= h), ind(g2 >= h), ind(g3 >= h)
+    d1, d2, d3 = ind(e1 > h), ind(e2 > h), ind(e3 > h)
+    a = c1 + c1 * c2 + c1 * c2 * c3
+    b = d1 + d1 * d2 + d1 * d2 * d3
+    m = F.count(F.lit(1)).over(wm)
+    sel = (kg.select(
+        "doc_id", "h",
+        (F.greatest(F.lit(1), F.col("pos") - a)
+         <= F.least(F.col("pos"), m - (_WN_W - 1),
+                    F.col("pos") + b - (_WN_W - 1)))
+        .cast("int").alias("s")))
+    return (sel.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_kgrams"),
+                 F.sum("s").cast("bigint").alias("n_fp"),
+                 F.min(F.when(F.col("s") == 1, F.col("h")))
+                 .cast("bigint").alias("fp_min"),
+                 F.sum(F.when(F.col("s") == 1, F.col("h")))
+                 .cast("bigint").alias("fp_sum"))
+            .orderBy("doc_id"))

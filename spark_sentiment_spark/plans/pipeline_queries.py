@@ -2713,3 +2713,65 @@ def io_schema_evolution(spark, sf_dir):
                  F.countDistinct("source").cast("bigint").alias("n_sources"),
                  F.sum("n_chars").cast("bigint").alias("sum_chars"))
             .orderBy("lang"))
+
+
+IO_ORC_SQL = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("io_orc_roundtrip", sql=IO_ORC_SQL, tags=("io", "pipeline"))
+def io_orc_roundtrip(spark, sf_dir):
+    """The ORC leg of the S11-S14 sink/scan extension routed through the
+    DRIVER gate, completing the columnar-format pair next to
+    `io_json_roundtrip` (row text) and `io_csv_roundtrip` (sniffed
+    text): the documents table — free-text column included, so string
+    encoding must survive both directions — is written by the engine's
+    format-dispatched ORC sink and read back by its extension-dispatched
+    scan, then aggregated per source against the original parquet's
+    oracle. ORC matters as the second footer-carrying columnar format a
+    lake actually mixes with parquet (Hive-era tables); the engine's
+    dispatch treats it uniformly (`sources/io.py:160`).
+
+    Scale: distributed columnar sink/scan (one file per partition,
+    predicate/column pruning served by ORC stripes the way parquet row
+    groups do); the aggregate is sources-sized; per-call staging.
+
+    Empty-source contract: like parquet, a zero-row ORC write leaves no
+    data files to infer a schema from — the guard returns the stable
+    empty output instead of failing resolution (quiet-source nightly
+    behavior; the parquet queries solve this with writer-side schemas,
+    but the extension-dispatched `sio.load` path is schema-on-read by
+    design)."""
+    import tempfile
+
+    from pyspark.errors import AnalysisException
+
+    from spark_sentiment_spark.sources import io as sio
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars")
+    out = track_staging_dir(
+        tempfile.mkdtemp(prefix="io_orc_rt_")) + "/docs.orc"
+    sio.save(docs, out, "orc")
+    try:
+        back, ftype = sio.load(spark, out)
+    except AnalysisException:
+        return spark.createDataFrame(
+            [], "source string, n_docs bigint, n_langs bigint, "
+                "sum_chars bigint, sum_text_len bigint")
+    assert ftype == "orc"
+    return (back.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.countDistinct("lang").cast("bigint").alias("n_langs"),
+                 F.sum("n_chars").cast("bigint").alias("sum_chars"),
+                 F.sum(F.length("text")).cast("bigint")
+                 .alias("sum_text_len"))
+            .orderBy("source"))

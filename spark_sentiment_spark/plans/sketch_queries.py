@@ -1084,3 +1084,69 @@ def io_partitioned_prune(spark, sf_dir):
                  F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
                  .cast("bigint").alias("val_e4"))
             .orderBy("day", "event_type"))
+
+
+COMPACT_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS val_e4,
+       CAST(64 AS BIGINT) AS files_before,
+       CAST(4 AS BIGINT) AS files_after
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("io_compact_small_files", sql=COMPACT_SQL, tags=("io", "layout"))
+def io_compact_small_files(spark, sf_dir):
+    """Small-file COMPACTION — the write-side maintenance pass that
+    completes the layout family (footer-stats skipping, bucketing,
+    partition pruning are all read-side): a deliberately fragmented
+    staging table (64 part files — the shape micro-batch ingest leaves
+    behind) is rewritten to 4 right-sized files, and the aggregate over
+    the compacted table must equal the aggregate over the original —
+    compaction moves bytes, never rows. The part-file counts are
+    measured from the actual directories (driver-side listing of the
+    staging dir — control-plane metadata, the same listing a table
+    -maintenance service does) and pinned as literals in the oracle, so
+    the driver certifies both content equality AND that the write
+    produced exactly the promised fragmentation and compaction. Both
+    read-backs use the writer-side schema (the lake-table contract;
+    see io_partitioned_prune).
+
+    Scale: this is THE nightly maintenance operation on a streaming
+    lakehouse — thousands of KB-sized files per partition collapse to
+    ~128 MB targets, turning every scan's task count from file-bound to
+    byte-bound. Production picks the output count as
+    ceil(partition_bytes / target_file_size); the demo pins 4 so the
+    oracle can assert it. The rewrite is one shuffle-free coalesce-
+    style repartition of the fragment set; nothing here grows faster
+    than the data being compacted."""
+    import os as _os
+    import tempfile
+
+    from spark_sentiment_spark.plans.registry import track_staging_dir
+
+    ev = load(spark, sf_dir, "events")
+    base = track_staging_dir(tempfile.mkdtemp(prefix="compact_"))
+    frag_dir, comp_dir = base + "/frag", base + "/compact"
+    ev.repartition(64).write.mode("overwrite").parquet(frag_dir)
+
+    def _n_parts(d):
+        return sum(1 for f in _os.listdir(d) if f.endswith(".parquet"))
+
+    frag = spark.read.schema(ev.schema).parquet(frag_dir)
+    frag.repartition(4).write.mode("overwrite").parquet(comp_dir)
+    n_before, n_after = _n_parts(frag_dir), _n_parts(comp_dir)
+
+    back = spark.read.schema(ev.schema).parquet(comp_dir)
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.countDistinct("user_id").cast("bigint").alias("n_users"),
+                 F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
+                 .cast("bigint").alias("val_e4"))
+            .withColumn("files_before", F.lit(n_before).cast("bigint"))
+            .withColumn("files_after", F.lit(n_after).cast("bigint"))
+            .orderBy("event_type"))

@@ -602,3 +602,78 @@ def streaming_minhash_probe(spark, sf_dir):
     out = run_to_memory(hits, _unique("stream_mh_probe"))
     return out.orderBy("doc_a", "doc_b")
 
+
+
+from spark_sentiment_spark.plans.events_queries import (  # noqa: E402
+    SCD2_SQL, _scd2_dim, _scd2_merge)
+
+
+@register("streaming_scd2_merge", sql=SCD2_SQL,
+          tags=("streaming", "events", "cdc"))
+def streaming_scd2_merge(spark, sf_dir):
+    """The STREAMING consumer of the nightly SCD2 merge — the
+    foreachBatch twin of `events_scd2_merge_delta`, completing the CDC
+    family's batch / incremental / streaming triad the same way the
+    minhash probe did for dedup: the existing dimension (built from the
+    pre-cutoff 70% of the corpus) is materialized to a versioned lake
+    path, the delta arrives as a file-source stream, and each
+    micro-batch applies `_scd2_merge` against the CURRENT dimension
+    version and writes the merged dimension as the NEXT version —
+    overwrite-per-version, so a replayed batch rewrites its own output
+    instead of corrupting the chain (the write_exactly_once contract,
+    applied to a full-snapshot dimension instead of an append sink).
+    Oracle = the full rebuild (`SCD2_SQL` verbatim): over the finite
+    availableNow source the final version must equal rebuilding from
+    all events — the same equivalence `events_scd2_merge_delta` pins,
+    now through the streaming engine's trigger plumbing. The staged
+    delta is a single file, so availableNow delivers one batch;
+    a multi-batch deployment additionally requires batches to arrive
+    in event-time order (per-key ordering is what a CDC log gives you;
+    the merge itself handles any order WITHIN a batch via its windows).
+
+    Scale: per batch, work is `_scd2_merge`'s — delta-sized windows, a
+    broadcast-sized open-row join, and the closed-dimension
+    pass-through (which a lakehouse MERGE INTO would not rewrite);
+    streaming state is the checkpoint offsets only, since the dimension
+    itself IS the sink. Reference parity: witlox/spark_sentiment has no
+    temporal surface; extension per SURVEY §7.4."""
+    import tempfile
+
+    ev = load(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min(F.unix_millis("ts")),
+                    F.max(F.unix_millis("ts"))).first()
+    if lo is None:  # empty source: degenerate cutoff, both halves empty
+        lo = hi = 0
+    cutoff = F.timestamp_millis(F.lit(lo + (hi - lo) * 7 // 10))
+
+    hist_dim = _scd2_dim(ev.where(F.col("ts") < cutoff))
+    dim_base = track_staging_dir(tempfile.mkdtemp(prefix="scd2stream_dim_"))
+    ckpt = track_staging_dir(tempfile.mkdtemp(prefix="scd2stream_ckpt_"))
+    state = {"latest": f"{dim_base}/v0"}
+    hist_dim.write.mode("overwrite").parquet(state["latest"])
+    dim_schema = hist_dim.schema
+
+    def merge_batch(df, batch_id):
+        cur = spark.read.schema(dim_schema).parquet(state["latest"])
+        nxt = f"{dim_base}/v{batch_id + 1}"
+        _scd2_merge(cur, df).write.mode("overwrite").parquet(nxt)
+        state["latest"] = nxt
+
+    delta_stream = read_event_stream(spark, sf_dir).where(
+        F.col("ts") >= cutoff)
+    q = (delta_stream.writeStream
+         .foreachBatch(merge_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    dim = spark.read.schema(dim_schema).parquet(state["latest"])
+    return (dim.select("user_id", "state",
+                       F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss")
+                       .alias("valid_from"),
+                       F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss")
+                       .alias("valid_to"),
+                       "version",
+                       F.col("valid_to").isNull().cast("long")
+                       .alias("is_current"))
+            .orderBy("user_id", "version"))
