@@ -156,7 +156,11 @@ PROBES = {
     # round-10 additions. streaming_scd2_merge is NOT probed (streaming
     # trigger harness; its batch twin events_scd2_merge_delta is probed
     # here and scripts/merge_probe.py isolates the fixed-delta merge
-    # cost the pair shares).
+    # cost the pair shares). dedup_winnowing_pairs is NOT probed
+    # (pair-emitting — identical-text replication grows its output x k²
+    # by construction, the documented artifact class; doc_winnowing
+    # carries the family's selection slope and the df cap bounds the
+    # pair join).
     "events_rfm_distributed": {"events": ["user_id"]},
     "io_compact_small_files": {"events": ["user_id"]},
     "io_orc_roundtrip": {"documents": ["doc_id"]},

@@ -1325,7 +1325,48 @@ _WN_W = 4   # k-grams per winnowing window
 # instr() polynomial — valid and identical in Spark SQL and DuckDB.
 _WN_HASH = _hexpoly("md5(kg)", 1, 12)
 
-WINNOW_SQL = f"""
+def _winnow_selected(docs):
+    """(doc_id, h, s) rows: every k-gram hash with s=1 where the
+    position is some window's rightmost minimum — the Spark twin of the
+    shared `_WINNOW_CTE` chain (see doc_winnowing's docstring for the
+    reach derivation)."""
+    docs = docs.where(F.col("text").isNotNull() & (F.trim("text") != ""))
+    t = (docs.select("doc_id", _tokens_col().alias("l"))
+         .where(F.size("l") >= _WN_K))
+    kg = (t.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(1, size(l) - {_WN_K - 1}),"
+            f" i -> array_join(slice(l, i, {_WN_K}), ' '))"))
+        .alias("pos0", "kg"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"),
+                F.expr(_WN_HASH).alias("h")))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    wm = Window.partitionBy("doc_id")
+    g1, g2, g3 = (F.lag("h", i).over(w) for i in (1, 2, 3))
+    e1, e2, e3 = (F.lead("h", i).over(w) for i in (1, 2, 3))
+    h = F.col("h")
+
+    def ind(cond):
+        return F.coalesce(cond.cast("int"), F.lit(0))
+
+    c1, c2, c3 = ind(g1 >= h), ind(g2 >= h), ind(g3 >= h)
+    d1, d2, d3 = ind(e1 > h), ind(e2 > h), ind(e3 > h)
+    a = c1 + c1 * c2 + c1 * c2 * c3
+    b = d1 + d1 * d2 + d1 * d2 * d3
+    m = F.count(F.lit(1)).over(wm)
+    return kg.select(
+        "doc_id", "h",
+        (F.greatest(F.lit(1), F.col("pos") - a)
+         <= F.least(F.col("pos"), m - (_WN_W - 1),
+                    F.col("pos") + b - (_WN_W - 1)))
+        .cast("int").alias("s"))
+
+
+# Shared CTE chain: tokenize → k-gram hashes → lag/lead reach → per-
+# position selection flag. doc_winnowing aggregates it per doc;
+# dedup_winnowing_pairs joins selected fingerprints across docs.
+_WINNOW_CTE = f"""
 WITH t AS (
   SELECT doc_id, {_TOKENS_SQL} AS l FROM documents
   WHERE text IS NOT NULL AND trim(text) <> ''
@@ -1366,7 +1407,9 @@ WITH t AS (
                    <= least(pos, m - {_WN_W - 1}, pos + b - {_WN_W - 1})
               THEN 1 ELSE 0 END AS s
   FROM reach
-)
+)"""
+
+WINNOW_SQL = _WINNOW_CTE + """
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_kgrams,
        CAST(sum(s) AS BIGINT) AS n_fp,
@@ -1409,38 +1452,7 @@ def doc_winnowing(spark, sf_dir):
     one doc-sized hash agg; nothing crosses documents, so the operator
     partitions perfectly at any corpus size. W and K are the standard
     MOSS defaults scaled to the fixture's short docs."""
-    docs = load(spark, sf_dir, "documents").where(
-        F.col("text").isNotNull() & (F.trim("text") != ""))
-    t = (docs.select("doc_id", _tokens_col().alias("l"))
-         .where(F.size("l") >= _WN_K))
-    kg = (t.select(
-        "doc_id",
-        F.posexplode(F.expr(
-            f"transform(sequence(1, size(l) - {_WN_K - 1}),"
-            f" i -> array_join(slice(l, i, {_WN_K}), ' '))"))
-        .alias("pos0", "kg"))
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"),
-                F.expr(_WN_HASH).alias("h")))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    wm = Window.partitionBy("doc_id")
-    g1, g2, g3 = (F.lag("h", i).over(w) for i in (1, 2, 3))
-    e1, e2, e3 = (F.lead("h", i).over(w) for i in (1, 2, 3))
-    h = F.col("h")
-
-    def ind(cond):
-        return F.coalesce(cond.cast("int"), F.lit(0))
-
-    c1, c2, c3 = ind(g1 >= h), ind(g2 >= h), ind(g3 >= h)
-    d1, d2, d3 = ind(e1 > h), ind(e2 > h), ind(e3 > h)
-    a = c1 + c1 * c2 + c1 * c2 * c3
-    b = d1 + d1 * d2 + d1 * d2 * d3
-    m = F.count(F.lit(1)).over(wm)
-    sel = (kg.select(
-        "doc_id", "h",
-        (F.greatest(F.lit(1), F.col("pos") - a)
-         <= F.least(F.col("pos"), m - (_WN_W - 1),
-                    F.col("pos") + b - (_WN_W - 1)))
-        .cast("int").alias("s")))
+    sel = _winnow_selected(load(spark, sf_dir, "documents"))
     return (sel.groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_kgrams"),
                  F.sum("s").cast("bigint").alias("n_fp"),
@@ -1449,3 +1461,82 @@ def doc_winnowing(spark, sf_dir):
                  F.sum(F.when(F.col("s") == 1, F.col("h")))
                  .cast("bigint").alias("fp_sum"))
             .orderBy("doc_id"))
+
+
+WINNOW_PAIRS_SQL = _WINNOW_CTE + """
+, fp AS (
+  SELECT DISTINCT doc_id, h FROM sel WHERE s = 1
+), hot AS (
+  SELECT h FROM fp GROUP BY h HAVING count(*) > 50
+), keepfp AS (
+  SELECT doc_id, h FROM fp WHERE h NOT IN (SELECT h FROM hot)
+), nd AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp FROM keepfp GROUP BY doc_id
+), pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM keepfp a JOIN keepfp b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       na.nfp AS n_fp_a, nb.nfp AS n_fp_b,
+       n_shared * 1000000 // (na.nfp + nb.nfp - n_shared) AS overlap_ppm
+FROM pr
+JOIN nd na ON doc_a = na.doc_id
+JOIN nd nb ON doc_b = nb.doc_id
+WHERE n_shared >= 2
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_winnowing_pairs", sql=WINNOW_PAIRS_SQL,
+          tags=("dedup", "text"))
+def dedup_winnowing_pairs(spark, sf_dir):
+    """Near-dup candidate pairs from WINNOWING fingerprints — the
+    payoff query that turns `doc_winnowing`'s sketch into a dedup
+    operator (MOSS's second stage): documents sharing >= 2 selected
+    fingerprints, with each side's fingerprint count and the integer
+    Jaccard-style overlap_ppm = shared / (union of fingerprint sets).
+    Winnowing's guarantee makes the candidate semantics crisp: any
+    common run of >= W+K-1 tokens forces a shared fingerprint, so long
+    verbatim overlaps cannot evade the pair list the way they can evade
+    prefix or whole-doc hashing.
+
+    Skew/scale guards, the same pair as the MinHash and prefix
+    families: (1) fingerprints selected in more than 50 documents are
+    dropped before pairing (boilerplate k-grams — a fingerprint that
+    common identifies a template, not a duplicate; it would otherwise
+    fan out quadratically on the join key), and (2) pairing joins on
+    the 48-bit fingerprint value, so work is Σ per-fingerprint df² over
+    the capped df <= 50 — linear in selected fingerprints with a
+    constant factor, never corpus-quadratic. NOT probed by
+    scale_probe's identical-text replication (pair output grows ×k² by
+    construction — the documented artifact class); its scale posture is
+    the cap plus doc_winnowing's linear selection slope.
+
+    Oracle: the shared `_WINNOW_CTE` chain extended with the same cap,
+    distinct, pair join and integer ppm — fingerprint sets replay
+    bit-for-bit, so the pair list and overlap values hash-match."""
+    fp = (_winnow_selected(load(spark, sf_dir, "documents"))
+          .where(F.col("s") == 1).select("doc_id", "h").distinct())
+    fp = track_persist(fp)
+    hot = (fp.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+           .where(F.col("df") > 50).select("h"))
+    keep = track_persist(fp.join(F.broadcast(hot), "h", "left_anti"))
+    nd = keep.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint")
+                                    .alias("nfp"))
+    a = keep.select(F.col("doc_id").alias("doc_a"), "h")
+    b = keep.select(F.col("doc_id").alias("doc_b"), "h")
+    pr = (a.join(b, "h")
+          .where(F.col("doc_a") < F.col("doc_b"))
+          .groupBy("doc_a", "doc_b")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+          .where(F.col("n_shared") >= 2))
+    na = nd.select(F.col("doc_id").alias("doc_a"), F.col("nfp").alias("n_fp_a"))
+    nb = nd.select(F.col("doc_id").alias("doc_b"), F.col("nfp").alias("n_fp_b"))
+    return (pr.join(na, "doc_a").join(nb, "doc_b")
+            .select("doc_a", "doc_b", "n_shared", "n_fp_a", "n_fp_b",
+                    F.expr("n_shared * 1000000L div (n_fp_a + n_fp_b"
+                           " - n_shared)").cast("bigint")
+                    .alias("overlap_ppm"))
+            .orderBy("doc_a", "doc_b"))

@@ -473,3 +473,29 @@ def test_partitioned_prune_filter_in_partition_filters(spark):
     assert "DataFilters: []" in scan
     pf = scan.split("PartitionFilters: [", 1)[1]
     assert "2024-01-05" in pf and "2024-01-12" in pf
+
+
+def test_rfm_distributed_no_single_partition_window(spark):
+    """events_rfm_distributed exists to kill the single-partition ntile
+    sort: every Window in its plan must partition on the materialized
+    range-partition id (__pid) — the ntile twin's giveaway shape is a
+    Window with an EMPTY partition spec, which drags all users onto one
+    task. The only SinglePartition exchanges allowed are the 1-row
+    corpus-horizon scalar's broadcast feed (IdentityBroadcastMode), and
+    the three persisted range-partitioned frames must actually serve
+    the plan (InMemoryTableScan), or the lineage would re-sample range
+    boundaries between the count pass and the rank pass."""
+    from spark_sentiment_spark.plans.registry import release_caches
+
+    plan = _plan(spark, "events_rfm_distributed")
+    release_caches()
+    windows = [l for l in plan.splitlines() if "Window [" in l]
+    assert windows, "expected per-partition row_number windows"
+    for line in windows:
+        assert "__pid" in line, line
+    assert plan.count("InMemoryTableScan") >= 3
+    # every SinglePartition exchange is the 1-row horizon scalar (it
+    # appears only inside the IdentityBroadcastMode subtree's lineage)
+    for i, line in enumerate(plan.splitlines()):
+        if "Exchange SinglePartition" in line:
+            assert "BroadcastExchange IdentityBroadcastMode" in plan, line

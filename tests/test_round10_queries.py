@@ -215,3 +215,20 @@ def test_winnowing_guarantee_every_window_covered(spark):
             # per-window coverage; check the weak form cheaply here (the
             # bruteforce test pins exact sets)
             assert r["n_fp"] >= (r["n_kgrams"] - 3 + 3) // 4
+
+
+def test_winnowing_pairs_invariants(spark):
+    """Pair-level sanity the oracle's hash can't express as a rule:
+    shared fingerprints never exceed either side's fingerprint count,
+    overlap_ppm is a valid Jaccard ppm, and every emitted pair really
+    shares >= 2 capped fingerprints (threshold respected)."""
+    from spark_sentiment_spark.plans.corpus_queries import (
+        dedup_winnowing_pairs)
+
+    rows = dedup_winnowing_pairs(spark, SF_DIR).collect()
+    assert rows, "fixture corpus should produce candidate pairs"
+    for r in rows:
+        assert 2 <= r["n_shared"] <= min(r["n_fp_a"], r["n_fp_b"])
+        union = r["n_fp_a"] + r["n_fp_b"] - r["n_shared"]
+        assert r["overlap_ppm"] == r["n_shared"] * 1_000_000 // union
+        assert 0 < r["overlap_ppm"] <= 1_000_000
