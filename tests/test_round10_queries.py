@@ -232,3 +232,40 @@ def test_winnowing_pairs_invariants(spark):
         union = r["n_fp_a"] + r["n_fp_b"] - r["n_shared"]
         assert r["overlap_ppm"] == r["n_shared"] * 1_000_000 // union
         assert 0 < r["overlap_ppm"] <= 1_000_000
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_rfm_distributed_seeded_fuzz(spark, seed):
+    """Seeded random corpora with heavy duplicate mass on every axis
+    (few distinct days/counts/values over many users) — broad-spectrum
+    insurance that the rank-recovery closed form equals ntile beyond
+    the hand-constructed shapes."""
+    import numpy as np
+
+    from spark_sentiment_spark.plans.events_queries import (
+        events_rfm_distributed, events_rfm_scores)
+
+    rng = np.random.default_rng(seed)
+    n_users = int(rng.integers(20, 200))
+    rows = []
+    eid = 0
+    for u in range(n_users):
+        for _ in range(int(rng.integers(1, 4))):
+            day = int(rng.integers(1, 6))            # ~5 distinct days
+            val = float(rng.integers(1, 4)) / 2.0    # ~3 distinct values
+            rows.append((eid, u, "e",
+                         f"2024-01-{day:02d} 08:00:00", val))
+            eid += 1
+    tmp = tempfile.mkdtemp(prefix=f"rfm_fuzz_{seed}_")
+    try:
+        (spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string,"
+                  " ts_s string, value double")
+         .select("event_id", "user_id", "event_type",
+                 F.to_timestamp("ts_s").alias("ts"), "value")
+         .write.mode("overwrite").parquet(f"{tmp}/events.parquet"))
+        a = _rows(events_rfm_scores(spark, tmp), RFM_COLS)
+        b = _rows(events_rfm_distributed(spark, tmp), RFM_COLS)
+        assert a == b
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
