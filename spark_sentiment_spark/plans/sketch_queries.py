@@ -1121,9 +1121,14 @@ def io_compact_small_files(spark, sf_dir):
     ~128 MB targets, turning every scan's task count from file-bound to
     byte-bound. Production picks the output count as
     ceil(partition_bytes / target_file_size); the demo pins 4 so the
-    oracle can assert it. The rewrite is one shuffle-free coalesce-
-    style repartition of the fragment set; nothing here grows faster
-    than the data being compacted."""
+    oracle can assert it. The rewrite uses repartition(4) — one
+    round-robin exchange of the fragment set — rather than the
+    exchange-free coalesce(4), deliberately: the parquet scan PACKS
+    small files into read splits by maxPartitionBytes, so coalesce
+    cannot guarantee 4 non-empty outputs (it can only reduce whatever
+    split count the scan happened to produce), while repartition pins
+    the promised layout; either way nothing grows faster than the data
+    being compacted, and the exchange IS the rewrite."""
     import os as _os
     import tempfile
 
