@@ -499,3 +499,18 @@ def test_rfm_distributed_no_single_partition_window(spark):
     for i, line in enumerate(plan.splitlines()):
         if "Exchange SinglePartition" in line:
             assert "BroadcastExchange IdentityBroadcastMode" in plan, line
+
+
+def test_winnowing_single_doc_shuffle(spark):
+    """doc_winnowing is doc-local by design: ONE hash exchange on
+    doc_id serves the lag/lead window, the per-doc count window, AND
+    the partial+final aggregate (same key, no re-shuffle); no join
+    appears anywhere. The only other exchanges are the load()
+    round-robin and the output orderBy's range sort."""
+    from spark_sentiment_spark.plans.registry import release_caches
+
+    plan = _plan(spark, "doc_winnowing")
+    release_caches()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
+    assert "partial_count" in plan  # map-side combine before the final agg
