@@ -161,79 +161,79 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # catalog entries, so ordering is an explicit, audited decision rather
 # than an accident of import order.
 #
-# The round-10 window is COMPUTED, not hand-maintained (the round-5
+# The round-11 window is COMPUTED, not hand-maintained (the round-5
 # hand-written rotation note undercounted and went stale as the catalog
 # grew): `python scripts/gen_window.py` derives it from the registry and
 # the CORRECTNESS_r*.json history for rounds strictly before WINDOW_ROUND
-# (=10, so the list stays frozen when the driver lands the current
+# (=11, so the list stays frozen when the driver lands the current
 # round's artifact mid-round), and tests/test_registry_window.py asserts
 # this committed list matches that computation. Cut 2026-08-15 at
-# round-10 start, matching the round-9 verdict accounting: the 9 round-9
-# additions (never driver-checked; all re-verified against their oracles
-# at sf0.001+sf0.01 this round after the empty-input fixes) take the
-# priority slots, PLUS `streaming_volume_anomaly` as an upgraded-since-
-# row slot (its staging path moved to track_staging_dir in round 9,
-# after the round-9 window froze, so its r7 row no longer hashes the
-# live source). That leaves 40 backfill slots: all 17 remaining r5-stale
-# rows plus the 23 alphabetically-first r6-stale rows. Rows-only queries
-# never take a slot. Round-10 additions land BELOW the window (normal
-# rotation reaches them at the round-11 cut). After this round the stale
-# set is ~25 r6 rows + this round's additions; the full-refresh cycle
-# stays ~2 rounds at window 50 if catalog growth holds at ≤10/round.
+# round-11 start, matching the round-10 verdict accounting: the 6
+# round-10 additions (never driver-checked; all independently re-verified
+# at sf0.001+sf0.01 by the round-10 judge) take the priority slots, PLUS
+# `events_scd2_history` as an upgraded-since-row slot (rebased onto the
+# shared _scd2_dim builder in round 10, after the round-10 window froze,
+# so its r8 row no longer hashes the live source). That leaves 43
+# backfill slots: all 25 remaining r6-stale rows plus the 18
+# alphabetically-first r7-stale rows. Rows-only queries never take a
+# slot. Round-11 additions land BELOW the window (normal rotation reaches
+# them at the round-12 cut). After this round the stale set is ~31 r7
+# rows + this round's additions; the full-refresh cycle stays ~2 rounds
+# at window 50 if catalog growth holds at ≤8/round.
 _WINDOW_PRIORITY = [
-    # — never driver-checked (round-9 additions, all local-replica green) —
-    "dedup_minhash_bucketed_probe",
-    "events_funnel_windowed",
-    "events_scd2_merge_delta",
-    "events_seasonal_anomaly",
-    "events_stickiness",
-    "graph_degree_assortativity",
-    "io_partitioned_prune",
-    "orders_basket_lift",
-    "streaming_minhash_probe",
+    # — never driver-checked (round-10 additions, judge-verified green) —
+    "dedup_winnowing_pairs",
+    "doc_winnowing",
+    "events_rfm_distributed",
+    "io_compact_small_files",
+    "io_orc_roundtrip",
+    "streaming_scd2_merge",
     # — upgraded after latest row —
-    "streaming_volume_anomaly",  # r7
+    "events_scd2_history",  # r8
     # — oldest-stale backfill —
-    "q22_dormant_customers",  # r5
-    "q8_market_share",  # r5
-    "q9_product_profit",  # r5
-    "quality_outlier_trim",  # r5
-    "quality_repetition",  # r5
-    "quality_scores",  # r5
-    "quality_zscore_by_lang",  # r5
-    "sample_stratified",  # r5
-    "streaming_stateful_counts",  # r5
-    "streaming_static_enrich",  # r5
-    "streaming_tumbling_hour",  # r5
-    "text_stats_by_lang",  # r5
-    "text_tfidf_topk",  # r5
-    "token_counts",  # r5
-    "token_pmi_bigrams",  # r5
-    "wordlist_extraction",  # r5
-    "wordscore_sentiment",  # r5
-    "agg_hll_sketch",  # r6
-    "ann_ivf_topk",  # r6
-    "ann_lsh_topk",  # r6
-    "ann_pq_topk",  # r6
-    "audit_referential",  # r6
-    "cap_per_source",  # r6
-    "corr_matrix",  # r6
-    "curate_corpus",  # r6
-    "curriculum_buckets",  # r6
-    "decontaminate_minhash",  # r6
-    "dedup_char_ngrams",  # r6
-    "dedup_cluster_canonical",  # r6
-    "dedup_cluster_stats",  # r6
-    "dedup_clusters",  # r6
-    "dedup_containment_prefix",  # r6
-    "dedup_embedding_cosine",  # r6
-    "dedup_exact",  # r6
-    "dedup_keep_best",  # r6
-    "dedup_simjoin_prefix",  # r6
-    "events_cdc_state",  # r6
-    "events_daily_rollup",  # r6
-    "events_daily_uniques_hll",  # r6
-    "events_rolling_distinct",  # r6
+    "events_rollup_incremental",  # r6
+    "fuzzy_lexicon_match",  # r6
+    "join_skew_salted",  # r6
+    "langid_char_ngram",  # r6
+    "multimodal_fingerprints",  # r6
+    "multimodal_phash_dedup",  # r6
+    "ngram_novelty",  # r6
+    "packing_efficiency",  # r6
+    "pii_redaction",  # r6
+    "quality_bigram_backoff",  # r6
+    "quantile_histogram_by_lang",  # r6
+    "quantile_histogram_sketch",  # r6
+    "search_boolean_and",  # r6
+    "search_phrase",  # r6
+    "skew_profile",  # r6
+    "streaming_conversions",  # r6
+    "streaming_dedup",  # r6
+    "streaming_hll_distinct",  # r6
+    "streaming_sliding_hour",  # r6
+    "token_cms_topk",  # r6
+    "token_counts_regex",  # r6
+    "token_pagerank",  # r6
+    "vocab_growth_curve",  # r6
+    "wordlist_extraction_scaled",  # r6
+    "zorder_layout",  # r6
+    "agg_by_month",  # r7
+    "agg_case_bucket",  # r7
+    "agg_cube",  # r7
+    "agg_global_stats",  # r7
+    "agg_grouping_sets",  # r7
+    "agg_having",  # r7
+    "agg_histogram",  # r7
+    "agg_percentiles",  # r7
+    "agg_pivot",  # r7
+    "agg_rollup",  # r7
+    "contrastive_pairs",  # r7
+    "corpus_token_entropy",  # r7
+    "dedup_incremental",  # r7
+    "dedup_incremental_bloom",  # r7
+    "dedup_jaccard_pairs",  # r7
+    "dedup_minhash_lsh",  # r7
+    "dedup_prefix",  # r7
+    "dedup_simhash",  # r7
 ]
 
 
