@@ -1375,7 +1375,7 @@ WITH t AS (
   FROM t WHERE len(l) >= {_WN_K}
 ), kg AS (
   SELECT doc_id, pos,
-         {_WN_HASH.replace('kg', f"array_to_string(l[pos:pos+{_WN_K - 1}], ' ')")} AS h
+         {_hexpoly(f"md5(array_to_string(l[pos:pos+{_WN_K - 1}], ' '))", 1, 12)} AS h
   FROM idx
 ), win AS (
   SELECT doc_id, pos, h,
@@ -1522,7 +1522,13 @@ def dedup_winnowing_pairs(spark, sf_dir):
     fp = track_persist(fp)
     hot = (fp.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
            .where(F.col("df") > 50).select("h"))
-    keep = track_persist(fp.join(F.broadcast(hot), "h", "left_anti"))
+    # No broadcast hint on the hot list: its size is bounded only by
+    # selected-fingerprints/50, which grows linearly with the corpus —
+    # at true scale a forced broadcast could exceed the driver/executor
+    # broadcast limit. AQE broadcasts it while its measured size fits
+    # (it does at every test SF) and falls back to a shuffled anti-join
+    # beyond that, which is the correct degradation.
+    keep = track_persist(fp.join(hot, "h", "left_anti"))
     nd = keep.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint")
                                     .alias("nfp"))
     a = keep.select(F.col("doc_id").alias("doc_a"), "h")

@@ -1389,16 +1389,21 @@ def _dist_quintile(scored, order_cols, score_name, n_part=16):
     w = Window.partitionBy("__pid").orderBy(*order_cols)
     q, rem = divmod(n, 5)
     head = rem * (q + 1)
-    r = F.col("__off") + F.row_number().over(w)
     # ntile(5) closed form over the global rank: the first `rem` buckets
-    # hold q+1 rows, the rest q. Ceilings as exact integer arithmetic;
-    # greatest() keeps the never-taken branch division-safe when n < 5.
-    bucket = (F.when(r <= head, F.floor((r + q) / (q + 1)))
-              .otherwise(rem + F.floor((r - head + q - 1)
-                                       / F.greatest(F.lit(q), F.lit(1)))))
+    # hold q+1 rows, the rest q. SQL `div` keeps every ceiling in BIGINT
+    # integer arithmetic (Spark's `/` is DOUBLE division, exact under
+    # floor() only while r + q < 2^53, which would silently weaken the
+    # provable-equivalence-to-ntile claim at extreme row counts); q, rem
+    # and head are driver-side Python ints, inlined as literals.
+    # max(q, 1) keeps the never-taken branch division-safe when n < 5.
+    bucket = (F.when(F.col("__r") <= head,
+                     F.expr(f"(__r + {q}) div {q + 1}"))
+              .otherwise(rem + F.expr(
+                  f"(__r - {head} + {q} - 1) div {max(q, 1)}")))
     return (d.join(F.broadcast(off_df), "__pid")
+            .withColumn("__r", F.col("__off") + F.row_number().over(w))
             .withColumn(score_name, bucket.cast("long"))
-            .drop("__pid", "__off"))
+            .drop("__pid", "__off", "__r"))
 
 
 @register("events_rfm_distributed", sql=RFM_SQL, tags=("events",))

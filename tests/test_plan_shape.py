@@ -494,11 +494,30 @@ def test_rfm_distributed_no_single_partition_window(spark):
     for line in windows:
         assert "__pid" in line, line
     assert plan.count("InMemoryTableScan") >= 3
-    # every SinglePartition exchange is the 1-row horizon scalar (it
-    # appears only inside the IdentityBroadcastMode subtree's lineage)
-    for i, line in enumerate(plan.splitlines()):
-        if "Exchange SinglePartition" in line:
-            assert "BroadcastExchange IdentityBroadcastMode" in plan, line
+    # every SinglePartition exchange is the 1-row horizon scalar: it must
+    # sit INSIDE an IdentityBroadcastMode broadcast subtree. Checked by
+    # walking the tree-art indentation up to the exchange's ancestors —
+    # a plan-wide substring test was vacuous (any broadcast anywhere
+    # satisfied it), letting a rogue global-window exchange slip through.
+    lines = plan.splitlines()
+
+    def _indent(s):
+        m = re.search(r"[A-Za-z]", s)
+        return m.start() if m else len(s)
+
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        cur = _indent(line)
+        in_broadcast = False
+        for j in range(i - 1, -1, -1):
+            if _indent(lines[j]) < cur:   # next ancestor up the tree
+                cur = _indent(lines[j])
+                if "BroadcastExchange IdentityBroadcastMode" in lines[j]:
+                    in_broadcast = True
+                    break
+        assert in_broadcast, f"single-partition exchange outside any " \
+                             f"scalar broadcast subtree: {line.strip()}"
 
 
 def test_winnowing_single_doc_shuffle(spark):
