@@ -625,10 +625,14 @@ def streaming_scd2_merge(spark, sf_dir):
     Oracle = the full rebuild (`SCD2_SQL` verbatim): over the finite
     availableNow source the final version must equal rebuilding from
     all events — the same equivalence `events_scd2_merge_delta` pins,
-    now through the streaming engine's trigger plumbing. The staged
-    delta is a single file, so availableNow delivers one batch;
-    a multi-batch deployment additionally requires batches to arrive
-    in event-time order (per-key ordering is what a CDC log gives you;
+    now through the streaming engine's trigger plumbing. The delta is
+    staged as THREE single-file segments in event-time order with
+    `maxFilesPerTrigger=1`, so availableNow delivers three ordered
+    micro-batches and batch N+1 genuinely reads the dimension version
+    batch N wrote — the version-chaining property is exercised, not
+    asserted by construction (tests/test_round10_queries.py pins the
+    version count). A multi-batch deployment requires exactly this
+    in-order arrival (per-key ordering is what a CDC log gives you;
     the merge itself handles any order WITHIN a batch via its windows).
 
     Scale: per batch, work is `_scd2_merge`'s — delta-sized windows, a
@@ -637,6 +641,9 @@ def streaming_scd2_merge(spark, sf_dir):
     streaming state is the checkpoint offsets only, since the dimension
     itself IS the sink. Reference parity: witlox/spark_sentiment has no
     temporal surface; extension per SURVEY §7.4."""
+    import glob
+    import os
+    import shutil
     import tempfile
 
     ev = load(spark, sf_dir, "events")
@@ -644,7 +651,10 @@ def streaming_scd2_merge(spark, sf_dir):
                     F.max(F.unix_millis("ts"))).first()
     if lo is None:  # empty source: degenerate cutoff, both halves empty
         lo = hi = 0
-    cutoff = F.timestamp_millis(F.lit(lo + (hi - lo) * 7 // 10))
+    # 70% cutoff for the historical dimension; the remaining 30% splits
+    # at the 80%/90% marks into three event-time-ordered delta segments.
+    cuts = [lo + (hi - lo) * k // 10 for k in (7, 8, 9)]
+    cutoff = F.timestamp_millis(F.lit(cuts[0]))
 
     hist_dim = _scd2_dim(ev.where(F.col("ts") < cutoff))
     dim_base = track_staging_dir(tempfile.mkdtemp(prefix="scd2stream_dim_"))
@@ -653,14 +663,35 @@ def streaming_scd2_merge(spark, sf_dir):
     hist_dim.write.mode("overwrite").parquet(state["latest"])
     dim_schema = hist_dim.schema
 
+    # Stage each segment as one parquet file with ascending names AND
+    # mtimes: the file source (latestFirst=false) admits oldest-mtime
+    # files first, so capping at one file per trigger replays the CDC
+    # log's in-order delivery. Empty segments write no part file (and
+    # therefore no batch) — degenerate inputs just chain fewer versions.
+    delta = ev.where(F.col("ts") >= cutoff)
+    stream_dir = track_staging_dir(
+        tempfile.mkdtemp(prefix="scd2stream_delta_"))
+    seg_lo, mtime = cuts[0], 1_000_000_000
+    for i, seg_hi in enumerate(cuts[1:] + [hi + 1]):
+        seg = delta.where((F.unix_millis("ts") >= seg_lo)
+                          & (F.unix_millis("ts") < seg_hi))
+        tmp = track_staging_dir(tempfile.mkdtemp(prefix="scd2stream_seg_"))
+        seg.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for part in glob.glob(f"{tmp}/part-*.parquet"):
+            target = f"{stream_dir}/seg{i}.parquet"
+            shutil.move(part, target)
+            os.utime(target, (mtime + i * 100, mtime + i * 100))
+        seg_lo = seg_hi
+
     def merge_batch(df, batch_id):
         cur = spark.read.schema(dim_schema).parquet(state["latest"])
         nxt = f"{dim_base}/v{batch_id + 1}"
         _scd2_merge(cur, df).write.mode("overwrite").parquet(nxt)
         state["latest"] = nxt
 
-    delta_stream = read_event_stream(spark, sf_dir).where(
-        F.col("ts") >= cutoff)
+    delta_stream = (spark.readStream.schema(delta.schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(stream_dir))
     q = (delta_stream.writeStream
          .foreachBatch(merge_batch)
          .option("checkpointLocation", ckpt)

@@ -128,9 +128,12 @@ def test_streaming_scd2_merge_equals_batch_history(spark):
 
 
 def test_streaming_scd2_merge_writes_versioned_dimension(spark):
-    """The sink contract: v0 (the pre-stream dimension) and at least one
-    merged version exist side by side — replay safety comes from each
-    batch owning its version directory."""
+    """The sink contract AND the version chain: the delta is staged as
+    three event-time-ordered files at one file per trigger, so the full
+    fixture must produce exactly v0 (the pre-stream dimension) plus
+    THREE merged versions — batch N+1 reading batch N's output is
+    thereby exercised on real data, not asserted by construction.
+    Replay safety comes from each batch owning its version directory."""
     import glob
 
     from spark_sentiment_spark.plans import registry
@@ -144,7 +147,7 @@ def test_streaming_scd2_merge_writes_versioned_dimension(spark):
     assert new_dirs, "dimension staging dir not tracked"
     versions = sorted(os.path.basename(p)
                       for p in glob.glob(new_dirs[-1] + "/v*"))
-    assert versions[0] == "v0" and len(versions) >= 2, versions
+    assert versions == ["v0", "v1", "v2", "v3"], versions
 
 
 def _winnow_reference(tokens, k=3, w=4):
