@@ -165,6 +165,11 @@ PROBES = {
     "io_compact_small_files": {"events": ["user_id"]},
     "io_orc_roundtrip": {"documents": ["doc_id"]},
     "doc_winnowing": {"documents": ["doc_id"]},
+    # round-11 additions. The stickiness swap pair is the headline: the
+    # exact range-join form (above) scales with 28 x user-days while the
+    # HLL form's window merge scales with 28 x |days| x 256 — the two
+    # slopes side by side ARE the certification.
+    "events_stickiness_hll": {"events": ["user_id"]},
 }
 
 

@@ -1155,3 +1155,132 @@ def io_compact_small_files(spark, sf_dir):
             .withColumn("files_before", F.lit(n_before).cast("bigint"))
             .withColumn("files_after", F.lit(n_after).cast("bigint"))
             .orderBy("event_type"))
+
+
+# --- DAU / MAU stickiness from mergeable per-day HLL partials ----------------
+
+STICKINESS_HLL_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+), keyed AS (
+  SELECT d, user_id, md5(CAST(user_id AS VARCHAR)) AS h FROM ud
+), daypart AS (
+  SELECT d, {_HLL_BUCKET} AS bucket, max({_HLL_RHO}) AS mj
+  FROM keyed GROUP BY 1, 2
+), days AS (SELECT DISTINCT d FROM ud),
+mau_part AS (
+  SELECT g.d AS d, p.bucket, max(p.mj) AS mj
+  FROM days g JOIN daypart p
+    ON p.d <= g.d AND p.d > g.d - INTERVAL 28 DAY
+  GROUP BY 1, 2
+), mau_sk AS (
+  SELECT d, CAST(sum({_HLL_POW2}) AS BIGINT)
+            + ({_HLL_M} - count(*)) * {2 ** (_HLL_BITS + 1)} AS s_mau
+  FROM mau_part GROUP BY d
+), dau_sk AS (
+  SELECT d, CAST(sum({_HLL_POW2}) AS BIGINT)
+            + ({_HLL_M} - count(*)) * {2 ** (_HLL_BITS + 1)} AS s_dau
+  FROM daypart GROUP BY d
+), dau_exact AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY d
+)
+SELECT strftime(e.d, '%Y-%m-%d') AS day, e.dau,
+       CAST(floor({_HLL_A} / CAST(ds.s_dau AS DOUBLE) * 100) AS BIGINT)
+         AS dau_est_cents,
+       CAST(floor({_HLL_A} / CAST(ms.s_mau AS DOUBLE) * 100) AS BIGINT)
+         AS mau_est_cents,
+       CAST(floor(CAST(ms.s_mau AS DOUBLE) / CAST(ds.s_dau AS DOUBLE)
+                  * 1000000.0) AS BIGINT) AS stickiness_est_ppm
+FROM dau_exact e
+JOIN dau_sk ds ON e.d = ds.d
+JOIN mau_sk ms ON e.d = ms.d
+ORDER BY day
+"""
+
+
+def _stickiness_hll_core(ud):
+    """(day, dau, dau_est_cents, mau_est_cents, stickiness_est_ppm) from a
+    distinct (d: timestamp day, user_id) frame — split out so the accuracy
+    pin can drive it with a constructed HLL-range corpus
+    (tests/test_round11_queries.py) while the registered query feeds it
+    the events table."""
+    keyed = ud.withColumn("h", F.md5(F.col("user_id").cast("string")))
+    daypart = track_persist(
+        keyed.select("d", F.expr(_HLL_BUCKET).alias("bucket"),
+                     F.expr(_HLL_RHO).alias("rho"))
+        .groupBy("d", "bucket").agg(F.max("rho").alias("mj")))
+    days = daypart.select("d").distinct()
+    mau_part = (days.alias("g")
+                .join(daypart.alias("p"),
+                      (F.col("p.d") <= F.col("g.d"))
+                      & (F.col("p.d") > F.col("g.d")
+                         - F.expr("INTERVAL 28 DAY")))
+                .groupBy(F.col("g.d").alias("d"), "bucket")
+                .agg(F.max("mj").alias("mj")))
+
+    def sk(parts, name):
+        return parts.groupBy("d").agg(
+            (F.sum(F.expr(_HLL_POW2)).cast("bigint")
+             + (F.lit(_HLL_M) - F.count(F.lit(1)))
+             * F.lit(2 ** (_HLL_BITS + 1))).alias(name))
+
+    mau_sk = sk(mau_part, "s_mau")
+    dau_sk = sk(daypart, "s_dau")
+    dau_exact = ud.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau"))
+    a = F.lit(float(_HLL_A))
+    # stickiness = (A/s_dau)/(A/s_mau) = s_mau/s_dau; BIGINT ppm would
+    # overflow (s <= 256 * 2^41 = 2^49, x 10^6 > 2^63), so this is the
+    # floor-of-identical-DOUBLEs recipe: one IEEE division and one IEEE
+    # multiply on identical operands, correctly rounded in both engines.
+    ratio = F.col("s_mau").cast("double") / F.col("s_dau").cast("double")
+    return (dau_exact.join(dau_sk, "d").join(mau_sk, "d")
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "dau",
+                    F.floor(a / F.col("s_dau").cast("double") * 100)
+                    .cast("bigint").alias("dau_est_cents"),
+                    F.floor(a / F.col("s_mau").cast("double") * 100)
+                    .cast("bigint").alias("mau_est_cents"),
+                    F.floor(ratio * F.lit(1000000.0)).cast("bigint")
+                    .alias("stickiness_est_ppm"))
+            .orderBy("day"))
+
+
+@register("events_stickiness_hll", sql=STICKINESS_HLL_SQL,
+          tags=("sketch", "events"))
+def events_stickiness_hll(spark, sf_dir):
+    """DAU / trailing-28-day-MAU stickiness from MERGEABLE per-day HLL
+    partials — the certified scale swap for `events_stickiness`, whose
+    exact range join costs 28 x user-days (its x8 slope, 3.2x, is the
+    steepest in SCALING.md precisely because that term scales with raw
+    user activity). Here the fact table collapses once to per-day
+    (day, bucket, max rho) partials — |days| x 256 small integers,
+    independent of user count — and each day's trailing-28 MAU sketch is
+    a max-merge of <= 28 partials: the range join now fans out
+    28 x |days| x 256 bounded rows instead of 28 x user-days, the same
+    two-tier design as `events_sliding_users_hll`. DAU is estimated from
+    the SAME partials for free, with the exact per-day DAU riding along
+    as the error measurement (the cheap side; the expensive exact MAU is
+    exactly what this form exists to avoid).
+
+    Exactness: bit-reproducible md5-HLL (integer registers, CASE power
+    table), so the DuckDB twin REPLAYS every estimate; the stickiness
+    ratio (A/s_dau)/(A/s_mau) reduces to s_mau/s_dau, emitted via the
+    floor-of-identical-doubles recipe because ppm in BIGINT would
+    overflow at s <= 2^49. Fixture caveat, as for the whole HLL family:
+    per-day cardinalities at test SFs sit far below the raw estimator's
+    2.5m knee, so estimates there are in the documented biased-high
+    range — the driver check is the exact replay; ACCURACY of the swap
+    (est within tolerance of the exact range-join stickiness) is pinned
+    in tests/test_round11_queries.py on a constructed corpus with
+    HLL-range cardinalities (thousands of users/day), where the shared
+    partials also correlate the DAU/MAU errors and tighten the ratio.
+
+    Scale: one distinct (user, day) pass, one partial-building hash agg,
+    then day-count-bounded work; partials are reusable across any
+    trailing window length and merge across executors/micro-batches by
+    the same max(). Reference parity: witlox/spark_sentiment has no
+    temporal surface; extension per SURVEY §7.4."""
+    ev = load(spark, sf_dir, "events")
+    ud = (ev.select(F.date_trunc("day", "ts").alias("d"), "user_id")
+          .distinct())
+    return _stickiness_hll_core(ud)

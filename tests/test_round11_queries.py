@@ -1,0 +1,93 @@
+"""Round-11 additions. Each query has an exact DuckDB oracle
+(driver-routed); these tests pin what the oracle can't see — the
+ACCURACY of the HLL stickiness swap on a corpus with HLL-range
+cardinalities (the fixture's tiny per-day user counts sit in the raw
+estimator's documented biased range, so accuracy there is meaningless
+by construction), and the trailing-window merge's exact equality to a
+from-scratch sketch of each window's union set."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _synthetic_ud(spark, n_days=45, dau=3000, drift=50):
+    """Distinct (d, user_id) frame with known exact DAU/MAU: day i is
+    active for users [i*drift, i*drift + dau), so DAU = dau exactly and
+    trailing-28-day MAU(i) = dau + drift * min(i, 27) in closed form —
+    thousands of users/day, inside the raw HLL estimator's valid range
+    (past the 2.5m = 640 knee for m = 256)."""
+    days = spark.range(n_days).select(
+        F.expr("timestamp(date_add(date '2024-01-01', cast(id as int)))")
+        .alias("d"),
+        F.col("id").alias("i"))
+    return days.select(
+        "d", F.explode(
+            F.expr(f"sequence(i*{drift}, i*{drift} + {dau - 1})"))
+        .alias("user_id"))
+
+
+def test_stickiness_hll_accuracy_in_valid_range(spark):
+    """The certified-swap pin: on an HLL-range corpus the sketched
+    stickiness must track the exact closed-form stickiness within the
+    estimator's error envelope. Deterministic (md5 hashing, fixed
+    corpus): measured max rel err 0.076 / median 0.036, pinned at 2x
+    headroom. The ratio beats its own ingredients (dau_est errs up to
+    0.138) because DAU and MAU sketches share per-day partials, which
+    correlates — and partially cancels — their errors."""
+    from spark_sentiment_spark.plans.sketch_queries import (
+        _stickiness_hll_core)
+
+    dau, drift = 3000, 50
+    out = _stickiness_hll_core(_synthetic_ud(spark, 45, dau, drift)) \
+        .collect()
+    assert len(out) == 45
+    errs = []
+    for i, r in enumerate(out):
+        assert r["dau"] == dau  # the exact rider
+        exact = dau / (dau + drift * min(i, 27))
+        est = r["stickiness_est_ppm"] / 1e6
+        errs.append(abs(est / exact - 1))
+    errs.sort()
+    assert max(errs) < 0.15, max(errs)
+    assert errs[len(errs) // 2] < 0.08, errs[len(errs) // 2]
+
+
+def test_stickiness_hll_window_merge_is_exact(spark):
+    """Mergeability on the trailing window: max-merging <= 28 per-day
+    partials must give BIT-IDENTICAL registers (hence identical s and
+    estimates) to sketching each window's union set from scratch — the
+    property that makes the partials reusable across window lengths,
+    rollups, and micro-batches. Pinned on the synthetic corpus where
+    windows genuinely overlap and drift."""
+    from spark_sentiment_spark.plans.sketch_queries import (
+        _HLL_BITS, _HLL_BUCKET, _HLL_M, _HLL_RHO, _HLL_POW2,
+        _stickiness_hll_core)
+
+    ud = _synthetic_ud(spark, 20, 500, 100)
+    merged = {r["day"]: r["mau_est_cents"]
+              for r in _stickiness_hll_core(ud).collect()}
+
+    # from-scratch: explode each user-day to every window it feeds,
+    # then one direct HLL per window over the union set
+    g = ud.select(F.col("d").alias("ud_d"), "user_id").alias("u").join(
+        ud.select("d").distinct().alias("g"),
+        (F.col("ud_d") <= F.col("g.d"))
+        & (F.col("ud_d") > F.col("g.d") - F.expr("INTERVAL 28 DAY")))
+    keyed = g.select(F.col("g.d").alias("d"), "user_id").distinct() \
+        .withColumn("h", F.md5(F.col("user_id").cast("string")))
+    buckets = (keyed.select("d", F.expr(_HLL_BUCKET).alias("bucket"),
+                            F.expr(_HLL_RHO).alias("rho"))
+               .groupBy("d", "bucket").agg(F.max("rho").alias("mj")))
+    from spark_sentiment_spark.plans.sketch_queries import _HLL_A
+    direct = {r["day"]: r["mau_direct_cents"] for r in (
+        buckets.groupBy("d").agg(
+            (F.sum(F.expr(_HLL_POW2)).cast("bigint")
+             + (F.lit(_HLL_M) - F.count(F.lit(1)))
+             * F.lit(2 ** (_HLL_BITS + 1))).alias("s"))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                F.floor(F.lit(float(_HLL_A))
+                        / F.col("s").cast("double") * 100)
+                .cast("bigint").alias("mau_direct_cents"))).collect()}
+    assert merged == direct
