@@ -170,6 +170,10 @@ PROBES = {
     # HLL form's window merge scales with 28 x |days| x 256 — the two
     # slopes side by side ARE the certification.
     "events_stickiness_hll": {"events": ["user_id"]},
+    # third RFM form: no rank over users — slope should track the
+    # per-user hash agg, flatter than the distributed form's 3 range
+    # shuffles (the m-axis freq table grows with users; documented)
+    "events_rfm_cutpoints": {"events": ["user_id"]},
 }
 
 

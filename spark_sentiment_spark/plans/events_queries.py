@@ -1454,6 +1454,143 @@ def events_rfm_distributed(spark, sf_dir):
             .orderBy("user_id"))
 
 
+def _cut_block(name: str, col: str, desc: bool) -> str:
+    """DuckDB CTE chain for one axis's quintile cutpoints from its
+    frequency table: cum counts in score order, targets at the ntile
+    bucket boundaries i*(n div 5) + least(i, n mod 5), cutpoint = first
+    value (in score order) whose cum reaches the target."""
+    direction = "DESC" if desc else ""
+    pick = "max" if desc else "min"
+    return f"""{name}_freq AS (
+  SELECT {col} AS v, CAST(count(*) AS BIGINT) AS c FROM scored GROUP BY 1
+), {name}_cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v {direction} ROWS UNBOUNDED PRECEDING)
+           AS cum
+  FROM {name}_freq
+), {name}_cuts AS (
+  SELECT i, {pick}(v) AS cut
+  FROM {name}_cum
+  CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS i) g
+  CROSS JOIN nrow
+  WHERE cum >= i * (n // 5) + least(i, n % 5)
+  GROUP BY i
+), {name}_scored AS (
+  SELECT s.user_id, CAST(1 + count(k.cut) AS BIGINT) AS {name}_score
+  FROM scored s LEFT JOIN {name}_cuts k
+    ON s.{col} {"<" if desc else ">"} k.cut
+  GROUP BY s.user_id
+)"""
+
+
+RFM_CUTPOINT_SQL = f"""
+WITH mx AS (SELECT max(ts) AS tmax FROM events),
+per_user AS (
+  SELECT user_id, max(ts) AS umax,
+         count(*) AS f_events,
+         sum(CAST(floor(value * 10000) AS BIGINT)) AS m_e4
+  FROM events GROUP BY user_id
+), scored AS (
+  SELECT user_id,
+         CAST((epoch_ms((SELECT tmax FROM mx)) - epoch_ms(umax)) // 86400000
+              AS BIGINT) AS r_days,
+         CAST(f_events AS BIGINT) AS f_events,
+         CAST(m_e4 AS BIGINT) AS m_e4
+  FROM per_user
+), nrow AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+{_cut_block('r', 'r_days', desc=False)},
+{_cut_block('f', 'f_events', desc=True)},
+{_cut_block('m', 'm_e4', desc=True)}
+SELECT s.user_id, s.r_days, s.f_events, s.m_e4,
+       r_scored.r_score, f_scored.f_score, m_scored.m_score
+FROM scored s
+JOIN r_scored USING (user_id)
+JOIN f_scored USING (user_id)
+JOIN m_scored USING (user_id)
+ORDER BY s.user_id
+"""
+
+
+def _cutpoint_quintile(scored, colname, score_name, descending=False):
+    """Quintile scores from 4 broadcast CUTPOINT values instead of a
+    rank pass: one hash agg to the axis's frequency table, a cum-count
+    window over DISTINCT VALUES (not users), the 4 boundary values at
+    the exact ntile bucket-size targets, then score = 1 + cutpoints
+    passed via a 4-row broadcast join. Ties NEVER straddle buckets:
+    equal values always share a score (ntile splits them by the
+    tiebreak), which is the semantics most RFM dashboards actually
+    want; on distinct-valued axes this is provably identical to
+    ntile(5) with the same targets
+    (tests/test_round11_queries.py pins both properties)."""
+    spark = scored.sparkSession
+    freq = scored.groupBy(F.col(colname).alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"))
+    order = F.desc("v") if descending else F.asc("v")
+    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    cum = freq.select("v", F.sum("c").over(w).alias("cum"))
+    nrow = scored.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    grid = spark.range(1, 5).select(F.col("id").alias("i"))
+    pick = F.max("v") if descending else F.min("v")
+    cuts = (cum.crossJoin(F.broadcast(nrow))
+            .crossJoin(F.broadcast(grid))
+            .where(F.col("cum")
+                   >= F.expr("i * (n div 5) + least(i, n % 5)"))
+            .groupBy("i").agg(pick.alias("cut")))
+    cond = (F.col(colname) < F.col("cut") if descending
+            else F.col(colname) > F.col("cut"))
+    return (scored.join(F.broadcast(cuts), cond, "left")
+            .groupBy(*scored.columns)
+            .agg((F.lit(1) + F.count("cut")).cast("long")
+                 .alias(score_name)))
+
+
+@register("events_rfm_cutpoints", sql=RFM_CUTPOINT_SQL, tags=("events",))
+def events_rfm_cutpoints(spark, sf_dir):
+    """The CHEAP third RFM form — quintiles from percentile CUTPOINTS,
+    completing the triad: `events_rfm_scores` (global ntile, the
+    semantics), `events_rfm_distributed` (exact at scale, one range
+    shuffle + parallel rank per axis), and this (no rank over users at
+    all). Per axis: one hash agg to the frequency table, a cumulative
+    window over DISTINCT VALUES, the 4 boundary values at the exact
+    ntile bucket-size targets i*(n div 5) + least(i, n mod 5), and a
+    4-row broadcast join back — the production pattern when scores may
+    be tie-stable instead of exactly-equal-sized (equal values always
+    share a score; ntile splits tie runs by its tiebreak to equalize
+    bucket counts). On distinct-valued axes the two semantics coincide
+    exactly — pinned in tests/test_round11_queries.py on seeded
+    corpora, with the tie-stability property pinned separately.
+
+    Scale: the user table is never rank-sorted — per axis the heavy
+    work is one partial+final hash agg to |distinct values| rows. For
+    recency (days) and frequency (counts) that is a few thousand rows
+    at ANY corpus size, so the cum window's single partition is
+    control-plane-sized; for a near-continuous monetary axis the
+    frequency table approaches |users| and the right move is to
+    pre-bucket m_e4 (losing sub-bucket boundaries) or use the exact
+    distributed form — the documented trade of this family. Per-user
+    aggregation is restated rather than shared with the twins, so no
+    certified source drifts when another changes."""
+    ev = load(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("tmax"))
+    per_user = (ev.groupBy("user_id")
+                .agg(F.max("ts").alias("umax"),
+                     F.count(F.lit(1)).cast("bigint").alias("f_events"),
+                     F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
+                     .cast("bigint").alias("m_e4")))
+    scored = (per_user.crossJoin(F.broadcast(mx))
+              .withColumn("r_days",
+                          F.expr("(unix_millis(tmax) - unix_millis(umax))"
+                                 " div 86400000"))
+              .select("user_id", F.col("r_days").cast("bigint")
+                      .alias("r_days"), "f_events", "m_e4"))
+    out = _cutpoint_quintile(scored, "r_days", "r_score")
+    out = _cutpoint_quintile(out, "f_events", "f_score", descending=True)
+    out = _cutpoint_quintile(out, "m_e4", "m_score", descending=True)
+    return (out.select("user_id", "r_days", "f_events", "m_e4",
+                       "r_score", "f_score", "m_score")
+            .orderBy("user_id"))
+
+
 # --- Inter-arrival gap percentiles per event type ---------------------------
 
 GAP_PCT_SQL = """

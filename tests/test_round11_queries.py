@@ -91,3 +91,58 @@ def test_stickiness_hll_window_merge_is_exact(spark):
                         / F.col("s").cast("double") * 100)
                 .cast("bigint").alias("mau_direct_cents"))).collect()}
     assert merged == direct
+
+
+def _quintiles_frame(spark, values):
+    rows = [(i, v) for i, v in enumerate(values)]
+    return spark.createDataFrame(rows, "user_id long, v long")
+
+
+@pytest.mark.parametrize("n", [1, 3, 5, 7, 23, 100, 101, 104])
+def test_cutpoint_quintile_equals_ntile_on_distinct(spark, n):
+    """On distinct-valued axes the cutpoint form is provably identical
+    to ntile(5): the targets i*(n div 5) + least(i, n mod 5) are exactly
+    ntile's bucket boundaries, and with no ties 'first value whose cum
+    reaches the target' is the value AT that rank. Seeded shuffled
+    distinct values, both directions, every n mod 5 residue."""
+    import random
+
+    from pyspark.sql.window import Window
+    from spark_sentiment_spark.plans.events_queries import (
+        _cutpoint_quintile)
+
+    rng = random.Random(11 * n)
+    values = rng.sample(range(10 * n + 7), n)
+    df = _quintiles_frame(spark, values)
+    for descending in (False, True):
+        order = F.desc("v") if descending else F.asc("v")
+        got = {r["user_id"]: r["s"] for r in _cutpoint_quintile(
+            df, "v", "s", descending=descending).collect()}
+        want = {r["user_id"]: r["s"] for r in df.select(
+            "user_id", F.ntile(5).over(Window.orderBy(order))
+            .cast("long").alias("s")).collect()}
+        assert got == want, (n, descending)
+
+
+def test_cutpoint_quintile_is_tie_stable(spark):
+    """The semantics ntile can't give: equal values ALWAYS share a
+    score (ntile splits tie runs by its tiebreak to equalize buckets).
+    Duplicate-heavy seeded corpus; also pins monotonicity (bigger value
+    never gets a lower ascending score) and the 1..5 range."""
+    import random
+
+    from spark_sentiment_spark.plans.events_queries import (
+        _cutpoint_quintile)
+
+    rng = random.Random(1107)
+    values = [rng.randrange(12) for _ in range(400)]
+    out = _cutpoint_quintile(_quintiles_frame(spark, values),
+                             "v", "s").collect()
+    by_value = {}
+    for r in out:
+        v = values[r["user_id"]]
+        by_value.setdefault(v, set()).add(r["s"])
+        assert 1 <= r["s"] <= 5
+    assert all(len(s) == 1 for s in by_value.values()), by_value
+    ordered = [next(iter(by_value[v])) for v in sorted(by_value)]
+    assert ordered == sorted(ordered), ordered
