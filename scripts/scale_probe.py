@@ -169,6 +169,10 @@ PROBES = {
     # exact range-join form (above) scales with 28 x user-days while the
     # HLL form's window merge scales with 28 x |days| x 256 — the two
     # slopes side by side ARE the certification.
+    # dedup_winnowing_incremental is NOT probed (pair-emitting —
+    # identical-text replication grows its output x k² by construction,
+    # the documented artifact class shared with dedup_winnowing_pairs;
+    # doc_winnowing carries the family's selection slope).
     "events_stickiness_hll": {"events": ["user_id"]},
     # third RFM form: no rank over users — slope should track the
     # per-user hash agg, flatter than the distributed form's 3 range

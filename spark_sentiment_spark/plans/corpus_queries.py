@@ -1546,3 +1546,87 @@ def dedup_winnowing_pairs(spark, sf_dir):
                            " - n_shared)").cast("bigint")
                     .alias("overlap_ppm"))
             .orderBy("doc_a", "doc_b"))
+
+
+WINNOW_INCR_SQL = _WINNOW_CTE + """
+, fp AS (
+  SELECT DISTINCT doc_id, h FROM sel WHERE s = 1
+), hot AS (
+  SELECT h FROM fp GROUP BY h HAVING count(*) > 50
+), keepfp AS (
+  SELECT doc_id, h FROM fp WHERE h NOT IN (SELECT h FROM hot)
+), pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM keepfp a JOIN keepfp b ON a.h = b.h AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 5 = 4 OR b.doc_id % 5 = 4
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       CAST(CASE WHEN doc_a % 5 = 4 AND doc_b % 5 = 4 THEN 0 ELSE 1 END
+            AS BIGINT) AS vs_corpus
+FROM pr WHERE n_shared >= 2
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_winnowing_incremental", sql=WINNOW_INCR_SQL,
+          tags=("dedup", "text", "pipeline"))
+def dedup_winnowing_incremental(spark, sf_dir):
+    """Incremental WINNOWING near-dup — the growing-corpus shape for the
+    MOSS fingerprint family, mirroring `dedup_incremental_minhash`'s
+    triad role: the persisted artifact is the corpus's selected-
+    fingerprint index (doc_id, h); an incoming batch (the doc_id%5==4
+    slice, the family's delta convention) winnows ITS documents only —
+    selection is doc-local, so batch fingerprints are computed without
+    touching history — probes the index on the 48-bit fingerprint value
+    for new-vs-old pairs, and self-joins its own fingerprints for
+    new-vs-new. Old-vs-old pairs are never regenerated: per-batch work
+    is O(batch fingerprints x capped df), independent of corpus size.
+    Output = pairs sharing >= 2 selected fingerprints that TOUCH the
+    batch, with a vs_corpus flag (1 = partner already ingested).
+
+    The df > 50 boilerplate cap is computed over index + batch together
+    (production keeps per-fingerprint df counts with the index and
+    updates them on append), so the incremental pair set provably
+    equals `dedup_winnowing_pairs`' full-corpus output restricted to
+    batch-touching pairs — pinned in tests/test_round11_queries.py and
+    replayed bit-for-bit by the shared `_WINNOW_CTE` oracle with the
+    same restriction. No broadcast hint on the hot list (it grows
+    linearly with the corpus; AQE broadcasts while it fits).
+
+    Scale: at 100 TB the index is bucketed on h, so the probe join is
+    shuffle-free on the corpus side each batch — only batch
+    fingerprints shuffle; the cap bounds join fan-out at df^2 <= 2500
+    per fingerprint, and appends never rewrite the index."""
+    docs = load(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 5 == 4
+    fp_new = track_persist(
+        _winnow_selected(docs.where(is_new))
+        .where(F.col("s") == 1).select("doc_id", "h").distinct())
+    fp_old = track_persist(
+        _winnow_selected(docs.where(~is_new))
+        .where(F.col("s") == 1).select("doc_id", "h").distinct())
+    hot = (fp_new.unionByName(fp_old)
+           .groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+           .where(F.col("df") > 50).select("h"))
+    keep_new = fp_new.join(hot, "h", "left_anti")
+    keep_old = fp_old.join(hot, "h", "left_anti")
+    nw, od = keep_new.alias("nw"), keep_old.alias("od")
+    cross = (nw.join(od, F.col("nw.h") == F.col("od.h"))
+             .select(F.least("nw.doc_id", "od.doc_id").alias("doc_a"),
+                     F.greatest("nw.doc_id", "od.doc_id").alias("doc_b")))
+    na, nb = keep_new.alias("na"), keep_new.alias("nb")
+    intra = (na.join(nb, (F.col("na.h") == F.col("nb.h"))
+                     & (F.col("na.doc_id") < F.col("nb.doc_id")))
+             .select(F.col("na.doc_id").alias("doc_a"),
+                     F.col("nb.doc_id").alias("doc_b")))
+    return (cross.unionByName(intra)
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+            .where(F.col("n_shared") >= 2)
+            .select("doc_a", "doc_b", "n_shared",
+                    F.when((F.col("doc_a") % 5 == 4)
+                           & (F.col("doc_b") % 5 == 4), 0)
+                    .otherwise(1).cast("long").alias("vs_corpus"))
+            .orderBy("doc_a", "doc_b"))

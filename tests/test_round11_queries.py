@@ -146,3 +146,21 @@ def test_cutpoint_quintile_is_tie_stable(spark):
     assert all(len(s) == 1 for s in by_value.values()), by_value
     ordered = [next(iter(by_value[v])) for v in sorted(by_value)]
     assert ordered == sorted(ordered), ordered
+
+
+def test_winnowing_incremental_equals_restricted_batch(spark):
+    """The incremental contract, the same equivalence the MinHash triad
+    pins: because fingerprint selection is doc-local and the df cap is
+    computed over index + batch together, the incremental pair set must
+    equal the full-corpus `dedup_winnowing_pairs` output restricted to
+    pairs touching the batch slice — same pairs, same n_shared."""
+    from spark_sentiment_spark.plans.corpus_queries import (
+        dedup_winnowing_incremental, dedup_winnowing_pairs)
+
+    incr = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+            for r in dedup_winnowing_incremental(spark, SF_DIR).collect()}
+    batch = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+             for r in dedup_winnowing_pairs(spark, SF_DIR).collect()
+             if r["doc_a"] % 5 == 4 or r["doc_b"] % 5 == 4}
+    assert incr == batch
+    assert incr, "fixture produced no batch-touching pairs"
