@@ -708,3 +708,122 @@ def streaming_scd2_merge(spark, sf_dir):
                        F.col("valid_to").isNull().cast("long")
                        .alias("is_current"))
             .orderBy("user_id", "version"))
+
+
+from spark_sentiment_spark.plans.corpus_queries import (  # noqa: E402
+    _WINNOW_CTE, _winnow_selected)
+
+WINNOW_STREAM_SQL = _WINNOW_CTE + """
+, fp AS (
+  SELECT DISTINCT doc_id, h FROM sel WHERE s = 1
+), fp_old AS (
+  SELECT doc_id, h FROM fp WHERE doc_id % 5 <> 4
+), hot AS (
+  SELECT h FROM fp_old GROUP BY h HAVING count(*) > 50
+), keep_old AS (
+  SELECT doc_id, h FROM fp_old WHERE h NOT IN (SELECT h FROM hot)
+), fp_new AS (
+  SELECT doc_id, h FROM fp WHERE doc_id % 5 = 4
+)
+SELECT least(n.doc_id, o.doc_id) AS doc_a,
+       greatest(n.doc_id, o.doc_id) AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fp_new n JOIN keep_old o ON n.h = o.h
+GROUP BY 1, 2
+HAVING count(*) >= 2
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("streaming_winnowing_probe", sql=WINNOW_STREAM_SQL,
+          tags=("streaming", "dedup", "text"))
+def streaming_winnowing_probe(spark, sf_dir):
+    """Streaming consumer of the winnowing index — completes the
+    family's batch / incremental / streaming triad
+    (`dedup_winnowing_pairs` → `dedup_winnowing_incremental` → this),
+    the same arc the MinHash family walked: the corpus's selected-
+    fingerprint index is the static side (boilerplate cap applied at
+    INDEX-build time — the hot list is a corpus artifact, so probes
+    are independent of delta batch boundaries, unlike the incremental
+    form's index+batch df cap); new documents (doc_id % 5 == 4) arrive
+    as a file stream staged as TWO files at one file per trigger, and
+    each micro-batch winnows ITS documents (selection is doc-local —
+    every row is a complete document, so any batch split is safe),
+    probes the index on the 48-bit fingerprint, and appends its
+    new-vs-old pairs to a batch_id-partitioned sink (exactly-once by
+    overwrite-per-batch; each pair has exactly one new doc, so no pair
+    spans batches and the union needs no dedup).
+
+    Winnowing selection uses lag/lead windows, which Structured
+    Streaming cannot run inside a streaming plan — `foreachBatch` gives
+    each micro-batch full batch semantics, the same route as
+    `streaming_scd2_merge`. Oracle: the shared `_WINNOW_CTE` chain with
+    index-side cap and the new-vs-old restriction, replayed bit-for-bit
+    over the finite availableNow source regardless of how the delta was
+    batched.
+
+    Scale: per batch, work is batch fingerprints x capped index df
+    (<= 50 per fingerprint); the index side is bucketed-table-sized
+    state on disk, never streaming state. Reference parity:
+    witlox/spark_sentiment has no streaming surface; extension per
+    SURVEY §7.4."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    is_new = F.col("doc_id") % 5 == 4
+    fp_old = (_winnow_selected(docs.where(~is_new))
+              .where(F.col("s") == 1).select("doc_id", "h").distinct())
+    hot = (fp_old.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+           .where(F.col("df") > 50).select("h"))
+    from spark_sentiment_spark.plans.registry import track_persist
+    index = track_persist(fp_old.join(hot, "h", "left_anti"))
+
+    # Stage the delta as two files (split by doc_id mod 10) delivered
+    # one per trigger — two genuine micro-batches, pinning that batch
+    # boundaries cannot change the pair set.
+    new_docs = docs.where(is_new)
+    stream_dir = track_staging_dir(tempfile.mkdtemp(prefix="winnow_delta_"))
+    for i, half in enumerate((new_docs.where(F.col("doc_id") % 10 == 4),
+                              new_docs.where(F.col("doc_id") % 10 == 9))):
+        tmp = track_staging_dir(tempfile.mkdtemp(prefix="winnow_seg_"))
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for part in glob.glob(f"{tmp}/part-*.parquet"):
+            target = f"{stream_dir}/seg{i}.parquet"
+            shutil.move(part, target)
+            os.utime(target, (1_000_000_000 + i * 100,) * 2)
+
+    out_dir = track_staging_dir(tempfile.mkdtemp(prefix="winnow_hits_"))
+    ckpt = track_staging_dir(tempfile.mkdtemp(prefix="winnow_ckpt_"))
+
+    def probe_batch(df, batch_id):
+        fp_new = (_winnow_selected(df)
+                  .where(F.col("s") == 1).select("doc_id", "h").distinct())
+        hits = (fp_new.alias("nw")
+                .join(index.alias("od"), "h")
+                .select(F.least("nw.doc_id", "od.doc_id").alias("doc_a"),
+                        F.greatest("nw.doc_id", "od.doc_id").alias("doc_b"))
+                .groupBy("doc_a", "doc_b")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+                .where(F.col("n_shared") >= 2))
+        hits.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}")
+
+    stream = (spark.readStream.schema(new_docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(stream_dir))
+    q = (stream.writeStream
+         .foreachBatch(probe_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    doc_id_t = docs.schema["doc_id"].dataType.simpleString()
+    out_schema = (f"doc_a {doc_id_t}, doc_b {doc_id_t}, n_shared bigint")
+    if not glob.glob(f"{out_dir}/batch_id=*/part-*.parquet"):
+        return spark.createDataFrame([], out_schema)  # empty source
+    return (spark.read.schema(out_schema + ", batch_id int")
+            .parquet(out_dir)
+            .select("doc_a", "doc_b", "n_shared")
+            .orderBy("doc_a", "doc_b"))

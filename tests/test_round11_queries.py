@@ -164,3 +164,44 @@ def test_winnowing_incremental_equals_restricted_batch(spark):
              if r["doc_a"] % 5 == 4 or r["doc_b"] % 5 == 4}
     assert incr == batch
     assert incr, "fixture produced no batch-touching pairs"
+
+
+def test_streaming_winnowing_probe_two_batches_boundary_free(spark):
+    """The probe must (a) actually run as TWO micro-batches (one staged
+    file per trigger) and (b) produce exactly the pair set a single
+    all-at-once probe computes — batch boundaries cannot matter because
+    selection is doc-local and every pair has exactly one new doc."""
+    import glob
+
+    from spark_sentiment_spark.plans import registry
+    from spark_sentiment_spark.plans.corpus_queries import _winnow_selected
+    from spark_sentiment_spark.plans.registry import load
+    from spark_sentiment_spark.plans.streaming_queries import (
+        streaming_winnowing_probe)
+
+    before = set(registry._STAGED_DIRS)
+    streamed = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+                for r in streaming_winnowing_probe(spark, SF_DIR).collect()}
+    hit_dirs = [d for d in registry._STAGED_DIRS
+                if d not in before and "winnow_hits_" in d]
+    assert hit_dirs, "hit sink not tracked"
+    batches = glob.glob(hit_dirs[-1] + "/batch_id=*")
+    assert len(batches) == 2, batches
+
+    docs = load(spark, SF_DIR, "documents").where(F.col("text").isNotNull())
+    is_new = F.col("doc_id") % 5 == 4
+    fp = lambda d: (_winnow_selected(d).where(F.col("s") == 1)  # noqa: E731
+                    .select("doc_id", "h").distinct())
+    fp_old = fp(docs.where(~is_new))
+    hot = (fp_old.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+           .where(F.col("df") > 50).select("h"))
+    single = (fp(docs.where(is_new)).alias("nw")
+              .join(fp_old.join(hot, "h", "left_anti").alias("od"), "h")
+              .select(F.least("nw.doc_id", "od.doc_id").alias("doc_a"),
+                      F.greatest("nw.doc_id", "od.doc_id").alias("doc_b"))
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+              .where(F.col("n_shared") >= 2)).collect()
+    assert streamed == {(r["doc_a"], r["doc_b"]): r["n_shared"]
+                        for r in single}
+    assert streamed, "fixture produced no new-vs-old pairs"
