@@ -75,6 +75,12 @@ PROBES = [
     # stays linear when both the index and the batch grow 32×
     ("dedup_minhash_bucketed_probe", "dedup_minhash_bucketed_probe",
      "disjoint"),
+    # round-11: the winnowing incremental probe is pair-emitting like the
+    # band-index probe, so it too runs on textually-DISJOINT replicas —
+    # ×32 checks that batch-slice fingerprinting + the capped index join
+    # stay linear when both the index and the batch grow 32×
+    ("dedup_winnowing_incremental", "dedup_winnowing_incremental",
+     "disjoint"),
 ]
 
 # variant -> {table: rekey columns}. documents in the disjoint variant
@@ -217,6 +223,10 @@ def main() -> None:
         "banded candidate set and the co-located probe grow with the data,",
         "never quadratically — the per-batch cost claim its docstring",
         "makes for the incremental near-dup family.",
+        f"dedup_winnowing_incremental {ratio('dedup_winnowing_incremental')}×",
+        "on disjoint texts: batch-slice winnowing is doc-local and the",
+        "df-capped fingerprint join grows with selected fingerprints, so",
+        "the MOSS incremental probe holds the same linear per-batch claim.",
         "Raw32: `" + json.dumps(results) + "`",
     ]
 
