@@ -533,3 +533,22 @@ def test_winnowing_single_doc_shuffle(spark):
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning(doc_id") == 1
     assert "partial_count" in plan  # map-side combine before the final agg
+
+
+def test_stickiness_hll_no_user_rank_machinery(spark):
+    """events_stickiness_hll exists to remove every user-scaled term
+    from the MAU path: the plan must contain NO Window operator (no
+    rank/rolling-distinct state) and NO SortMergeJoin — the trailing-28
+    merge is exactly one BroadcastNestedLoopJoin whose BROADCAST side is
+    the bounded days grid (the partial table side streams), and the
+    final per-day assembly is broadcast hash joins over |days| rows."""
+    from spark_sentiment_spark.plans.registry import release_caches
+
+    plan = _plan(spark, "events_stickiness_hll")
+    release_caches()
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert len(bnlj) == 1, bnlj
+    assert "BuildLeft" in bnlj[0] and "28" in bnlj[0], bnlj[0]
+    assert "BroadcastHashJoin" in plan
