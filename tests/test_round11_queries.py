@@ -205,3 +205,18 @@ def test_streaming_winnowing_probe_two_batches_boundary_free(spark):
     assert streamed == {(r["doc_a"], r["doc_b"]): r["n_shared"]
                         for r in single}
     assert streamed, "fixture produced no new-vs-old pairs"
+
+
+def test_stickiness_hll_rides_the_exact_dau(spark):
+    """Twin consistency on the fixture: the HLL form's day set and its
+    exact-DAU rider must match `events_stickiness`' exact output row for
+    row — the two queries must never drift on the part they share."""
+    from spark_sentiment_spark.plans.events_queries import events_stickiness
+    from spark_sentiment_spark.plans.sketch_queries import (
+        events_stickiness_hll)
+
+    exact = {r["day"]: r["dau"]
+             for r in events_stickiness(spark, SF_DIR).collect()}
+    hll = {r["day"]: r["dau"]
+           for r in events_stickiness_hll(spark, SF_DIR).collect()}
+    assert hll == exact
