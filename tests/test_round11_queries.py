@@ -220,3 +220,50 @@ def test_stickiness_hll_rides_the_exact_dau(spark):
     hll = {r["day"]: r["dau"]
            for r in events_stickiness_hll(spark, SF_DIR).collect()}
     assert hll == exact
+
+
+def test_cutpoint_quintile_fuzz_vs_python_reference(spark):
+    """Seeded fuzz of the cutpoint semantics against a 10-line Python
+    reference (frequency cum-counts in score order, cutpoints at the
+    ntile targets, score = 1 + cutpoints strictly passed) over random
+    duplicate-heavy multisets of varying size/direction — the oracle
+    checks one fixture; this checks the algebra everywhere ties can
+    land relative to the targets."""
+    import random
+
+    from spark_sentiment_spark.plans.events_queries import (
+        _cutpoint_quintile)
+
+    def reference(values, descending):
+        n = len(values)
+        freq = {}
+        for v in values:
+            freq[v] = freq.get(v, 0) + 1
+        order = sorted(freq, reverse=descending)
+        cum, cuts = 0, []
+        targets = [i * (n // 5) + min(i, n % 5) for i in (1, 2, 3, 4)]
+        cum_at = {}
+        for v in order:
+            cum += freq[v]
+            cum_at[v] = cum
+        for t in targets:
+            hit = [v for v in order if cum_at[v] >= t]
+            if hit:
+                cuts.append(hit[0])
+        def score(v):
+            passed = sum(1 for c in cuts
+                         if (v < c if descending else v > c))
+            return 1 + passed
+        return {i: score(v) for i, v in enumerate(values)}
+
+    rng = random.Random(2211)
+    for trial in range(8):
+        n = rng.choice([2, 4, 6, 9, 40, 123])
+        spread = rng.choice([2, 3, 8, 1000])
+        values = [rng.randrange(spread) for _ in range(n)]
+        descending = bool(trial % 2)
+        got = {r["user_id"]: r["s"] for r in _cutpoint_quintile(
+            _quintiles_frame(spark, values), "v", "s",
+            descending=descending).collect()}
+        assert got == reference(values, descending), (
+            trial, n, spread, descending, values)
