@@ -552,3 +552,19 @@ def test_stickiness_hll_no_user_rank_machinery(spark):
     assert len(bnlj) == 1, bnlj
     assert "BuildLeft" in bnlj[0] and "28" in bnlj[0], bnlj[0]
     assert "BroadcastHashJoin" in plan
+
+
+def test_rfm_cutpoints_no_user_rank_no_cartesian(spark):
+    """events_rfm_cutpoints' only windows are the three cum-count passes
+    over per-axis FREQUENCY tables (bounded by distinct values, never
+    users); the target/cut joins are tiny broadcasts — a cartesian
+    product or sort-merge join appearing here means the broadcast
+    scalars regressed into real shuffled joins."""
+    from spark_sentiment_spark.plans.registry import release_caches
+
+    plan = _plan(spark, "events_rfm_cutpoints")
+    release_caches()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    windows = [l for l in plan.splitlines() if "Window [" in l]
+    assert len(windows) == 3, windows
