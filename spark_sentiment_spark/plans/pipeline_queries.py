@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spark_sentiment_spark.plans.registry import (load, register,
+                                                  track_persist,
                                                   track_staging_dir)
 
 # Whitespace tokenization shared by both sides. Spark `split` and DuckDB
@@ -2127,6 +2128,89 @@ def sample_exact_n(spark, sf_dir):
             .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= SAMPLE_N_PER_LANG)
             .select("doc_id", "lang")
+            .orderBy("doc_id"))
+
+
+# --- Weighted sampling without replacement (priority sampling) --------------
+# Duffield–Lund–Thorup priority sampling (JACM '07): each item draws a
+# uniform u ∈ (0, 1] and gets priority p = w / u; the k largest priorities
+# form the sample, and with τ = the (k+1)-th priority, ŵ = max(w, τ) is an
+# unbiased estimator of any subset-sum of the weights — the one-pass,
+# merge-friendly way to draw a quality-weighted training subsample AND
+# still estimate corpus-level token/char totals from it.
+#
+# Engine independence: u is the content-addressed dyadic rational
+# (md5(doc_id) 48-bit prefix + 1) / 2^48 — the same trick as mixture_sample
+# — so u is EXACT in both engines (2^48 < 2^53, and the /2^48 step divides
+# by a power of two, which is lossless in binary floating point). The
+# priority w/u then involves exactly ONE inexact IEEE operation, performed
+# identically by Spark and DuckDB on identical inputs → bit-identical
+# doubles. No round() is applied on either side: rounding huge doubles is
+# where engine round() implementations can diverge, while raw bit-identical
+# values compare exactly (the harness folds both sides through the same
+# 9 dp normalization).
+
+SAMPLE_W_K = 100
+_U48 = 281474976710656.0  # 2^48
+
+SAMPLE_W_SQL = f"""
+WITH pri AS (
+  SELECT doc_id, lang,
+         GREATEST(COALESCE(n_chars, 1), 1) AS w,
+         CAST(GREATEST(COALESCE(n_chars, 1), 1) AS DOUBLE)
+           / ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               + 1) / {_U48}) AS p
+  FROM documents
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY p DESC, doc_id) AS rn FROM pri
+)
+SELECT doc_id, lang, CAST(w AS BIGINT) AS weight, p AS priority,
+       GREATEST(CAST(w AS DOUBLE),
+                COALESCE((SELECT p FROM ranked WHERE rn = {SAMPLE_W_K + 1}),
+                         0.0)) AS est_weight
+FROM ranked
+WHERE rn <= {SAMPLE_W_K}
+ORDER BY doc_id
+"""
+
+
+@register("sample_weighted", sql=SAMPLE_W_SQL, tags=("pipeline",))
+def sample_weighted(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement via priority sampling: draw
+    the ``SAMPLE_W_K`` documents with the largest w/u priorities (w =
+    char-count weight, u = content-addressed uniform), and attach the
+    τ-threshold estimator max(w, τ) that makes the sample usable for
+    unbiased corpus-total estimates — the missing third form next to
+    `sample_stratified` (rate-based) and `sample_exact_n` (quota-based),
+    for when heavier/higher-quality documents should be proportionally
+    likelier to survive.
+
+    Scale shape: the priority is a narrow scan-speed projection; the
+    global top-(k+1) is TakeOrderedAndProject (per-partition heaps + one
+    k+1-row merge — never a global sort); τ and the final ranking run on
+    that ≤ k+1-row bounded set (the catalog's top-k-bounded-window
+    posture), persisted so the corpus is scanned ONCE, and the 1-row τ
+    scalar re-enters via broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.greatest(F.coalesce(F.col("n_chars"), F.lit(1)), F.lit(1))
+    u_int = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                1, 12), 16, 10).cast("long") + 1)
+    p = w.cast("double") / (u_int / F.lit(_U48))
+    top = track_persist(
+        docs.select("doc_id", "lang", w.alias("w"), p.alias("p"))
+        .orderBy(F.desc("p"), "doc_id").limit(SAMPLE_W_K + 1)
+        .withColumn("rn", F.row_number().over(
+            Window.orderBy(F.desc("p"), "doc_id"))))
+    tau = top.where(F.col("rn") == SAMPLE_W_K + 1) \
+        .agg(F.min("p").alias("tau"))
+    return (top.where(F.col("rn") <= SAMPLE_W_K)
+            .crossJoin(F.broadcast(tau))
+            .select("doc_id", "lang",
+                    F.col("w").cast("bigint").alias("weight"),
+                    F.col("p").alias("priority"),
+                    F.greatest(F.col("w").cast("double"),
+                               F.coalesce(F.col("tau"), F.lit(0.0)))
+                    .alias("est_weight"))
             .orderBy("doc_id"))
 
 

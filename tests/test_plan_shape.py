@@ -568,3 +568,22 @@ def test_rfm_cutpoints_no_user_rank_no_cartesian(spark):
     assert "SortMergeJoin" not in plan
     windows = [l for l in plan.splitlines() if "Window [" in l]
     assert len(windows) == 3, windows
+
+
+def test_sample_weighted_topk_never_global_sorts(spark):
+    """sample_weighted's corpus-wide ordering must stay inside
+    TakeOrderedAndProject (per-partition heaps merged at k+1 rows) — a
+    full range-sort of the corpus appearing before the limit is the
+    regression this query exists to avoid. The persisted ≤101-row top
+    set serves BOTH the output branch and the τ branch (one corpus
+    scan), and τ re-enters as a 1-row IdentityBroadcastMode scalar."""
+    from spark_sentiment_spark.plans.registry import release_caches
+
+    plan = _plan(spark, "sample_weighted")
+    release_caches()
+    assert "TakeOrderedAndProject(limit=101" in plan
+    assert plan.count("InMemoryTableScan") == 2
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "IdentityBroadcastMode" in plan
+    # the only range exchange is the final ≤100-row output orderBy
+    assert plan.count("Exchange rangepartitioning") == 1
