@@ -1630,3 +1630,113 @@ def dedup_winnowing_incremental(spark, sf_dir):
                            & (F.col("doc_b") % 5 == 4), 0)
                     .otherwise(1).cast("long").alias("vs_corpus"))
             .orderBy("doc_a", "doc_b"))
+
+
+# --- DSIR importance-resampling weights --------------------------------------
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023,
+# arXiv:2302.03169): score every raw document by the log-likelihood ratio of
+# its hashed n-gram features under a TARGET distribution vs the RAW corpus
+# distribution; resampling by these weights shifts the corpus toward the
+# target domain. Here the target is the corpus' `lang = 'en'` slice (the
+# high-quality-domain stand-in); features are word bigrams hashed into
+# DSIR_BUCKETS buckets (the paper's hashed unigram+bigram model, bigrams
+# only — the fixture's unigram mass adds little at this size), and both
+# bucket models carry Laplace +1 smoothing so unseen buckets stay finite.
+#
+# Engine independence: the bucket hash is the md5 24-bit prefix mod
+# DSIR_BUCKETS (exact integers both sides); the only libm terms are ln()
+# of integer counts, identical arguments on both engines, rounded at 6 dp
+# after the per-doc fold (the catalog's perplexity/entropy precedent).
+
+DSIR_BUCKETS = 1024
+
+DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+), grams AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 6))::INTEGER
+           % {DSIR_BUCKETS} AS b
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+), dbc AS (
+  SELECT doc_id, b, count(*) AS g,
+         max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS is_target
+  FROM grams GROUP BY doc_id, b
+), stats AS (
+  SELECT b,
+         sum(CASE WHEN is_target = 1 THEN g ELSE 0 END) AS ct,
+         sum(g) AS cr
+  FROM dbc GROUP BY b
+), tot AS (
+  SELECT sum(ct) AS nt, sum(cr) AS nr FROM stats
+)
+SELECT d.doc_id,
+       CAST(sum(d.g) AS BIGINT) AS n_grams,
+       round(sum(d.g * (ln(s.ct + 1) - ln(s.cr + 1)))
+             - sum(d.g) * (SELECT ln(nt + {DSIR_BUCKETS})
+                                  - ln(nr + {DSIR_BUCKETS}) FROM tot),
+             6) AS log_weight
+FROM dbc d JOIN stats s USING (b)
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register("corpus_dsir_weights", sql=DSIR_SQL, tags=("corpus", "pipeline"))
+def corpus_dsir_weights(spark, sf_dir):
+    """Per-document DSIR importance weight log p_target(x)/p_raw(x) under
+    hashed-bigram bag models — the data-selection score that, fed to the
+    catalog's weighted sampler (`sample_weighted`), reproduces the
+    DSIR pipeline: estimate both feature distributions once, score every
+    raw document, importance-resample toward the target domain.
+
+    Scale shape: bigrams never leave their document ungrouped — the
+    explode feeds an immediate (doc_id, bucket) partial+final count, so
+    the shuffled stream is bounded by docs × distinct-buckets(doc) with
+    DSIR_BUCKETS as the hard per-doc cap. The bucket model table is
+    ≤ DSIR_BUCKETS rows (broadcast), the corpus totals are a 1-row
+    broadcast scalar, and the final fold is one hash aggregate on
+    doc_id. Nothing scales with corpus size except the two linear
+    passes."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return _dsir_log_weights(docs)
+
+
+def _dsir_log_weights(docs):
+    """Core of `corpus_dsir_weights` over any (doc_id, lang, text) frame —
+    split out so tests can drive constructed corpora through the exact
+    production plan (the `_stickiness_hll_core` pattern)."""
+    toks = F.split(F.lower(F.col("text")), " ", -1)
+    grams = (docs.select("doc_id", "lang", toks.alias("__t"))
+             .where(F.size("__t") >= 2)
+             .select("doc_id", "lang", F.explode(F.expr(
+                 "transform(sequence(0, size(__t) - 2),"
+                 " i -> concat(__t[i], ' ', __t[i + 1]))")).alias("gram"))
+             .select("doc_id", "lang",
+                     (F.conv(F.substring(F.md5("gram"), 1, 6), 16, 10)
+                      .cast("int") % DSIR_BUCKETS).alias("b")))
+    dbc = track_persist(
+        grams.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("g"),
+             F.max(F.when(F.col("lang") == "en", 1).otherwise(0))
+             .alias("is_target")))
+    stats = (dbc.groupBy("b")
+             .agg(F.sum(F.when(F.col("is_target") == 1, F.col("g"))
+                        .otherwise(0)).alias("ct"),
+                  F.sum("g").alias("cr")))
+    tot = stats.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    term = F.col("g") * (F.log(F.col("ct") + 1) - F.log(F.col("cr") + 1))
+    horizon = (F.log(F.col("nt") + DSIR_BUCKETS)
+               - F.log(F.col("nr") + DSIR_BUCKETS))
+    return (dbc.join(F.broadcast(stats), "b")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("doc_id")
+            .agg(F.sum(term).alias("s"),
+                 F.sum("g").cast("bigint").alias("n_grams"),
+                 F.first(horizon).alias("hz"))
+            .select("doc_id", "n_grams",
+                    F.round(F.col("s") - F.col("n_grams") * F.col("hz"), 6)
+                    .alias("log_weight"))
+            .orderBy("doc_id"))

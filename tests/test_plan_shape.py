@@ -587,3 +587,20 @@ def test_sample_weighted_topk_never_global_sorts(spark):
     assert "IdentityBroadcastMode" in plan
     # the only range exchange is the final ≤100-row output orderBy
     assert plan.count("Exchange rangepartitioning") == 1
+
+
+def test_dsir_weights_bucket_model_broadcasts(spark):
+    """corpus_dsir_weights' bucket-model join must broadcast (the model
+    is ≤ DSIR_BUCKETS rows) and its corpus totals must enter as a 1-row
+    scalar — a SortMergeJoin or a shuffled model join here means the
+    bounded-side statistics regressed into data-scaled shuffles. The
+    persisted (doc, bucket) count table serves all three consumers."""
+    from spark_sentiment_spark.plans.registry import release_caches
+
+    plan = _plan(spark, "corpus_dsir_weights")
+    release_caches()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "IdentityBroadcastMode" in plan
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "partial_count" in plan  # map-side combine on (doc_id, bucket)

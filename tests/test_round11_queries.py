@@ -304,3 +304,77 @@ def test_cutpoint_quintile_fuzz_vs_python_reference(spark):
             descending=descending).collect()}
         assert got == reference(values, descending), (
             trial, n, spread, descending, values)
+
+
+def test_dsir_weights_match_hashlib_reference(spark):
+    """Full-path replay of the DSIR scoring in pure Python over the
+    fixture: same tokenization (single-space split, empties kept), same
+    md5 24-bit bucket hash, same Laplace-smoothed log-ratio fold.
+    Tolerance 2e-6 (the query rounds at 6 dp; Python's fold order
+    differs, so bit-exactness is not the claim here — cross-engine
+    bit-exactness is the DuckDB oracle's job)."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+    from spark_sentiment_spark.plans.corpus_queries import (
+        DSIR_BUCKETS, corpus_dsir_weights)
+
+    t = pq.read_table(SF_DIR + "/documents.parquet",
+                      columns=["doc_id", "lang", "text"]).to_pandas()
+    dbc = {}       # (doc_id, bucket) -> count
+    target = {}    # doc_id -> is_en
+    for doc_id, lang, text in zip(t.doc_id, t.lang, t.text):
+        if text is None:
+            continue
+        w = text.lower().split(" ")
+        if len(w) < 2:
+            continue
+        target[int(doc_id)] = lang == "en"
+        for i in range(len(w) - 1):
+            g = w[i] + " " + w[i + 1]
+            b = int(hashlib.md5(g.encode()).hexdigest()[:6], 16) \
+                % DSIR_BUCKETS
+            dbc[(int(doc_id), b)] = dbc.get((int(doc_id), b), 0) + 1
+    ct, cr = {}, {}
+    for (d, b), g in dbc.items():
+        cr[b] = cr.get(b, 0) + g
+        if target[d]:
+            ct[b] = ct.get(b, 0) + g
+    nt, nr = sum(ct.values()), sum(cr.values())
+    hz = math.log(nt + DSIR_BUCKETS) - math.log(nr + DSIR_BUCKETS)
+    want = {}
+    for (d, b), g in dbc.items():
+        s, n = want.get(d, (0.0, 0))
+        want[d] = (s + g * (math.log(ct.get(b, 0) + 1)
+                            - math.log(cr[b] + 1)), n + g)
+    got = {r["doc_id"]: (r["log_weight"], r["n_grams"])
+           for r in corpus_dsir_weights(spark, SF_DIR).collect()}
+    assert set(got) == set(want)
+    for d, (s, n) in want.items():
+        assert got[d][1] == n, d
+        assert abs(got[d][0] - (s - n * hz)) < 2e-6, (d, got[d][0], s - n * hz)
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """The selection property DSIR exists for: on a corpus where the
+    target slice speaks vocabulary A, raw docs written in vocabulary A
+    must outscore raw docs written in vocabulary B — per-token, docs in
+    the target's distribution carry higher importance weights."""
+    from spark_sentiment_spark.plans.corpus_queries import _dsir_log_weights
+
+    rows = []
+    vocab_a = "alpha beta gamma delta epsilon zeta eta theta"
+    vocab_b = "one two three four five six seven eight"
+    for i in range(10):
+        rows.append((i, "en", vocab_a))            # target slice
+    for i in range(10, 20):
+        rows.append((i, "xx", vocab_b))            # off-target raw
+    for i in range(20, 24):
+        rows.append((i, "xx", vocab_a))            # target-like raw
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: r["log_weight"]
+           for r in _dsir_log_weights(docs).collect()}
+    a_like = min(got[i] for i in range(20, 24))
+    b_like = max(got[i] for i in range(10, 20))
+    assert a_like > b_like, (a_like, b_like)
