@@ -717,7 +717,11 @@ MP_DIM = 64
 # silently diverged once n > 1024, e.g. sf0.1's 2000 embeddings). The
 # ceil boundary is engine-safe because it lands only on exact powers of
 # two, where double log2 is exact in both engines.
-ANN_MULTIPROBE_SQL = f"""
+# The candidate-generation CTE chain (prm → … → cand → un) is shared by
+# the dedup pair query and the semantic decontamination query below —
+# one definition, two final SELECTs, so the two oracles can never drift
+# on the LSH machinery.
+_MP_CANDIDATE_CTE = f"""
 WITH prm AS (
   SELECT GREATEST({MP_PLANES},
                   CAST(ceil(log2(GREATEST(count(*), 1) / 16.0)) AS INTEGER))
@@ -770,6 +774,9 @@ WITH prm AS (
          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
   FROM e
 )
+"""
+
+ANN_MULTIPROBE_SQL = _MP_CANDIDATE_CTE + f"""
 SELECT c.vec_a, c.vec_b,
        round(list_dot_product(ua.u, ub.u), 6) AS cosine
 FROM cand c
@@ -884,6 +891,68 @@ def dedup_embedding_multiprobe(spark, sf_dir):
             .where(cos >= MP_TAU)
             .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
             .orderBy("vec_a", "vec_b"))
+
+
+# --- Semantic train/eval decontamination -------------------------------------
+# Completes the decontamination triad: decontaminate_ngram (exact 8-gram
+# hit), decontaminate_minhash (token-set near-dup), and this — the
+# embedding modality, which catches paraphrased or translated
+# contamination that shares no surface n-grams with the eval document.
+
+DECON_SEMANTIC_SQL = _MP_CANDIDATE_CTE + f"""
+SELECT CASE WHEN c.vec_a % 11 = 0 THEN c.vec_b ELSE c.vec_a END AS train_vec,
+       CASE WHEN c.vec_a % 11 = 0 THEN c.vec_a ELSE c.vec_b END AS eval_vec,
+       round(list_dot_product(ua.u, ub.u), 6) AS cosine
+FROM cand c
+JOIN un ua ON c.vec_a = ua.vec_id
+JOIN un ub ON c.vec_b = ub.vec_id
+WHERE list_dot_product(ua.u, ub.u) >= {MP_TAU}
+  AND (c.vec_a % 11 = 0) <> (c.vec_b % 11 = 0)
+ORDER BY train_vec, eval_vec
+"""
+
+
+@register("decontaminate_semantic", sql=DECON_SEMANTIC_SQL,
+          tags=("dedup", "similarity"))
+def decontaminate_semantic(spark, sf_dir):
+    """Semantic train/eval decontamination: flag training vectors whose
+    embedding sits within cosine ``MP_TAU`` of any eval-set vector
+    (vec_id % 11 == 0, the same held-out convention as
+    `decontaminate_minhash`). Candidates come from the SAME multi-probe
+    hyperplane LSH as `dedup_embedding_multiprobe` — shared
+    `multiprobe_candidates` helper and shared oracle CTE — restricted to
+    pairs with exactly one eval side, then exact-cosine verified. The
+    0.4 threshold is this synthetic corpus' similarity tail; a real
+    pipeline would run the identical plan at ~0.9.
+
+    Scale shape inherits the multiprobe analysis: one Arrow matmul per
+    batch for signatures, probing multiplies the join's probe side by
+    (1+flips) while the stored index stays T rows per vector, candidates
+    bounded by probed-bucket occupancy, exact verify touches candidates
+    only — never |train| × |eval|."""
+    import math
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = _row_count(spark, f"{sf_dir}/embeddings.parquet")
+    n_planes = max(MP_PLANES, math.ceil(math.log2(max(n, 1) / 16 or 1)))
+    is_eval_a = F.col("vec_a") % 11 == 0
+    is_eval_b = F.col("vec_b") % 11 == 0
+    cand = (multiprobe_candidates(emb, n_planes=n_planes)
+            .where(is_eval_a != is_eval_b))
+    e = _as_double("embedding")
+    unit = F.transform(e, lambda x: x / _norm(e))
+    vecs = track_persist(emb.select("vec_id", unit.alias("u")))
+    va, vb = vecs.alias("va"), vecs.alias("vb")
+    cos = _dot(F.col("va.u"), F.col("vb.u"))
+    return (cand.join(va, F.col("vec_a") == F.col("va.vec_id"))
+            .join(vb, F.col("vec_b") == F.col("vb.vec_id"))
+            .where(cos >= MP_TAU)
+            .select(F.when(is_eval_a, F.col("vec_b"))
+                    .otherwise(F.col("vec_a")).alias("train_vec"),
+                    F.when(is_eval_a, F.col("vec_a"))
+                    .otherwise(F.col("vec_b")).alias("eval_vec"),
+                    F.round(cos, 6).alias("cosine"))
+            .orderBy("train_vec", "eval_vec"))
 
 
 # --- kNN majority-vote classification ---------------------------------------

@@ -378,3 +378,45 @@ def test_dsir_weights_rank_target_like_docs_higher(spark):
     a_like = min(got[i] for i in range(20, 24))
     b_like = max(got[i] for i in range(10, 20))
     assert a_like > b_like, (a_like, b_like)
+
+
+def test_decontaminate_semantic_is_multiprobe_bipartite_subset(spark):
+    """Triad consistency: the semantic decontamination output must be
+    EXACTLY the bipartite (one eval side) slice of
+    `dedup_embedding_multiprobe`'s pair set, re-oriented train→eval —
+    both queries share `multiprobe_candidates` and the verify threshold,
+    so any drift means the shared machinery forked."""
+    from spark_sentiment_spark.plans.similarity_queries import (
+        decontaminate_semantic, dedup_embedding_multiprobe)
+
+    got = {(r["train_vec"], r["eval_vec"]): r["cosine"]
+           for r in decontaminate_semantic(spark, SF_DIR).collect()}
+    want = {}
+    for r in dedup_embedding_multiprobe(spark, SF_DIR).collect():
+        a, b = r["vec_a"], r["vec_b"]
+        if (a % 11 == 0) != (b % 11 == 0):
+            want[(b, a) if a % 11 == 0 else (a, b)] = r["cosine"]
+    assert got == want
+    assert got, "fixture produced no semantic contamination pairs"
+
+
+def test_decontaminate_semantic_no_false_positives_and_recall(spark):
+    """Against the exact bipartite truth (dedup_embedding_cosine's
+    all-pairs output restricted to one-eval-side pairs): every reported
+    pair must be true (exact-cosine verify ⇒ subset), and recall at the
+    fixture's 0.4 tail threshold must clear the LSH family's documented
+    hardest-regime floor (measured 0.357; real decontamination runs at
+    ≥ 0.8 where the same config exceeds 0.99 —
+    tests/test_similarity_recall.py pins that curve for the family)."""
+    from spark_sentiment_spark.plans.similarity_queries import (
+        decontaminate_semantic, dedup_embedding_cosine)
+
+    got = {(r["train_vec"], r["eval_vec"])
+           for r in decontaminate_semantic(spark, SF_DIR).collect()}
+    truth = set()
+    for r in dedup_embedding_cosine(spark, SF_DIR).collect():
+        a, b = r["vec_a"], r["vec_b"]
+        if (a % 11 == 0) != (b % 11 == 0):
+            truth.add((b, a) if a % 11 == 0 else (a, b))
+    assert got <= truth
+    assert len(got) / len(truth) >= 0.3, (len(got), len(truth))
