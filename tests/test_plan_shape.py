@@ -604,3 +604,17 @@ def test_dsir_weights_bucket_model_broadcasts(spark):
     assert "IdentityBroadcastMode" in plan
     assert plan.count("InMemoryTableScan") >= 2
     assert "partial_count" in plan  # map-side combine on (doc_id, bucket)
+
+
+def test_gopher_rules_is_scan_speed(spark):
+    """quality_gopher_rules must stay a pure projection: higher-order
+    array folds inside one codegen stage, no Python, no join, and no
+    exchange except the load round-robin and the output sort."""
+    from spark_sentiment_spark.plans.registry import release_caches
+
+    plan = _plan(spark, "quality_gopher_rules")
+    release_caches()
+    assert "Python" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 2  # round-robin load + output sort
+    assert "PushedFilters: [IsNotNull(text)]" in plan

@@ -420,3 +420,60 @@ def test_decontaminate_semantic_no_false_positives_and_recall(spark):
             truth.add((b, a) if a % 11 == 0 else (a, b))
     assert got <= truth
     assert len(got) / len(truth) >= 0.3, (len(got), len(truth))
+
+
+def test_gopher_rules_each_rule_fires_on_constructed_corpus(spark):
+    """The fixture is single-line prose, so the line-shape rules never
+    fire there — this constructed corpus gives every rule exactly one
+    violating document (and one passing control) and pins verdict,
+    reason precedence, and the measured feature that tripped."""
+    from spark_sentiment_spark.plans.text_queries import _gopher_rules
+
+    good_words = ("the quick brown fox and that dog have fun with it "
+                  * 6).strip()                      # 66 words, all rules pass
+    rows = [
+        (0, good_words),
+        (1, "the of and that"),                     # too_few_words
+        (2, " ".join(["ab"] * 60) + " the of"),     # word_length (mean < 3)
+        (3, " ".join(["####word"] * 60) + " the of and"),   # symbol_ratio
+        (4, "\n".join(["- " + good_words] * 10)),   # bullet_lines (10/10)
+        (5, "\n".join([good_words + " ..."] * 10)), # ellipsis... wait sym?
+        (6, " ".join(["123456"] * 60) + " the of and"),     # non_alpha_words
+        (7, " ".join(["zz%d" % i for i in range(60)])),     # stopwords
+    ]
+    # doc 5: 10 ellipsis-ended lines out of 10; its symbol ratio is
+    # 10 ellipses / 660 words ≈ 0.015 < 0.1 so ellipsis_lines is the
+    # first failing rule. doc 3: 240 '#' / 63 words >> 0.1.
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in _gopher_rules(docs).collect()}
+    assert out[0]["keep"] and out[0]["reason"] == "ok"
+    assert not out[1]["keep"] and out[1]["reason"] == "too_few_words"
+    assert out[2]["reason"] == "word_length" and out[2]["mean_word_len"] < 3
+    assert out[3]["reason"] == "symbol_ratio" and out[3]["symbol_ratio"] > 0.1
+    assert out[4]["reason"] == "bullet_lines" and out[4]["bullet_ratio"] == 1.0
+    assert out[5]["reason"] == "ellipsis_lines" \
+        and out[5]["ellipsis_ratio"] == 1.0
+    assert out[6]["reason"] == "non_alpha_words" \
+        and out[6]["alpha_word_ratio"] < 0.8
+    assert out[7]["reason"] == "stopwords" and out[7]["n_stopwords"] == 0
+    assert all(not out[i]["keep"] for i in range(1, 8))
+
+
+def test_gopher_rules_fixture_reasons_discriminate(spark):
+    """The synthetic fixture (10–99-word docs, ≤ 1 English stopword) is
+    honestly rejected WHOLESALE by the published thresholds — that is
+    the correct verdict, and keep=True is exercised by the constructed
+    corpus above. What the fixture must show: the reason ladder
+    discriminates (≥ 2 distinct first-failing rules, in precedence
+    order) and every verdict agrees with its reason."""
+    from spark_sentiment_spark.plans.text_queries import quality_gopher_rules
+
+    out = quality_gopher_rules(spark, SF_DIR).collect()
+    reasons = {r["reason"] for r in out}
+    assert len(reasons) >= 2, reasons
+    for r in out:
+        assert r["keep"] == (r["reason"] == "ok")
+        if r["reason"] == "too_few_words":
+            assert r["n_words"] < 50
+        if r["reason"] == "stopwords":
+            assert r["n_words"] >= 50 and r["n_stopwords"] < 2
