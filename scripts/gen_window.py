@@ -75,6 +75,11 @@ UPGRADED_SINCE_ROW = {
     # two SFs, but the r8 row no longer hashes the live source; the r11
     # cut re-verifies it.
     "events_scd2_history": 10,
+    # round 11: oracle SQL refactored into the shared _MP_CANDIDATE_CTE
+    # (now also feeding decontaminate_semantic) — concatenation-only
+    # whitespace drift, semantics unchanged, oracle re-verified locally
+    # at two SFs this round; the r12 cut re-verifies it.
+    "dedup_embedding_multiprobe": 11,
 }
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
