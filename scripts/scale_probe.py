@@ -178,6 +178,17 @@ PROBES = {
     # per-user hash agg, flatter than the distributed form's 3 range
     # shuffles (the m-axis freq table grows with users; documented)
     "events_rfm_cutpoints": {"events": ["user_id"]},
+    # round-11 late additions. decontaminate_semantic is NOT probed
+    # (pair-emitting — identical-vector replication grows its output
+    # x k², the documented artifact class shared with
+    # dedup_embedding_multiprobe, whose candidate bound is probed
+    # honestly with sign-flip-decorrelated replicas in
+    # tests/test_similarity_recall.py).
+    # sample_weighted emits a CONSTANT 100 rows at every K — its honest
+    # slope is the scan + per-partition heap (TakeOrderedAndProject).
+    "sample_weighted": {"documents": ["doc_id"]},
+    "corpus_dsir_weights": {"documents": ["doc_id"]},
+    "quality_gopher_rules": {"documents": ["doc_id"]},
 }
 
 
