@@ -81,13 +81,22 @@ PROBES = [
     # stay linear when both the index and the batch grow 32×
     ("dedup_winnowing_incremental", "dedup_winnowing_incremental",
      "disjoint"),
+    # round-11: the r10-verdict watch item (events_stickiness's
+    # 28 × user-days range join read 3.2× in the r9 ×8 table — the
+    # steepest slope on record) side by side with its certified HLL
+    # swap. Re-keyed user_ids grow per-day actives ×k over the same day
+    # grid, so at ×32 the exact form's user-days term and the swap's
+    # bounded 28 × |days| × 256 register merge must visibly separate —
+    # the slope pair IS the certification at a scale ×8 cannot show.
+    ("events_stickiness (exact)", "events_stickiness", "rekey"),
+    ("events_stickiness_hll (swap)", "events_stickiness_hll", "rekey"),
 ]
 
 # variant -> {table: rekey columns}. documents in the disjoint variant
 # additionally gets its tokens prefixed per replica.
 VARIANT_TABLES = {
     "rekey": {"documents": ["doc_id"], "lineitem": ["l_orderkey"],
-              "orders": ["o_orderkey"]},
+              "orders": ["o_orderkey"], "events": ["user_id"]},
     "disjoint": {"documents": ["doc_id"]},
 }
 
@@ -227,6 +236,14 @@ def main() -> None:
         "on disjoint texts: batch-slice winnowing is doc-local and the",
         "df-capped fingerprint join grows with selected fingerprints, so",
         "the MOSS incremental probe holds the same linear per-batch claim.",
+        "The stickiness pair (the r10-verdict watch item): exact",
+        f"{ratio('events_stickiness (exact)')}× vs HLL swap",
+        f"{ratio('events_stickiness_hll (swap)')}× — the exact form's",
+        "28 × user-days range-join term grows with re-keyed actives while",
+        "the swap's 28 × |days| × 256 register merge is volume-independent",
+        "(its residual slope is the per-day partial build, one linear",
+        "pass); the gap widens with every further ×k, which is the",
+        "certified-swap claim measured rather than argued.",
         "Raw32: `" + json.dumps(results) + "`",
     ]
 
