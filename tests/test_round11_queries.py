@@ -477,3 +477,55 @@ def test_gopher_rules_fixture_reasons_discriminate(spark):
             assert r["n_words"] < 50
         if r["reason"] == "stopwords":
             assert r["n_words"] >= 50 and r["n_stopwords"] < 2
+
+
+def test_gopher_rules_oracle_parity_on_symbol_heavy_corpus(spark):
+    """The fixture contains no '#', '...', bullets, or multi-line text,
+    so the driver's oracle rows never exercise those expression paths
+    cross-engine. Stage a corpus that trips every rule (plus unicode
+    ellipsis and mixed whitespace) and run the REAL oracle comparison —
+    Spark plan vs DuckDB SQL — on it."""
+    import shutil
+    import tempfile
+
+    from tests.oracle_utils import TABLES, compare, duck_connection
+    from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
+
+    all_queries()
+    good = ("the quick brown fox and that dog have fun with it " * 6).strip()
+    rows = [
+        (0, good, "en", "web", len(good)),
+        (1, "# ### " + good + " ...", "en", "web", 10),
+        (2, "\n".join(["- bullet " + good] * 4 + ["plain " + good]),
+         "de", "web", 10),
+        (3, "\n".join([good + " …"] * 3 + [good + " ..."] * 2), "fr",
+         "web", 10),
+        (4, "  tabs\tand   runs  " + good + "  ", "en", "news", 10),
+        (5, " ".join(["123456"] * 60) + " the of and", "xx", "news", 10),
+        (6, None, "en", "web", 0),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = tempfile.mkdtemp(prefix="gopher_oracle_")
+    try:
+        # single-FILE parquet (duck_connection's read_parquet contract)
+        cols = list(zip(*rows))
+        pq.write_table(pa.table(
+            {"doc_id": pa.array(cols[0], pa.int64()),
+             "text": pa.array(cols[1], pa.string()),
+             "lang": pa.array(cols[2], pa.string()),
+             "source": pa.array(cols[3], pa.string()),
+             "n_chars": pa.array(cols[4], pa.int64())}),
+            f"{tmp}/documents.parquet")
+        for t in TABLES:
+            if t != "documents":
+                pq.write_table(
+                    pq.read_table(f"{SF_DIR}/{t}.parquet").slice(0, 0),
+                    f"{tmp}/{t}.parquet")
+        q = REGISTRY["quality_gopher_rules"]
+        ok, msg = compare(q.fn(spark, tmp), duck_connection(tmp), q.sql,
+                          "gopher@constructed")
+        assert ok, msg
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
