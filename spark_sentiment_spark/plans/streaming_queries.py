@@ -25,7 +25,37 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spark_sentiment_spark.plans.registry import (load, register,
+                                                  track_persist,
                                                   track_staging_dir)
+
+
+def _stage_ordered_segments(slices, prefix: str) -> str:
+    """Stage each DataFrame slice as ONE parquet file with ascending
+    names AND mtimes in a fresh tracked staging dir: the file stream
+    source (latestFirst=false) admits oldest-mtime files first, so a
+    reader capped at one file per trigger replays the slices in order,
+    one micro-batch each — the in-order CDC-log delivery contract shared
+    by `streaming_scd2_merge` and `streaming_winnowing_probe`.
+
+    An EMPTY slice still stages a schema-only part file and therefore
+    still fires an (empty) micro-batch: Spark's coalesce(1) parquet
+    write always emits one part file. Degenerate inputs thus chain the
+    SAME number of versions, each step an identity merge — verified
+    empirically; do not assume empty slices skip batches."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    stream_dir = track_staging_dir(tempfile.mkdtemp(prefix=prefix))
+    for i, sl in enumerate(slices):
+        tmp = track_staging_dir(tempfile.mkdtemp(prefix=f"{prefix}seg_"))
+        sl.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for part in glob.glob(f"{tmp}/part-*.parquet"):
+            target = f"{stream_dir}/seg{i}.parquet"
+            shutil.move(part, target)
+            os.utime(target, (1_000_000_000 + i * 100,) * 2)
+    return stream_dir
 from spark_sentiment_spark.streaming.streams import (
     read_event_stream,
     run_to_memory,
@@ -641,9 +671,6 @@ def streaming_scd2_merge(spark, sf_dir):
     streaming state is the checkpoint offsets only, since the dimension
     itself IS the sink. Reference parity: witlox/spark_sentiment has no
     temporal surface; extension per SURVEY §7.4."""
-    import glob
-    import os
-    import shutil
     import tempfile
 
     ev = load(spark, sf_dir, "events")
@@ -663,25 +690,16 @@ def streaming_scd2_merge(spark, sf_dir):
     hist_dim.write.mode("overwrite").parquet(state["latest"])
     dim_schema = hist_dim.schema
 
-    # Stage each segment as one parquet file with ascending names AND
-    # mtimes: the file source (latestFirst=false) admits oldest-mtime
-    # files first, so capping at one file per trigger replays the CDC
-    # log's in-order delivery. Empty segments write no part file (and
-    # therefore no batch) — degenerate inputs just chain fewer versions.
+    # Three event-time-ordered delta segments, one micro-batch each
+    # (_stage_ordered_segments carries the mtime-ordering contract and
+    # the empty-slice behavior).
     delta = ev.where(F.col("ts") >= cutoff)
-    stream_dir = track_staging_dir(
-        tempfile.mkdtemp(prefix="scd2stream_delta_"))
-    seg_lo, mtime = cuts[0], 1_000_000_000
-    for i, seg_hi in enumerate(cuts[1:] + [hi + 1]):
-        seg = delta.where((F.unix_millis("ts") >= seg_lo)
-                          & (F.unix_millis("ts") < seg_hi))
-        tmp = track_staging_dir(tempfile.mkdtemp(prefix="scd2stream_seg_"))
-        seg.coalesce(1).write.mode("overwrite").parquet(tmp)
-        for part in glob.glob(f"{tmp}/part-*.parquet"):
-            target = f"{stream_dir}/seg{i}.parquet"
-            shutil.move(part, target)
-            os.utime(target, (mtime + i * 100, mtime + i * 100))
+    segs, seg_lo = [], cuts[0]
+    for seg_hi in cuts[1:] + [hi + 1]:
+        segs.append(delta.where((F.unix_millis("ts") >= seg_lo)
+                                & (F.unix_millis("ts") < seg_hi)))
         seg_lo = seg_hi
+    stream_dir = _stage_ordered_segments(segs, "scd2stream_delta_")
 
     def merge_batch(df, batch_id):
         cur = spark.read.schema(dim_schema).parquet(state["latest"])
@@ -768,8 +786,6 @@ def streaming_winnowing_probe(spark, sf_dir):
     witlox/spark_sentiment has no streaming surface; extension per
     SURVEY §7.4."""
     import glob
-    import os
-    import shutil
     import tempfile
 
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
@@ -778,22 +794,15 @@ def streaming_winnowing_probe(spark, sf_dir):
               .where(F.col("s") == 1).select("doc_id", "h").distinct())
     hot = (fp_old.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
            .where(F.col("df") > 50).select("h"))
-    from spark_sentiment_spark.plans.registry import track_persist
     index = track_persist(fp_old.join(hot, "h", "left_anti"))
 
     # Stage the delta as two files (split by doc_id mod 10) delivered
     # one per trigger — two genuine micro-batches, pinning that batch
     # boundaries cannot change the pair set.
     new_docs = docs.where(is_new)
-    stream_dir = track_staging_dir(tempfile.mkdtemp(prefix="winnow_delta_"))
-    for i, half in enumerate((new_docs.where(F.col("doc_id") % 10 == 4),
-                              new_docs.where(F.col("doc_id") % 10 == 9))):
-        tmp = track_staging_dir(tempfile.mkdtemp(prefix="winnow_seg_"))
-        half.coalesce(1).write.mode("overwrite").parquet(tmp)
-        for part in glob.glob(f"{tmp}/part-*.parquet"):
-            target = f"{stream_dir}/seg{i}.parquet"
-            shutil.move(part, target)
-            os.utime(target, (1_000_000_000 + i * 100,) * 2)
+    stream_dir = _stage_ordered_segments(
+        (new_docs.where(F.col("doc_id") % 10 == 4),
+         new_docs.where(F.col("doc_id") % 10 == 9)), "winnow_delta_")
 
     out_dir = track_staging_dir(tempfile.mkdtemp(prefix="winnow_hits_"))
     ckpt = track_staging_dir(tempfile.mkdtemp(prefix="winnow_ckpt_"))

@@ -502,7 +502,12 @@ def test_rfm_distributed_no_single_partition_window(spark):
     lines = plan.splitlines()
 
     def _indent(s):
-        m = re.search(r"[A-Za-z]", s)
+        # depth = first char past the tree art (spaces, ':', '+', '-').
+        # NOT "first alphabetic char": whole-stage-codegen nodes print a
+        # '*(N) ' prefix before the node name, which would rank a
+        # codegen'd parent DEEPER than its plain child and break the
+        # ancestor walk.
+        m = re.search(r"[^ :+\-]", s)
         return m.start() if m else len(s)
 
     for i, line in enumerate(lines):

@@ -437,7 +437,7 @@ def test_gopher_rules_each_rule_fires_on_constructed_corpus(spark):
         (2, " ".join(["ab"] * 60) + " the of"),     # word_length (mean < 3)
         (3, " ".join(["####word"] * 60) + " the of and"),   # symbol_ratio
         (4, "\n".join(["- " + good_words] * 10)),   # bullet_lines (10/10)
-        (5, "\n".join([good_words + " ..."] * 10)), # ellipsis... wait sym?
+        (5, "\n".join([good_words + " ..."] * 10)), # ellipsis_lines
         (6, " ".join(["123456"] * 60) + " the of and"),     # non_alpha_words
         (7, " ".join(["zz%d" % i for i in range(60)])),     # stopwords
     ]
