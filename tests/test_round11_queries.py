@@ -529,3 +529,30 @@ def test_gopher_rules_oracle_parity_on_symbol_heavy_corpus(spark):
         assert ok, msg
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_dsir_weights_compose_into_gumbel_topk_resampling(spark):
+    """The DSIR pipeline end-to-end: the per-doc log-weights feed a
+    Gumbel-top-k draw (key = log_weight + Gumbel(0,1), the standard
+    softmax-sampling-without-replacement trick, with content-addressed
+    uniforms like everything else in the catalog) and the resampled
+    subset must be strongly enriched in the target domain — measured
+    69/100 'en' docs against a 38.6% corpus share (1.79× enrichment),
+    pinned at 55% with headroom. This is the selection the weights exist
+    to drive; `sample_weighted` is the same top-k machinery for linear
+    weights."""
+    from spark_sentiment_spark.plans.corpus_queries import (
+        corpus_dsir_weights)
+    from spark_sentiment_spark.plans.registry import load
+
+    w = corpus_dsir_weights(spark, SF_DIR)
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "lang")
+    u = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("gmb:"), F.col("doc_id").cast("string"))),
+        1, 12), 16, 10).cast("double") + 1) / (2.0 ** 48)
+    key = F.col("log_weight") + (-F.log(-F.log(u)))
+    top = (w.join(docs, "doc_id")
+           .select("lang", key.alias("k"))
+           .orderBy(F.desc("k")).limit(100).collect())
+    en_top = sum(1 for r in top if r["lang"] == "en")
+    assert en_top >= 55, en_top
