@@ -1,10 +1,16 @@
 """Round-11 additions. Each query has an exact DuckDB oracle
-(driver-routed); these tests pin what the oracle can't see — the
-ACCURACY of the HLL stickiness swap on a corpus with HLL-range
-cardinalities (the fixture's tiny per-day user counts sit in the raw
-estimator's documented biased range, so accuracy there is meaningless
-by construction), and the trailing-window merge's exact equality to a
-from-scratch sketch of each window's union set."""
+(driver-routed); these tests pin what the oracle can't see:
+the ACCURACY of the HLL stickiness swap on a corpus with HLL-range
+cardinalities (the fixture's per-day counts sit in the raw estimator's
+biased range) and its window merge's bit-equality to from-scratch
+sketches; the cutpoint quintile's equivalence-to-ntile and tie
+algebra; the winnowing incremental/streaming probes' batch-boundary
+independence; the priority sampler's bit-exact hashlib replay and
+estimator envelope; the DSIR weights' hashlib replay, directional
+selection, and Gumbel-top-k composition; semantic decontamination's
+subset-of-truth/recall floor and triad consistency; and the Gopher
+gate's per-rule behavior plus oracle parity on a symbol-heavy corpus
+the fixture cannot exercise."""
 
 import pytest
 from pyspark.sql import functions as F
