@@ -285,6 +285,15 @@ def main() -> None:
         "and throughput ~flat? A super-linear slope would flag a quadratic",
         "term or single-partition bottleneck before it matters at 100 TB.",
         "",
+        "Embedding-family caveat: replication re-keys vec_ids but keeps the",
+        "VECTORS byte-identical, so all k copies of a vector land in the",
+        "same quantizer cells / LSH buckets and within-cell pair work grows",
+        "×k² by construction — dedup_semantic's slope (the steepest row)",
+        "reads this artifact, not its data-growth cost; its honest guards",
+        "are the auto-scaling cell count (k = n / CELL_TARGET holds real",
+        "occupancy flat) and the decorrelated-replica candidate-growth pins",
+        "in tests/test_similarity_recall.py.",
+        "",
         "| query | ×1 | ×2 | ×4 | ×8 | ×8/×1 time ratio | krows/s ×1→×8 |",
         "|---|---|---|---|---|---|---|",
     ]
