@@ -246,6 +246,7 @@ def test_knn_vote_tie_breaks_to_smaller_label(spark, tmp_path):
     assert ok, msg
 
 
+@pytest.mark.slow
 def test_multiprobe_recall_at_real_neardup_thresholds(spark):
     """The LSH family's headline claim — 'at the cosine >= 0.8-0.9
     similarities real near-dup/decontamination workloads target, recall
