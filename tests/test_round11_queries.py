@@ -562,3 +562,53 @@ def test_dsir_weights_compose_into_gumbel_topk_resampling(spark):
            .orderBy(F.desc("k")).limit(100).collect())
     en_top = sum(1 for r in top if r["lang"] == "en")
     assert en_top >= 55, en_top
+
+
+def test_dsir_weights_oracle_parity_on_unicode_corpus(spark):
+    """Every content-addressed query in the catalog leans on Spark and
+    DuckDB computing identical md5 digests — which holds only if both
+    hash the same UTF-8 bytes. The fixture is ASCII, so that assumption
+    is never exercised cross-engine on multibyte text. Stage a corpus of
+    accented/CJK/emoji bigrams and run the real Spark-vs-DuckDB
+    comparison for the DSIR weights (md5 over raw gram text, the
+    hashing-heaviest new query)."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from tests.oracle_utils import TABLES, compare, duck_connection
+    from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
+
+    all_queries()
+    texts = [
+        "café naïve déjà vu über straße çok güzel",
+        "日本語 テスト 単語 分割 日本語 テスト",
+        "emoji 🎉 party 🎉 emoji mix 🚀 test",
+        "смешанный текст на русском языке здесь",
+        "plain ascii control text the of and with",
+        "café naïve déjà vu über straße çok güzel",   # exact dup of 0
+    ]
+    rows = [(i, t, "en" if i % 2 == 0 else "xx", "web", len(t))
+            for i, t in enumerate(texts)]
+    tmp = tempfile.mkdtemp(prefix="dsir_unicode_")
+    try:
+        cols = list(zip(*rows))
+        pq.write_table(pa.table(
+            {"doc_id": pa.array(cols[0], pa.int64()),
+             "text": pa.array(cols[1], pa.string()),
+             "lang": pa.array(cols[2], pa.string()),
+             "source": pa.array(cols[3], pa.string()),
+             "n_chars": pa.array(cols[4], pa.int64())}),
+            f"{tmp}/documents.parquet")
+        for t in TABLES:
+            if t != "documents":
+                pq.write_table(
+                    pq.read_table(f"{SF_DIR}/{t}.parquet").slice(0, 0),
+                    f"{tmp}/{t}.parquet")
+        q = REGISTRY["corpus_dsir_weights"]
+        ok, msg = compare(q.fn(spark, tmp), duck_connection(tmp), q.sql,
+                          "dsir@unicode")
+        assert ok, msg
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
