@@ -161,79 +161,78 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # catalog entries, so ordering is an explicit, audited decision rather
 # than an accident of import order.
 #
-# The round-11 window is COMPUTED, not hand-maintained (the round-5
-# hand-written rotation note undercounted and went stale as the catalog
-# grew): `python scripts/gen_window.py` derives it from the registry and
-# the CORRECTNESS_r*.json history for rounds strictly before WINDOW_ROUND
-# (=11, so the list stays frozen when the driver lands the current
+# The round-12 window is COMPUTED, not hand-maintained: `python
+# scripts/gen_window.py` derives it from the registry and the
+# CORRECTNESS_r*.json history for rounds strictly before WINDOW_ROUND
+# (=12, so the list stays frozen when the driver lands the current
 # round's artifact mid-round), and tests/test_registry_window.py asserts
 # this committed list matches that computation. Cut 2026-08-15 at
-# round-11 start, matching the round-10 verdict accounting: the 6
-# round-10 additions (never driver-checked; all independently re-verified
-# at sf0.001+sf0.01 by the round-10 judge) take the priority slots, PLUS
-# `events_scd2_history` as an upgraded-since-row slot (rebased onto the
-# shared _scd2_dim builder in round 10, after the round-10 window froze,
-# so its r8 row no longer hashes the live source). That leaves 43
-# backfill slots: all 25 remaining r6-stale rows plus the 18
-# alphabetically-first r7-stale rows. Rows-only queries never take a
-# slot. Round-11 additions land BELOW the window (normal rotation reaches
-# them at the round-12 cut). After this round the stale set is ~31 r7
-# rows + this round's additions; the full-refresh cycle stays ~2 rounds
-# at window 50 if catalog growth holds at ≤8/round.
+# round-12 start, matching the round-11 verdict accounting: the 8
+# round-11 additions (never driver-checked; all independently re-verified
+# at sf0.01 by the round-11 judge) take the priority slots, PLUS
+# `dedup_embedding_multiprobe` as an upgraded-since-row slot (its oracle
+# SQL was refactored into the shared _MP_CANDIDATE_CTE in round 11 after
+# the round-11 window froze, so its r8 row no longer hashes the live
+# source). That leaves 41 backfill slots: all 31 remaining r7-stale rows
+# plus the 10 alphabetically-first r8-stale rows. Rows-only queries never
+# take a slot. Round-12 additions land BELOW the window (normal rotation
+# reaches them at the round-13 cut). After this round the stale set is
+# ~39 r8 rows + this round's additions; the full-refresh cycle stays ~2
+# rounds at window 50 if catalog growth holds at <=8/round.
 _WINDOW_PRIORITY = [
-    # — never driver-checked (round-10 additions, judge-verified green) —
-    "dedup_winnowing_pairs",
-    "doc_winnowing",
-    "events_rfm_distributed",
-    "io_compact_small_files",
-    "io_orc_roundtrip",
-    "streaming_scd2_merge",
+    # — never driver-checked (round-11 additions, judge-verified green) —
+    "corpus_dsir_weights",
+    "decontaminate_semantic",
+    "dedup_winnowing_incremental",
+    "events_rfm_cutpoints",
+    "events_stickiness_hll",
+    "quality_gopher_rules",
+    "sample_weighted",
+    "streaming_winnowing_probe",
     # — upgraded after latest row —
-    "events_scd2_history",  # r8
+    "dedup_embedding_multiprobe",  # r8
     # — oldest-stale backfill —
-    "events_rollup_incremental",  # r6
-    "fuzzy_lexicon_match",  # r6
-    "join_skew_salted",  # r6
-    "langid_char_ngram",  # r6
-    "multimodal_fingerprints",  # r6
-    "multimodal_phash_dedup",  # r6
-    "ngram_novelty",  # r6
-    "packing_efficiency",  # r6
-    "pii_redaction",  # r6
-    "quality_bigram_backoff",  # r6
-    "quantile_histogram_by_lang",  # r6
-    "quantile_histogram_sketch",  # r6
-    "search_boolean_and",  # r6
-    "search_phrase",  # r6
-    "skew_profile",  # r6
-    "streaming_conversions",  # r6
-    "streaming_dedup",  # r6
-    "streaming_hll_distinct",  # r6
-    "streaming_sliding_hour",  # r6
-    "token_cms_topk",  # r6
-    "token_counts_regex",  # r6
-    "token_pagerank",  # r6
-    "vocab_growth_curve",  # r6
-    "wordlist_extraction_scaled",  # r6
-    "zorder_layout",  # r6
-    "agg_by_month",  # r7
-    "agg_case_bucket",  # r7
-    "agg_cube",  # r7
-    "agg_global_stats",  # r7
-    "agg_grouping_sets",  # r7
-    "agg_having",  # r7
-    "agg_histogram",  # r7
-    "agg_percentiles",  # r7
-    "agg_pivot",  # r7
-    "agg_rollup",  # r7
-    "contrastive_pairs",  # r7
-    "corpus_token_entropy",  # r7
-    "dedup_incremental",  # r7
-    "dedup_incremental_bloom",  # r7
-    "dedup_jaccard_pairs",  # r7
-    "dedup_minhash_lsh",  # r7
-    "dedup_prefix",  # r7
-    "dedup_simhash",  # r7
+    "distinct_pairs",  # r7
+    "doc_rolling_hash",  # r7
+    "drift_psi",  # r7
+    "embedding_centroids",  # r7
+    "embedding_norm_stats",  # r7
+    "embedding_quantize",  # r7
+    "events_attribution",  # r7
+    "events_dedup_latest",  # r7
+    "events_heatmap",  # r7
+    "events_session_sequences",  # r7
+    "events_transitions",  # r7
+    "events_volume_anomaly",  # r7
+    "hybrid_search_rrf",  # r7
+    "knn_cosine_topk",  # r7
+    "langid_confusion",  # r7
+    "merge_upsert",  # r7
+    "mixture_sample",  # r7
+    "multimodal_headers",  # r7
+    "pack_sequences",  # r7
+    "profile_columns",  # r7
+    "q21_waiting_suppliers",  # r7
+    "q2_min_cost_supplier",  # r7
+    "quality_gate",  # r7
+    "quality_gate_rates",  # r7
+    "quality_perplexity",  # r7
+    "sample_exact_n",  # r7
+    "shuffle_shards",  # r7
+    "skew_salted_agg",  # r7
+    "snapshot_diff",  # r7
+    "split_by_hash",  # r7
+    "vocab_coverage",  # r7
+    "agg_mad_by_group",  # r8
+    "boilerplate_ngrams",  # r8
+    "bpe_merges",  # r8
+    "bpe_token_counts",  # r8
+    "clean_text",  # r8
+    "decontaminate_ngram",  # r8
+    "dedup_sentence_exact",  # r8
+    "dedup_span_excise",  # r8
+    "dedup_tfidf_cosine",  # r8
+    "embedding_outliers",  # r8
 ]
 
 
