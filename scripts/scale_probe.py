@@ -189,6 +189,13 @@ PROBES = {
     "sample_weighted": {"documents": ["doc_id"]},
     "corpus_dsir_weights": {"documents": ["doc_id"]},
     "quality_gopher_rules": {"documents": ["doc_id"]},
+    # round-12 additions. ann_ivf_bucketed_probe emits a CONSTANT 50
+    # rows at every K; its work = cell-index write (linear in n) + a
+    # probe join bounded by query probes x cell occupancy (linear at
+    # fixed IVF_K) — the slope measures the amortized write+probe cost;
+    # at 100 TB the index write happens once, so the per-batch price is
+    # the probe alone.
+    "ann_ivf_bucketed_probe": {"embeddings": ["vec_id"]},
 }
 
 

@@ -240,6 +240,96 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+@register("ann_ivf_bucketed_probe", sql=ANN_IVF_SQL,
+          tags=("similarity", "layout", "pipeline"))
+def ann_ivf_bucketed_probe(spark, sf_dir):
+    """`ann_ivf_topk` routed through a PERSISTED vector index — the
+    MinHash-family production treatment (`dedup_minhash_bucketed_probe`)
+    applied to the embedding side, closing the one missing scale shape
+    in the similarity family: `ann_ivf_topk` rebuilds cell assignments
+    inside every query, but at 100 TB you build the IVF index ONCE and
+    probe it. Here the multi-assignment cell table (vec_id, label, u,
+    cell — rn<=2 home cells per vector) is written as a bucketed+sorted
+    parquet layout on `cell`, the query batch's probe cells (rn<=3) are
+    written bucketed the same way, and the candidate join is a
+    co-located SortMergeJoin with NO Exchange on the probe key (pinned
+    in tests/test_plan_shape.py — no `Exchange hashpartitioning(cell`
+    anywhere in the plan). Exact-cosine re-rank touches only the probed
+    candidates, exactly as in the inline form.
+
+    Exact oracle: the SAME SQL as `ann_ivf_topk` — content-addressed
+    seed centroids make cell assignment pure arithmetic, so the
+    persisted index holds byte-identical cells and the probe returns
+    the identical top-k; only the physical layout differs.
+
+    Scale: at 100 TB the cell index is written ONCE (one corpus-sized
+    shuffle, amortized across every future query batch); each query
+    batch writes only ITS probe rows bucketed the same way
+    (batch-sized), and the probe join reads co-located buckets —
+    corpus-side shuffle is ZERO per batch. Appending newly indexed
+    vectors bucketed on cell keeps the layout valid for the next batch,
+    the same append contract as the MinHash band index."""
+    import os
+    import tempfile
+
+    from spark_sentiment_spark.plans.registry import (track_staging_dir,
+                                                      track_temp_table)
+    from spark_sentiment_spark.sources.bucketing import save_bucketed
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = _as_double("embedding")
+    unit = F.transform(e, lambda x: x / _norm(e))
+    vecs = track_persist(emb.select("vec_id", "label", unit.alias("u")))
+
+    seeds = (vecs
+             .select("vec_id", "u",
+                     F.md5(F.col("vec_id").cast("string")).alias("h"))
+             .orderBy("h", "vec_id").limit(IVF_K))
+    cent = seeds.select(
+        (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cell"),
+        F.col("u").alias("cu"))
+
+    sim = F.round(_dot(F.col("u"), F.col("cu")), 6)
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    scored = track_persist(
+        vecs.crossJoin(F.broadcast(cent))
+        .select("vec_id", "label", "u", "cell", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(wa)))
+
+    nb = 8
+    base = track_staging_dir(tempfile.mkdtemp(prefix="ivf_probe_"))
+    suffix = os.path.basename(base)
+    t_idx = track_temp_table(spark, f"ivf_cell_index_{suffix}")
+    t_bat = track_temp_table(spark, f"ivf_query_batch_{suffix}")
+    save_bucketed(scored.where(F.col("rn") <= IVF_ASSIGN)
+                  .select("cell", "vec_id", "label", "u")
+                  .repartition(nb, F.col("cell")),
+                  t_idx, ["cell"], nb, ["cell"], base + "/index")
+    save_bucketed(scored.where((F.col("vec_id") < 5)
+                               & (F.col("rn") <= IVF_PROBE))
+                  .select("cell", F.col("vec_id").alias("qid"),
+                          F.col("u").alias("qu"))
+                  .repartition(nb, F.col("cell")),
+                  t_bat, ["cell"], nb, ["cell"], base + "/batch")
+
+    cand = (spark.table(t_bat).hint("merge")
+            .join(spark.table(t_idx), "cell")
+            .where(F.col("vec_id") != F.col("qid")))
+    cos = F.round(_dot(F.col("qu"), F.col("u")), 6)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.select("qid", "vec_id",
+                    F.col("label").cast("long").alias("label"),
+                    cos.alias("cos"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= IVF_TOPK)
+        .select("qid", "vec_id", "label", F.col("cos").alias("cosine"),
+                "rn")
+        .orderBy("qid", "rn")
+    )
+
+
 EMB_DEDUP_SQL = """
 WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

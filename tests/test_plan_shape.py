@@ -459,6 +459,23 @@ def test_minhash_bucketed_probe_no_bkey_shuffle(spark):
     assert "Exchange hashpartitioning(bkey" not in plan
 
 
+def test_ivf_bucketed_probe_no_cell_shuffle(spark):
+    """ann_ivf_bucketed_probe: the persisted IVF cell index and the query
+    batch's probe rows are same-bucketed on `cell`, so the candidate
+    join is a co-located SortMergeJoin with NO hash Exchange on the
+    probe key — the corpus-side index is read in place, which is the
+    whole claim of persisting the vector index. The re-rank
+    distinct/window may shuffle on (qid, vec_id); the cell key must
+    not."""
+    from spark_sentiment_spark.plans.registry import release_caches
+
+    plan = _plan(spark, "ann_ivf_bucketed_probe")
+    release_caches()
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") >= 2
+    assert "Exchange hashpartitioning(cell" not in plan
+
+
 def test_partitioned_prune_filter_in_partition_filters(spark):
     """io_partitioned_prune: the day predicate is satisfied ENTIRELY by
     partition-directory pruning — it lands in the scan's
