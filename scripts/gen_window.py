@@ -80,6 +80,11 @@ UPGRADED_SINCE_ROW = {
     # whitespace drift, semantics unchanged, oracle re-verified locally
     # at two SFs this round; the r12 cut re-verifies it.
     "dedup_embedding_multiprobe": 11,
+    # round 12: fn rebased onto the shared _curation_verdicts builder and
+    # its oracle onto the shared _curate_sql composer (both now also
+    # feeding curate_corpus_gopher) — logic byte-equivalent, oracle
+    # re-verified locally at two SFs this round; the r13 cut re-verifies.
+    "curate_corpus": 12,
 }
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -196,6 +196,10 @@ PROBES = {
     # at 100 TB the index write happens once, so the per-batch price is
     # the probe alone.
     "ann_ivf_bucketed_probe": {"embeddings": ["vec_id"]},
+    # same shape as curate_corpus (probed above) with the published gate
+    # swapped in — the gate is still one codegen projection, so the two
+    # slopes should match
+    "curate_corpus_gopher": {"documents": ["doc_id"]},
 }
 
 

@@ -1504,15 +1504,19 @@ _GOPHER_STOP_SQL = " + ".join(
     f"CAST(list_contains(list_transform({_GOPHER_W}, x -> lower(x)), "
     f"'{s}') AS INTEGER)" for s in GOPHER_STOPWORDS)
 
-GOPHER_SQL = f"""
-WITH feats AS (
-  SELECT doc_id,
+# Split into CTE body + verdict expressions so the composed curation
+# pass (`curate_corpus_gopher`, plans/pipeline_queries.py) reuses the
+# EXACT same SQL for its gate stage instead of a paraphrase.
+GOPHER_FEATS_SQL = f"""
+  SELECT doc_id, text,
          CAST(len({_GOPHER_W}) AS BIGINT) AS n_words,
          CAST(list_sum(list_transform({_GOPHER_W}, x -> length(x)))
               AS DOUBLE) / len({_GOPHER_W}) AS mean_wl,
          CAST(length(text) - length(replace(text, '#', ''))
-              + (length(text) - length(replace(text, '...', ''))) / 3
-              AS DOUBLE) / len({_GOPHER_W}) AS sym_r,
+              AS DOUBLE) / len({_GOPHER_W}) AS hash_r,
+         CAST((length(text) - length(replace(text, '...', ''))) / 3
+              + length(text) - length(replace(text, '…', ''))
+              AS DOUBLE) / len({_GOPHER_W}) AS ell_r,
          CAST(len(list_filter({_GOPHER_LN},
                 x -> ltrim(x) LIKE '•%' OR ltrim(x) LIKE '-%'
                      OR ltrim(x) LIKE '*%')) AS DOUBLE)
@@ -1524,24 +1528,35 @@ WITH feats AS (
                 x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
            / len({_GOPHER_W}) AS alpha_r,
          CAST({_GOPHER_STOP_SQL} AS BIGINT) AS n_stop
-  FROM documents WHERE text IS NOT NULL
-)
-SELECT doc_id, n_words, round(mean_wl, 6) AS mean_word_len,
-       round(sym_r, 6) AS symbol_ratio, round(bullet_r, 6) AS bullet_ratio,
-       round(ellipsis_r, 6) AS ellipsis_ratio,
-       round(alpha_r, 6) AS alpha_word_ratio, n_stop AS n_stopwords,
-       (n_words BETWEEN 50 AND 100000) AND mean_wl BETWEEN 3 AND 10
-         AND sym_r <= 0.1 AND bullet_r <= 0.9 AND ellipsis_r <= 0.3
-         AND alpha_r >= 0.8 AND n_stop >= 2 AS keep,
-       CASE WHEN n_words < 50 THEN 'too_few_words'
+  FROM documents WHERE text IS NOT NULL"""
+
+GOPHER_KEEP_SQL = """(n_words BETWEEN 50 AND 100000) AND mean_wl BETWEEN 3 AND 10
+         AND hash_r <= 0.1 AND ell_r <= 0.1
+         AND bullet_r <= 0.9 AND ellipsis_r <= 0.3
+         AND alpha_r >= 0.8 AND n_stop >= 2"""
+
+GOPHER_REASON_SQL = """CASE WHEN n_words < 50 THEN 'too_few_words'
             WHEN n_words > 100000 THEN 'too_many_words'
             WHEN mean_wl < 3 OR mean_wl > 10 THEN 'word_length'
-            WHEN sym_r > 0.1 THEN 'symbol_ratio'
+            WHEN hash_r > 0.1 OR ell_r > 0.1 THEN 'symbol_ratio'
             WHEN bullet_r > 0.9 THEN 'bullet_lines'
             WHEN ellipsis_r > 0.3 THEN 'ellipsis_lines'
             WHEN alpha_r < 0.8 THEN 'non_alpha_words'
             WHEN n_stop < 2 THEN 'stopwords'
-            ELSE 'ok' END AS reason
+            ELSE 'ok' END"""
+
+GOPHER_SQL = f"""
+WITH feats AS (
+{GOPHER_FEATS_SQL}
+)
+SELECT doc_id, n_words, round(mean_wl, 6) AS mean_word_len,
+       round(hash_r, 6) AS hash_word_ratio,
+       round(ell_r, 6) AS ellipsis_word_ratio,
+       round(bullet_r, 6) AS bullet_ratio,
+       round(ellipsis_r, 6) AS ellipsis_ratio,
+       round(alpha_r, 6) AS alpha_word_ratio, n_stop AS n_stopwords,
+       {GOPHER_KEEP_SQL} AS keep,
+       {GOPHER_REASON_SQL} AS reason
 FROM feats
 ORDER BY doc_id
 """
@@ -1551,7 +1566,10 @@ ORDER BY doc_id
 def quality_gopher_rules(spark, sf_dir):
     """The Gopher heuristic quality gate with its published thresholds:
     50–100k words, mean word length 3–10, symbol-to-word ratio ≤ 0.1
-    ('#' and '...'), ≤ 90% bullet-led lines, ≤ 30% ellipsis-ended lines,
+    for EACH symbol separately ('#' chars; '...' or '…' ellipses — the
+    published rule drops when EITHER ratio exceeds 0.1, so the two are
+    measured and thresholded independently, round-11 ADVICE), ≤ 90%
+    bullet-led lines, ≤ 30% ellipsis-ended lines (both ellipsis forms),
     ≥ 80% words containing an alphabetic character, ≥ 2 of the 8 English
     stop words. Emits every measured feature next to the verdict and a
     first-failing-rule reason.
@@ -1564,10 +1582,12 @@ def quality_gopher_rules(spark, sf_dir):
     return _gopher_rules(docs)
 
 
-def _gopher_rules(docs):
-    """Core of `quality_gopher_rules` over any (doc_id, text) frame —
-    split out so tests can exercise the bullet/ellipsis line rules on
-    constructed multi-line corpora (the fixture is single-line)."""
+def _gopher_feats(docs):
+    """Raw Gopher features + verdict over any (doc_id, text) frame —
+    the unformatted core shared by `quality_gopher_rules` (which rounds
+    and orders it) and the composed curation pass `curate_corpus_gopher`
+    (plans/pipeline_queries.py), which consumes only (doc_id, keep,
+    reason) as its gate stage."""
     w = F.split(F.trim(F.col("text")), r"\s+")
     ln = F.split(F.col("text"), "\n", -1)
     stop_hits = sum(F.array_contains(F.col("__lw"), s).cast("int")
@@ -1576,16 +1596,19 @@ def _gopher_rules(docs):
         "doc_id", "text", w.alias("__w"), ln.alias("__ln"))
         .withColumn("__lw", F.expr("transform(__w, x -> lower(x))"))
         .select(
-            "doc_id",
+            "doc_id", "text",
             F.size("__w").cast("bigint").alias("n_words"),
             (F.expr("aggregate(transform(__w, x -> length(x)), 0,"
                     " (a, x) -> a + x)").cast("double")
              / F.size("__w")).alias("mean_wl"),
             ((F.length("text")
-              - F.length(F.expr("replace(text, '#', '')"))
-              + (F.length("text")
-                 - F.length(F.expr("replace(text, '...', '')"))) / 3)
-             .cast("double") / F.size("__w")).alias("sym_r"),
+              - F.length(F.expr("replace(text, '#', '')")))
+             .cast("double") / F.size("__w")).alias("hash_r"),
+            (((F.length("text")
+               - F.length(F.expr("replace(text, '...', '')"))) / 3
+              + F.length("text")
+              - F.length(F.expr("replace(text, '…', '')")))
+             .cast("double") / F.size("__w")).alias("ell_r"),
             (F.expr("size(filter(__ln, x -> ltrim(x) LIKE '•%'"
                     " OR ltrim(x) LIKE '-%' OR ltrim(x) LIKE '*%'))")
              .cast("double") / F.size("__ln")).alias("bullet_r"),
@@ -1597,26 +1620,38 @@ def _gopher_rules(docs):
             stop_hits.cast("bigint").alias("n_stop")))
     keep = (F.col("n_words").between(50, 100000)
             & F.col("mean_wl").between(3, 10)
-            & (F.col("sym_r") <= 0.1) & (F.col("bullet_r") <= 0.9)
+            & (F.col("hash_r") <= 0.1) & (F.col("ell_r") <= 0.1)
+            & (F.col("bullet_r") <= 0.9)
             & (F.col("ellipsis_r") <= 0.3) & (F.col("alpha_r") >= 0.8)
             & (F.col("n_stop") >= 2))
     reason = (F.when(F.col("n_words") < 50, "too_few_words")
               .when(F.col("n_words") > 100000, "too_many_words")
               .when((F.col("mean_wl") < 3) | (F.col("mean_wl") > 10),
                     "word_length")
-              .when(F.col("sym_r") > 0.1, "symbol_ratio")
+              .when((F.col("hash_r") > 0.1) | (F.col("ell_r") > 0.1),
+                    "symbol_ratio")
               .when(F.col("bullet_r") > 0.9, "bullet_lines")
               .when(F.col("ellipsis_r") > 0.3, "ellipsis_lines")
               .when(F.col("alpha_r") < 0.8, "non_alpha_words")
               .when(F.col("n_stop") < 2, "stopwords")
               .otherwise("ok"))
+    return feats.withColumn("keep", keep).withColumn("reason", reason)
+
+
+def _gopher_rules(docs):
+    """Formatted `quality_gopher_rules` output over any (doc_id, text)
+    frame — split out so tests can exercise the bullet/ellipsis line
+    rules on constructed multi-line corpora (the fixture is
+    single-line)."""
+    feats = _gopher_feats(docs)
     return (feats.select(
         "doc_id", "n_words",
         F.round("mean_wl", 6).alias("mean_word_len"),
-        F.round("sym_r", 6).alias("symbol_ratio"),
+        F.round("hash_r", 6).alias("hash_word_ratio"),
+        F.round("ell_r", 6).alias("ellipsis_word_ratio"),
         F.round("bullet_r", 6).alias("bullet_ratio"),
         F.round("ellipsis_r", 6).alias("ellipsis_ratio"),
         F.round("alpha_r", 6).alias("alpha_word_ratio"),
         F.col("n_stop").alias("n_stopwords"),
-        keep.alias("keep"), reason.alias("reason"))
+        "keep", "reason")
         .orderBy("doc_id"))

@@ -846,3 +846,33 @@ def test_burstiness_integer_formula_matches_float_vmr(spark, counts):
     assert got >= 0
     if len(set(counts)) == 1:
         assert got == 0
+
+
+# --- curation-pass stage consistency (round 12) ------------------------------
+
+
+def test_curate_gopher_gate_stage_agrees_with_quality_gopher_rules(spark):
+    """The composed Gopher curation pass and the standalone published
+    gate must be the SAME gate: on the fixture, every non-benchmark doc
+    the standalone gate rejects carries exactly the standalone reason as
+    its curation verdict, and every doc the gate keeps can only fall to
+    a LATER stage (duplicate / contaminated) or survive. A drift here
+    means the composed pass paraphrased the published thresholds instead
+    of reusing them."""
+    from tests.conftest import SF_DIR
+    from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
+
+    all_queries()
+    gate = {r["doc_id"]: r for r in
+            REGISTRY["quality_gopher_rules"].fn(spark, SF_DIR).collect()}
+    cur = {r["doc_id"]: r["reason"] for r in
+           REGISTRY["curate_corpus_gopher"].fn(spark, SF_DIR).collect()}
+    assert set(cur) == set(gate) | {d for d in cur if d < 5}
+    for doc_id, reason in cur.items():
+        if doc_id < 5:
+            assert reason == "benchmark"
+        elif not gate[doc_id]["keep"]:
+            assert reason == gate[doc_id]["reason"], (doc_id, reason)
+        else:
+            assert reason in ("duplicate", "contaminated", "kept"), \
+                (doc_id, reason)

@@ -446,23 +446,33 @@ def test_gopher_rules_each_rule_fires_on_constructed_corpus(spark):
         (5, "\n".join([good_words + " ..."] * 10)), # ellipsis_lines
         (6, " ".join(["123456"] * 60) + " the of and"),     # non_alpha_words
         (7, " ".join(["zz%d" % i for i in range(60)])),     # stopwords
+        # symbol_ratio via the ELLIPSIS ratio alone (hash ratio 0): the
+        # published rule thresholds each symbol separately, so 60 mid-
+        # word ellipses / 63 words must drop even with zero '#' chars.
+        (8, " ".join(["word...ly"] * 30 + ["wo…rd"] * 30) + " the of and"),
     ]
-    # doc 5: 10 ellipsis-ended lines out of 10; its symbol ratio is
-    # 10 ellipses / 660 words ≈ 0.015 < 0.1 so ellipsis_lines is the
-    # first failing rule. doc 3: 240 '#' / 63 words >> 0.1.
+    # doc 5: 10 ellipsis-ended lines out of 10; its per-symbol ellipsis
+    # ratio is 10 ellipses / 660 words ≈ 0.015 < 0.1 so ellipsis_lines
+    # is the first failing rule. doc 3: 240 '#' / 63 words >> 0.1.
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in _gopher_rules(docs).collect()}
     assert out[0]["keep"] and out[0]["reason"] == "ok"
     assert not out[1]["keep"] and out[1]["reason"] == "too_few_words"
     assert out[2]["reason"] == "word_length" and out[2]["mean_word_len"] < 3
-    assert out[3]["reason"] == "symbol_ratio" and out[3]["symbol_ratio"] > 0.1
+    assert out[3]["reason"] == "symbol_ratio" \
+        and out[3]["hash_word_ratio"] > 0.1 \
+        and out[3]["ellipsis_word_ratio"] <= 0.1
     assert out[4]["reason"] == "bullet_lines" and out[4]["bullet_ratio"] == 1.0
     assert out[5]["reason"] == "ellipsis_lines" \
-        and out[5]["ellipsis_ratio"] == 1.0
+        and out[5]["ellipsis_ratio"] == 1.0 \
+        and out[5]["ellipsis_word_ratio"] <= 0.1
     assert out[6]["reason"] == "non_alpha_words" \
         and out[6]["alpha_word_ratio"] < 0.8
     assert out[7]["reason"] == "stopwords" and out[7]["n_stopwords"] == 0
-    assert all(not out[i]["keep"] for i in range(1, 8))
+    assert out[8]["reason"] == "symbol_ratio" \
+        and out[8]["hash_word_ratio"] == 0.0 \
+        and out[8]["ellipsis_word_ratio"] > 0.1
+    assert all(not out[i]["keep"] for i in range(1, 9))
 
 
 def test_gopher_rules_fixture_reasons_discriminate(spark):

@@ -1,0 +1,87 @@
+"""Round-12 additions. Each query has an exact DuckDB oracle
+(driver-routed); these tests pin what the fixture oracle can't see:
+the composed Gopher curation pass on a corpus where all four stages
+actually fire (the synthetic fixture is wholesale-rejected by the
+published thresholds, so its dedup/decontamination stages are dead
+there), with a REAL cross-engine oracle comparison on the constructed
+corpus."""
+
+import shutil
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _stage_documents(rows):
+    """Write a constructed documents table (single parquet FILE, the
+    duck_connection contract) plus empty slices of every other table;
+    returns the staging dir (caller removes)."""
+    from tests.oracle_utils import TABLES
+
+    tmp = tempfile.mkdtemp(prefix="round12_oracle_")
+    cols = list(zip(*rows))
+    pq.write_table(pa.table(
+        {"doc_id": pa.array(cols[0], pa.int64()),
+         "text": pa.array(cols[1], pa.string()),
+         "lang": pa.array(cols[2], pa.string()),
+         "source": pa.array(cols[3], pa.string()),
+         "n_chars": pa.array(cols[4], pa.int64())}),
+        f"{tmp}/documents.parquet")
+    for t in TABLES:
+        if t != "documents":
+            pq.write_table(
+                pq.read_table(f"{SF_DIR}/{t}.parquet").slice(0, 0),
+                f"{tmp}/{t}.parquet")
+    return tmp
+
+
+GOOD = ("the quick brown fox and that dog have fun with it " * 6).strip()
+
+
+def test_curate_gopher_all_stages_fire_with_oracle(spark):
+    """Every stage of the composed Gopher curation pass produces a
+    verdict on this corpus — benchmark, kept, duplicate (same 4-token
+    prefix, keep-best by length), contaminated (shares a benchmark
+    3-gram), and two distinct Gopher sub-reasons — and the Spark plan
+    matches the composed DuckDB oracle cross-engine."""
+    from tests.oracle_utils import compare, duck_connection
+    from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
+
+    all_queries()
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "bench", 35),
+        (1, "bench one marker", "en", "bench", 16),
+        (2, "bench two marker", "en", "bench", 16),
+        (3, "bench three marker", "en", "bench", 18),
+        (4, "bench four marker", "en", "bench", 17),
+        # kept: passes Gopher, unique prefix cluster winner (longest)
+        (5, "prefix one two three " + GOOD + " plus extra tail words",
+         "en", "web", 10),
+        # duplicate: same first-4-token prefix as doc 5, shorter
+        (6, "prefix one two three " + GOOD, "en", "web", 10),
+        # contaminated: passes Gopher, contains benchmark 3-gram
+        (7, "now alpha beta gamma appears inside " + GOOD, "en", "web", 10),
+        # Gopher sub-reasons surface as first-failing verdicts
+        (8, "the of and", "en", "web", 10),                 # too_few_words
+        (9, ("#### " * 60).strip() + " the of and have with",
+         "en", "web", 10),                                  # symbol_ratio
+    ]
+    tmp = _stage_documents(rows)
+    try:
+        q = REGISTRY["curate_corpus_gopher"]
+        out = {r["doc_id"]: r["reason"]
+               for r in q.fn(spark, tmp).collect()}
+        assert out == {0: "benchmark", 1: "benchmark", 2: "benchmark",
+                       3: "benchmark", 4: "benchmark", 5: "kept",
+                       6: "duplicate", 7: "contaminated",
+                       8: "too_few_words", 9: "symbol_ratio"}, out
+        ok, msg = compare(q.fn(spark, tmp), duck_connection(tmp), q.sql,
+                          "curate_gopher@constructed")
+        assert ok, msg
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
