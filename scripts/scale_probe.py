@@ -200,6 +200,10 @@ PROBES = {
     # swapped in — the gate is still one codegen projection, so the two
     # slopes should match
     "curate_corpus_gopher": {"documents": ["doc_id"]},
+    # the bucketed-m cutpoint form: slope should track the per-user hash
+    # agg like its parent, with the m-axis freq table now capped at
+    # |cells| instead of growing with users
+    "events_rfm_cutpoints_bucketed": {"events": ["user_id"]},
 }
 
 

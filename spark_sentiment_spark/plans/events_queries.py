@@ -1591,6 +1591,86 @@ def events_rfm_cutpoints(spark, sf_dir):
             .orderBy("user_id"))
 
 
+#: fixed cell width for the pre-bucketed monetary axis (100 currency
+#: units at the e4 fixed-point scale): wide enough that |cells| stays
+#: control-plane-sized at any corpus size, narrow enough that the
+#: fixture's 150 users collapse into ~37 cells so the trade is exercised.
+M_CELL_W = 1_000_000
+
+RFM_CUTPOINT_BUCKETED_SQL = f"""
+WITH mx AS (SELECT max(ts) AS tmax FROM events),
+per_user AS (
+  SELECT user_id, max(ts) AS umax,
+         count(*) AS f_events,
+         sum(CAST(floor(value * 10000) AS BIGINT)) AS m_e4
+  FROM events GROUP BY user_id
+), scored AS (
+  SELECT user_id,
+         CAST((epoch_ms((SELECT tmax FROM mx)) - epoch_ms(umax)) // 86400000
+              AS BIGINT) AS r_days,
+         CAST(f_events AS BIGINT) AS f_events,
+         CAST(m_e4 AS BIGINT) AS m_e4,
+         CAST(m_e4 // {M_CELL_W} AS BIGINT) AS m_cell
+  FROM per_user
+), nrow AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+{_cut_block('r', 'r_days', desc=False)},
+{_cut_block('f', 'f_events', desc=True)},
+{_cut_block('m', 'm_cell', desc=True)}
+SELECT s.user_id, s.r_days, s.f_events, s.m_e4, s.m_cell,
+       r_scored.r_score, f_scored.f_score, m_scored.m_score
+FROM scored s
+JOIN r_scored USING (user_id)
+JOIN f_scored USING (user_id)
+JOIN m_scored USING (user_id)
+ORDER BY s.user_id
+"""
+
+
+@register("events_rfm_cutpoints_bucketed", sql=RFM_CUTPOINT_BUCKETED_SQL,
+          tags=("events",))
+def events_rfm_cutpoints_bucketed(spark, sf_dir):
+    """`events_rfm_cutpoints` with the near-continuous monetary axis
+    PRE-BUCKETED into fixed-width cells (m_cell = m_e4 div {M_CELL_W}) —
+    implementing the trade that query's docstring names instead of
+    promising it: on a money-like axis the frequency table approaches
+    |users| and the cutpoint form loses its advantage; bucketing first
+    caps the frequency table at |cells| = value-range / width rows
+    (control-plane-sized at ANY corpus size) at the cost of sub-cell
+    boundaries — users in the same cell always share an m_score.
+    Recency and frequency axes are naturally low-cardinality and stay
+    unbucketed, byte-identical to the parent's. `_cutpoint_quintile` on
+    the cell column keeps every certified property (equals ntile(5) on
+    distinct cells across every n mod 5 residue, tie-stable otherwise
+    — the parent's seeded sweeps apply verbatim since the cell axis is
+    just another long column; tests/test_round12_queries.py pins the
+    cell-level collapse and the r/f invariance on the fixture).
+
+    Scale: identical shape to the parent — one hash agg per axis, a cum
+    window over distinct values (now provably bounded for money too),
+    4-row broadcast joins back. Nothing ranks users."""
+    ev = load(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("tmax"))
+    per_user = (ev.groupBy("user_id")
+                .agg(F.max("ts").alias("umax"),
+                     F.count(F.lit(1)).cast("bigint").alias("f_events"),
+                     F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
+                     .cast("bigint").alias("m_e4")))
+    scored = (per_user.crossJoin(F.broadcast(mx))
+              .withColumn("r_days",
+                          F.expr("(unix_millis(tmax) - unix_millis(umax))"
+                                 " div 86400000"))
+              .select("user_id", F.col("r_days").cast("bigint")
+                      .alias("r_days"), "f_events", "m_e4",
+                      F.expr(f"m_e4 div {M_CELL_W}").cast("bigint")
+                      .alias("m_cell")))
+    out = _cutpoint_quintile(scored, "r_days", "r_score")
+    out = _cutpoint_quintile(out, "f_events", "f_score", descending=True)
+    out = _cutpoint_quintile(out, "m_cell", "m_score", descending=True)
+    return (out.select("user_id", "r_days", "f_events", "m_e4", "m_cell",
+                       "r_score", "f_score", "m_score")
+            .orderBy("user_id"))
+
+
 # --- Inter-arrival gap percentiles per event type ---------------------------
 
 GAP_PCT_SQL = """

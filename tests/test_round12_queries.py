@@ -85,3 +85,31 @@ def test_curate_gopher_all_stages_fire_with_oracle(spark):
         assert ok, msg
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_rfm_bucketed_collapses_cells_and_keeps_rf_axes(spark):
+    """The pre-bucketed monetary axis: (a) r/f scores are byte-identical
+    to the parent `events_rfm_cutpoints` (bucketing touches only the m
+    axis), (b) users sharing a cell always share an m_score (the
+    sub-cell boundaries the trade gives up), (c) m_score is monotone in
+    the cell (descending axis: richer cell never scores lower), and
+    (d) the fixture actually collapses cells (|cells| < |users|), so
+    the trade is exercised rather than vacuous."""
+    from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
+
+    all_queries()
+    parent = {r["user_id"]: r for r in
+              REGISTRY["events_rfm_cutpoints"].fn(spark, SF_DIR).collect()}
+    out = REGISTRY["events_rfm_cutpoints_bucketed"].fn(
+        spark, SF_DIR).collect()
+    assert len(out) == len(parent)
+    by_cell = {}
+    for r in out:
+        p = parent[r["user_id"]]
+        assert (r["r_score"], r["f_score"]) == (p["r_score"], p["f_score"])
+        assert r["m_cell"] == r["m_e4"] // 1_000_000
+        by_cell.setdefault(r["m_cell"], set()).add(r["m_score"])
+    assert len(by_cell) < len(out), "fixture produced no cell collisions"
+    assert all(len(s) == 1 for s in by_cell.values()), by_cell
+    ordered = [next(iter(by_cell[c])) for c in sorted(by_cell, reverse=True)]
+    assert ordered == sorted(ordered), ordered
