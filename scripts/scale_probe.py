@@ -204,6 +204,9 @@ PROBES = {
     # agg like its parent, with the m-axis freq table now capped at
     # |cells| instead of growing with users
     "events_rfm_cutpoints_bucketed": {"events": ["user_id"]},
+    # constant 100-row output like sample_weighted: the honest slope is
+    # the two linear scoring passes + per-partition Gumbel-top-k heap
+    "sample_dsir": {"documents": ["doc_id"]},
 }
 
 

@@ -1672,15 +1672,22 @@ WITH toks AS (
 ), tot AS (
   SELECT sum(ct) AS nt, sum(cr) AS nr FROM stats
 )
-SELECT d.doc_id,
-       CAST(sum(d.g) AS BIGINT) AS n_grams,
-       round(sum(d.g * (ln(s.ct + 1) - ln(s.cr + 1)))
-             - sum(d.g) * (SELECT ln(nt + {DSIR_BUCKETS})
-                                  - ln(nr + {DSIR_BUCKETS}) FROM tot),
-             6) AS log_weight
-FROM dbc d JOIN stats s USING (b)
-GROUP BY d.doc_id
-ORDER BY d.doc_id
+, sc AS (
+  SELECT d.doc_id,
+         CAST(sum(d.g) AS BIGINT) AS n_grams,
+         round(sum(d.g * (ln(s.ct + 1) - ln(s.cr + 1)))
+               - sum(d.g) * (SELECT ln(nt + {DSIR_BUCKETS})
+                                    - ln(nr + {DSIR_BUCKETS}) FROM tot),
+               6) AS log_weight
+  FROM dbc d JOIN stats s USING (b)
+  GROUP BY d.doc_id
+)
+SELECT d0.doc_id,
+       CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
+       coalesce(sc.log_weight, 0.0) AS log_weight
+FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d0
+LEFT JOIN sc USING (doc_id)
+ORDER BY d0.doc_id
 """
 
 
@@ -1690,7 +1697,13 @@ def corpus_dsir_weights(spark, sf_dir):
     hashed-bigram bag models — the data-selection score that, fed to the
     catalog's weighted sampler (`sample_weighted`), reproduces the
     DSIR pipeline: estimate both feature distributions once, score every
-    raw document, importance-resample toward the target domain.
+    raw document, importance-resample toward the target domain. EVERY
+    non-null-text document gets a row: docs with fewer than 2 tokens
+    have no bigram features, so they carry the neutral score
+    (n_grams = 0, log_weight = 0.0 — an even likelihood ratio) rather
+    than vanishing, and the downstream resampler sees the full corpus
+    (round-11 ADVICE: the silent exclusion broke the 'score every raw
+    document' contract).
 
     Scale shape: bigrams never leave their document ungrouped — the
     explode feeds an immediate (doc_id, bucket) partial+final count, so
@@ -1730,13 +1743,80 @@ def _dsir_log_weights(docs):
     term = F.col("g") * (F.log(F.col("ct") + 1) - F.log(F.col("cr") + 1))
     horizon = (F.log(F.col("nt") + DSIR_BUCKETS)
                - F.log(F.col("nr") + DSIR_BUCKETS))
-    return (dbc.join(F.broadcast(stats), "b")
-            .crossJoin(F.broadcast(tot))
-            .groupBy("doc_id")
-            .agg(F.sum(term).alias("s"),
-                 F.sum("g").cast("bigint").alias("n_grams"),
-                 F.first(horizon).alias("hz"))
-            .select("doc_id", "n_grams",
-                    F.round(F.col("s") - F.col("n_grams") * F.col("hz"), 6)
+    scored = (dbc.join(F.broadcast(stats), "b")
+              .crossJoin(F.broadcast(tot))
+              .groupBy("doc_id")
+              .agg(F.sum(term).alias("s"),
+                   F.sum("g").cast("bigint").alias("n_grams"),
+                   F.first(horizon).alias("hz"))
+              .select("doc_id", "n_grams",
+                      F.round(F.col("s") - F.col("n_grams") * F.col("hz"), 6)
+                      .alias("log_weight")))
+    return (docs.select("doc_id").join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_grams", F.lit(0)).cast("bigint")
+                    .alias("n_grams"),
+                    F.coalesce("log_weight", F.lit(0.0))
                     .alias("log_weight"))
             .orderBy("doc_id"))
+
+
+SAMPLE_DSIR_K = 100
+_U48 = 281474976710656.0  # 2^48, the md5 12-hex-prefix uniform's scale
+
+SAMPLE_DSIR_SQL = f"""
+WITH w AS ({DSIR_SQL}),
+keyed AS (
+  SELECT w.doc_id, d.lang, w.n_grams, w.log_weight,
+         w.log_weight + (-ln(-ln(
+           (('0x' || substr(md5('gmb:' || CAST(w.doc_id AS VARCHAR)), 1, 12)
+            )::BIGINT + 1) / {_U48}))) AS k
+  FROM w JOIN documents d USING (doc_id)
+), ranked AS (
+  SELECT doc_id, lang, n_grams, log_weight, k,
+         row_number() OVER (ORDER BY round(k, 6) DESC, doc_id) AS rn
+  FROM keyed
+)
+SELECT doc_id, lang, n_grams, log_weight, round(k, 6) AS gumbel_key,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {SAMPLE_DSIR_K}
+ORDER BY rn
+"""
+
+
+@register("sample_dsir", sql=SAMPLE_DSIR_SQL, tags=("corpus", "pipeline"))
+def sample_dsir(spark, sf_dir):
+    """The MATERIALIZED DSIR resample — `corpus_dsir_weights` driven
+    through the Gumbel-top-k draw the weights exist for (round-11
+    verdict item 5): sampling k docs without replacement proportionally
+    to softmax(log_weight) equals taking the top-k of
+    log_weight + Gumbel(0,1), and the Gumbel uses the catalog's
+    content-addressed uniforms (u = (md5('gmb:'||doc_id) 12-hex + 1)
+    / 2^48) so BOTH engines draw the identical sample — the composition
+    tests/test_round11_queries.py pins against a hashlib replay is now
+    a driver-checked catalog query. Rank order uses the ROUNDED key
+    (6 dp) then doc_id, the BM25 precedent, so engines summing float
+    terms in different orders cannot disagree at the boundary.
+
+    Scale: scoring is `corpus_dsir_weights`' two linear passes; the
+    corpus-wide selection stays inside TakeOrderedAndProject
+    (per-partition k-row heaps, k rows to the driver merge — pinned in
+    tests/test_plan_shape.py, the `sample_weighted` shape); the final
+    row_number runs over the ≤k-row result, never the corpus."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    w = _dsir_log_weights(docs)
+    u = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("gmb:"), F.col("doc_id").cast("string"))),
+        1, 12), 16, 10).cast("double") + 1) / F.lit(_U48)
+    key = F.col("log_weight") + (-F.log(-F.log(u)))
+    keyed = (w.join(docs.select("doc_id", "lang"), "doc_id")
+             .select("doc_id", "lang", "n_grams", "log_weight",
+                     key.alias("k")))
+    top = (keyed.orderBy(F.desc(F.round("k", 6)), "doc_id")
+           .limit(SAMPLE_DSIR_K)
+           .withColumn("rn", F.row_number().over(
+               Window.orderBy(F.desc(F.round("k", 6)), "doc_id"))
+               .cast("bigint")))
+    return (top.select("doc_id", "lang", "n_grams", "log_weight",
+                       F.round("k", 6).alias("gumbel_key"), "rn")
+            .orderBy("rn"))

@@ -476,6 +476,23 @@ def test_ivf_bucketed_probe_no_cell_shuffle(spark):
     assert "Exchange hashpartitioning(cell" not in plan
 
 
+def test_sample_dsir_topk_never_global_sorts(spark):
+    """sample_dsir's corpus-wide Gumbel-top-k must stay inside
+    TakeOrderedAndProject (per-partition heaps, k rows to the driver
+    merge) — a full range-sort of the scored corpus before the limit is
+    the regression the materialized resample exists to avoid. The final
+    row_number and output orderBy run over the ≤100-row result only."""
+    from spark_sentiment_spark.plans.registry import release_caches
+
+    plan = _plan(spark, "sample_dsir")
+    release_caches()
+    assert "TakeOrderedAndProject(limit=100" in plan
+    # no corpus-wide range sort anywhere; the single SinglePartition
+    # exchange feeds the rn window over the ≤100-row TakeOrdered result
+    assert plan.count("Exchange rangepartitioning") == 0
+    assert plan.count("Exchange SinglePartition") == 1
+
+
 def test_partitioned_prune_filter_in_partition_filters(spark):
     """io_partitioned_prune: the day predicate is satisfied ENTIRELY by
     partition-directory pruning — it lands in the scan's

@@ -113,3 +113,62 @@ def test_rfm_bucketed_collapses_cells_and_keeps_rf_axes(spark):
     assert all(len(s) == 1 for s in by_cell.values()), by_cell
     ordered = [next(iter(by_cell[c])) for c in sorted(by_cell, reverse=True)]
     assert ordered == sorted(ordered), ordered
+
+
+def test_sample_dsir_matches_hashlib_replay(spark):
+    """Bit-exact replay of the materialized resample in pure Python:
+    take the query's own log_weights (already pinned against their
+    oracle), add the md5-derived Gumbel with the identical float ops,
+    rank by (round(key, 6) desc, doc_id) — the selected doc set and rn
+    order must match exactly, the engine-independence claim behind the
+    content-addressed draw."""
+    import hashlib
+    import math
+
+    from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
+
+    all_queries()
+    w = {r["doc_id"]: r["log_weight"] for r in
+         REGISTRY["corpus_dsir_weights"].fn(spark, SF_DIR).collect()}
+    keyed = []
+    for doc_id, lw in w.items():
+        u = (int(hashlib.md5(f"gmb:{doc_id}".encode()).hexdigest()[:12],
+                 16) + 1) / 2.0 ** 48
+        keyed.append((round(lw + (-math.log(-math.log(u))), 6), doc_id))
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    want = [(d, k) for k, d in keyed[:100]]
+    got = [(r["doc_id"], r["gumbel_key"]) for r in
+           REGISTRY["sample_dsir"].fn(spark, SF_DIR)
+           .orderBy("rn").collect()]
+    assert got == want
+
+
+def test_dsir_weights_score_featureless_docs_neutrally(spark):
+    """Docs with fewer than 2 tokens have no bigram features — they must
+    appear with the neutral score (n_grams = 0, log_weight = 0.0), not
+    vanish (round-11 ADVICE: the resampler would silently drop them),
+    and the constructed corpus runs the REAL cross-engine oracle."""
+    from tests.oracle_utils import compare, duck_connection
+    from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
+
+    all_queries()
+    rows = [
+        (0, "the quick brown fox jumps over it", "en", "web", 33),
+        (1, "one", "en", "web", 3),          # 1 token: featureless
+        (2, "", "de", "web", 0),             # 0 tokens: featureless
+        (3, "zwei wörter", "de", "web", 11),
+        (4, None, "en", "web", 0),           # null text: excluded
+    ]
+    tmp = _stage_documents(rows)
+    try:
+        q = REGISTRY["corpus_dsir_weights"]
+        out = {r["doc_id"]: (r["n_grams"], r["log_weight"])
+               for r in q.fn(spark, tmp).collect()}
+        assert set(out) == {0, 1, 2, 3}
+        assert out[1] == (0, 0.0) and out[2] == (0, 0.0)
+        assert out[0][0] > 0 and out[3][0] > 0
+        ok, msg = compare(q.fn(spark, tmp), duck_connection(tmp), q.sql,
+                          "dsir_featureless@constructed")
+        assert ok, msg
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
