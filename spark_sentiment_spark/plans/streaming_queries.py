@@ -29,6 +29,16 @@ from spark_sentiment_spark.plans.registry import (load, register,
                                                   track_staging_dir)
 
 
+from spark_sentiment_spark.streaming.streams import (
+    read_event_stream,
+    run_to_memory,
+    session_windows,
+    stateful_user_counts,
+    stream_static_enrich,
+    tumbling_hourly,
+)
+
+
 def _stage_ordered_segments(slices, prefix: str) -> str:
     """Stage each DataFrame slice as ONE parquet file with ascending
     names AND mtimes in a fresh tracked staging dir: the file stream
@@ -39,9 +49,12 @@ def _stage_ordered_segments(slices, prefix: str) -> str:
 
     An EMPTY slice still stages a schema-only part file and therefore
     still fires an (empty) micro-batch: Spark's coalesce(1) parquet
-    write always emits one part file. Degenerate inputs thus chain the
-    SAME number of versions, each step an identity merge — verified
-    empirically; do not assume empty slices skip batches."""
+    write always emits one part file (asserted below — a multi-part or
+    zero-part write would silently break the one-batch-per-slice
+    contract). Degenerate inputs thus chain the SAME number of
+    versions, each step an identity merge — pinned by
+    tests/test_streaming.py::test_stage_ordered_segments_empty_slice_fires_batch;
+    do not assume empty slices skip batches."""
     import glob
     import os
     import shutil
@@ -51,19 +64,14 @@ def _stage_ordered_segments(slices, prefix: str) -> str:
     for i, sl in enumerate(slices):
         tmp = track_staging_dir(tempfile.mkdtemp(prefix=f"{prefix}seg_"))
         sl.coalesce(1).write.mode("overwrite").parquet(tmp)
-        for part in glob.glob(f"{tmp}/part-*.parquet"):
-            target = f"{stream_dir}/seg{i}.parquet"
-            shutil.move(part, target)
-            os.utime(target, (1_000_000_000 + i * 100,) * 2)
+        parts = glob.glob(f"{tmp}/part-*.parquet")
+        if len(parts) != 1:
+            raise AssertionError(
+                f"slice {i}: expected exactly one part file, got {parts}")
+        target = f"{stream_dir}/seg{i}.parquet"
+        shutil.move(parts[0], target)
+        os.utime(target, (1_000_000_000 + i * 100,) * 2)
     return stream_dir
-from spark_sentiment_spark.streaming.streams import (
-    read_event_stream,
-    run_to_memory,
-    session_windows,
-    stateful_user_counts,
-    stream_static_enrich,
-    tumbling_hourly,
-)
 
 # Memory-sink table names must be unique per execution within a session.
 _run_seq = itertools.count()

@@ -342,3 +342,38 @@ def test_streaming_hll_state_equals_batch(spark):
     # the estimate is a deterministic fold of the state: sanity band only
     # (exactness is the DuckDB oracle's job in test_oracle.py)
     assert row["rel_err"] < 0.30, row
+
+
+def test_stage_ordered_segments_empty_slice_fires_batch(spark, tmp_path):
+    """The empty-slice contract _stage_ordered_segments asserts (round-11
+    ADVICE: it was claimed, Spark-version-dependent, and untested): an
+    empty slice still stages a schema-only part file, the file stream
+    source still admits it, and at maxFilesPerTrigger=1 it still fires
+    its own (empty) micro-batch — so degenerate CDC inputs chain the
+    SAME number of versions as real ones."""
+    from pyspark.sql import functions as F
+
+    from spark_sentiment_spark.plans.registry import release_caches
+    from spark_sentiment_spark.plans.streaming_queries import (
+        _stage_ordered_segments)
+
+    base = spark.range(3).select(F.col("id").alias("k"))
+    slices = [base.where(F.col("k") < 2),
+              base.where(F.lit(False)),          # EMPTY middle slice
+              base.where(F.col("k") >= 2)]
+    stream_dir = _stage_ordered_segments(slices, "empty_slice_test_")
+    import glob
+    staged = sorted(glob.glob(f"{stream_dir}/seg*.parquet"))
+    assert len(staged) == 3, staged
+
+    batches = []
+    stream = (spark.readStream.schema("k long")
+              .option("maxFilesPerTrigger", "1").parquet(stream_dir))
+    q = (stream.writeStream
+         .foreachBatch(lambda df, bid: batches.append((bid, df.count())))
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.awaitTermination(120)
+    release_caches()
+    assert [c for _, c in sorted(batches)] == [2, 0, 1], batches
