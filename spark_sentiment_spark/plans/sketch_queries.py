@@ -1245,7 +1245,7 @@ def _stickiness_hll_core(ud):
             .orderBy("day"))
 
 
-@register("events_stickiness_hll", sql=STICKINESS_HLL_SQL,
+@register("events_stickiness_hll", sql=STICKINESS_HLL_SQL, bench=True,
           tags=("sketch", "events"))
 def events_stickiness_hll(spark, sf_dir):
     """DAU / trailing-28-day-MAU stickiness from MERGEABLE per-day HLL
