@@ -844,3 +844,121 @@ def streaming_winnowing_probe(spark, sf_dir):
             .parquet(out_dir)
             .select("doc_a", "doc_b", "n_shared")
             .orderBy("doc_a", "doc_b"))
+
+
+# --- Streaming IVF probe (the vector index triad's streaming leg) -----------
+
+from spark_sentiment_spark.plans.similarity_queries import (  # noqa: E402
+    ANN_IVF_SQL, IVF_ASSIGN, IVF_K, IVF_PROBE, IVF_TOPK, _as_double, _dot,
+    _norm)
+
+
+@register("streaming_ivf_probe", sql=ANN_IVF_SQL,
+          tags=("similarity", "streaming", "pipeline"))
+def streaming_ivf_probe(spark, sf_dir):
+    """Streaming consumer of the persisted IVF cell index — completes
+    the vector family's inline / persisted / streaming triad
+    (`ann_ivf_topk` → `ann_ivf_bucketed_probe` → this), the same arc
+    the MinHash and winnowing families walked: the corpus's
+    multi-assignment cell table is the static side, and QUERY vectors
+    arrive as a file stream staged as TWO files at one file per
+    trigger. Each micro-batch routes ITS queries to their probe cells
+    (routing is row-local given the broadcast centroids, so any batch
+    split is safe), joins the static index on the cell, exact-cosine
+    re-ranks per query, and appends its top-k to a batch_id-partitioned
+    sink (exactly-once by overwrite-per-batch; each qid lives in
+    exactly one batch, so no result spans batches and the union needs
+    no dedup — batch-boundary independence is pinned in
+    tests/test_round12_queries.py against the inline form).
+
+    The per-qid top-k window needs batch semantics, so the probe runs
+    under `foreachBatch` — the `streaming_winnowing_probe` /
+    `streaming_scd2_merge` route. Oracle: `ann_ivf_topk`'s SQL verbatim
+    — content-addressed centroids make cells and rankings
+    engine-independent, and the finite availableNow source replays the
+    same top-k regardless of how the query batch was split.
+
+    Scale: per batch, work is |batch queries| × probe cells × mean cell
+    occupancy; the index is table-sized state on disk (at 100 TB the
+    bucketed layout of `ann_ivf_bucketed_probe`), never streaming
+    state. Reference parity: witlox/spark_sentiment has no streaming
+    surface; extension per SURVEY §7.4."""
+    import glob
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = _as_double("embedding")
+    unit = F.transform(e, lambda x: x / _norm(e))
+    vecs = track_persist(emb.select("vec_id", "label", unit.alias("u")))
+
+    seeds = (vecs
+             .select("vec_id", "u",
+                     F.md5(F.col("vec_id").cast("string")).alias("h"))
+             .orderBy("h", "vec_id").limit(IVF_K))
+    cent = track_persist(seeds.select(
+        (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cell"),
+        F.col("u").alias("cu")))
+
+    sim = F.round(_dot(F.col("u"), F.col("cu")), 6)
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    assigned = track_persist(
+        vecs.crossJoin(F.broadcast(cent))
+        .select("vec_id", "label", "u", "cell", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") <= IVF_ASSIGN)
+        .select("vec_id", "label", "u", "cell"))
+
+    # Queries arrive as TWO micro-batches (split by vec_id) — one file
+    # per trigger, pinning that batch boundaries cannot change any
+    # query's top-k.
+    q_src = emb.where(F.col("vec_id") < 5)
+    stream_dir = _stage_ordered_segments(
+        (q_src.where(F.col("vec_id") < 3),
+         q_src.where(F.col("vec_id") >= 3)), "ivf_queries_")
+
+    out_dir = track_staging_dir(tempfile.mkdtemp(prefix="ivf_hits_"))
+    ckpt = track_staging_dir(tempfile.mkdtemp(prefix="ivf_ckpt_"))
+
+    def probe_batch(df, batch_id):
+        be = _as_double("embedding")
+        bunit = F.transform(be, lambda x: x / _norm(be))
+        qv = df.select(F.col("vec_id").alias("qid"), bunit.alias("qu"))
+        qsim = F.round(_dot(F.col("qu"), F.col("cu")), 6)
+        wq = Window.partitionBy("qid").orderBy(F.desc("qsim"),
+                                               F.asc("cell"))
+        probes = (qv.crossJoin(F.broadcast(cent))
+                  .select("qid", "qu", "cell", qsim.alias("qsim"))
+                  .withColumn("prn", F.row_number().over(wq))
+                  .where(F.col("prn") <= IVF_PROBE)
+                  .select("qid", "qu", "cell"))
+        cos = F.round(_dot(F.col("qu"), F.col("u")), 6)
+        wk = Window.partitionBy("qid").orderBy(F.desc("cos"),
+                                               F.asc("vec_id"))
+        topk = (assigned.join(F.broadcast(probes), "cell")
+                .where(F.col("vec_id") != F.col("qid"))
+                .select("qid", "vec_id",
+                        F.col("label").cast("long").alias("label"),
+                        cos.alias("cos"))
+                .distinct()
+                .withColumn("rn", F.row_number().over(wk).cast("long"))
+                .where(F.col("rn") <= IVF_TOPK)
+                .select("qid", "vec_id", "label",
+                        F.col("cos").alias("cosine"), "rn"))
+        topk.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    stream = (spark.readStream.schema(q_src.schema)
+              .option("maxFilesPerTrigger", 1).parquet(stream_dir))
+    q = (stream.writeStream
+         .foreachBatch(probe_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    out_schema = "qid bigint, vec_id bigint, label bigint, " \
+                 "cosine double, rn bigint"
+    if not glob.glob(f"{out_dir}/batch_id=*/part-*.parquet"):
+        return spark.createDataFrame([], out_schema)  # empty source
+    return (spark.read.schema(out_schema + ", batch_id int")
+            .parquet(out_dir)
+            .select("qid", "vec_id", "label", "cosine", "rn")
+            .orderBy("qid", "rn"))

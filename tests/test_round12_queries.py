@@ -172,3 +172,31 @@ def test_dsir_weights_score_featureless_docs_neutrally(spark):
         assert ok, msg
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_ivf_probe_two_batches_equals_inline(spark):
+    """The streaming leg of the vector index triad must (a) actually run
+    as TWO micro-batches (one staged query file per trigger) and (b)
+    produce exactly the inline `ann_ivf_topk` result — batch boundaries
+    cannot matter because query routing is row-local given the broadcast
+    centroids and each qid lives in exactly one batch."""
+    import glob
+
+    from spark_sentiment_spark.plans import registry
+    from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
+
+    all_queries()
+    before = set(registry._STAGED_DIRS)
+    streamed = [(r["qid"], r["rn"], r["vec_id"], r["label"], r["cosine"])
+                for r in REGISTRY["streaming_ivf_probe"]
+                .fn(spark, SF_DIR).collect()]
+    hit_dirs = [d for d in registry._STAGED_DIRS
+                if d not in before and "ivf_hits_" in d]
+    assert hit_dirs, "hit sink not tracked"
+    batches = glob.glob(hit_dirs[-1] + "/batch_id=*")
+    assert len(batches) == 2, batches
+
+    inline = [(r["qid"], r["rn"], r["vec_id"], r["label"], r["cosine"])
+              for r in REGISTRY["ann_ivf_topk"].fn(spark, SF_DIR).collect()]
+    assert streamed == inline
+    assert streamed, "fixture produced no top-k rows"
