@@ -1630,7 +1630,7 @@ ORDER BY s.user_id
           tags=("events",))
 def events_rfm_cutpoints_bucketed(spark, sf_dir):
     """`events_rfm_cutpoints` with the near-continuous monetary axis
-    PRE-BUCKETED into fixed-width cells (m_cell = m_e4 div {M_CELL_W}) —
+    PRE-BUCKETED into fixed-width cells (m_cell = m_e4 div M_CELL_W) —
     implementing the trade that query's docstring names instead of
     promising it: on a money-like axis the frequency table approaches
     |users| and the cutpoint form loses its advantage; bucketing first
