@@ -207,6 +207,9 @@ PROBES = {
     # constant 100-row output like sample_weighted: the honest slope is
     # the two linear scoring passes + per-partition Gumbel-top-k heap
     "sample_dsir": {"documents": ["doc_id"]},
+    # the C4 gate: one codegen projection like the Gopher gate — the
+    # slope should be scan-bound and match quality_gopher_rules
+    "quality_c4_rules": {"documents": ["doc_id"]},
     # streaming_ivf_probe is NOT probed (streaming trigger harness
     # measures micro-batch plumbing, not an operator slope — the family
     # policy); its batch twin ann_ivf_bucketed_probe above carries the

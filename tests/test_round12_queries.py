@@ -200,3 +200,74 @@ def test_streaming_ivf_probe_two_batches_equals_inline(spark):
               for r in REGISTRY["ann_ivf_topk"].fn(spark, SF_DIR).collect()]
     assert streamed == inline
     assert streamed, "fixture produced no top-k rows"
+
+
+def test_c4_rules_each_rule_fires_on_constructed_corpus(spark):
+    """The fixture is single-line prose without terminal punctuation, so
+    the line-retention and page rules never fire there — this corpus
+    gives every C4 rule a violating document and a passing control, and
+    pins verdict, reason precedence, and the measured counts."""
+    from spark_sentiment_spark.plans.text_queries import _c4_rules
+
+    sent = "The quick brown fox jumps over that lazy sleeping dog."
+    good = "\n".join([sent] * 4)                       # 4 kept lines/sents
+    rows = [
+        (0, good),                                     # ok
+        (1, good + "\nwe use Lorem Ipsum filler"),     # lorem_ipsum
+        (2, good + "\nvar x = {a: 1}"),                # curly_brace
+        (3, sent + "\n" + sent),                       # too_few_sentences
+        # line rules: no terminal punct / <5 words / 'javascript' lines
+        # are all DROPPED, starving the page below 3 sentences
+        (4, "\n".join(["no terminal punctuation here"] * 6)),
+        (5, "\n".join(["Too short."] * 6)),
+        (6, "\n".join([sent.replace("dog", "javascript dog")] * 6)),
+        # a line ending in a quotation mark IS terminal
+        (7, "\n".join([f'He said "{sent}"'] * 3)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in _c4_rules(docs).collect()}
+    assert out[0]["keep"] and out[0]["reason"] == "ok" \
+        and out[0]["n_kept_lines"] == 4 and out[0]["n_sentences"] == 4
+    assert out[1]["reason"] == "lorem_ipsum"
+    assert out[2]["reason"] == "curly_brace"
+    assert out[3]["reason"] == "too_few_sentences" \
+        and out[3]["n_sentences"] == 2
+    assert out[4]["reason"] == "too_few_sentences" \
+        and out[4]["n_kept_lines"] == 0
+    assert out[5]["reason"] == "too_few_sentences" \
+        and out[5]["n_kept_lines"] == 0          # 2 words < 5
+    assert out[6]["reason"] == "too_few_sentences" \
+        and out[6]["n_kept_lines"] == 0          # javascript lines dropped
+    assert out[7]["keep"] and out[7]["n_kept_lines"] == 3
+    assert all(not out[i]["keep"] for i in range(1, 7))
+
+
+def test_c4_rules_oracle_parity_on_multiline_corpus(spark):
+    """The fixture never exercises the line-retention expression paths
+    cross-engine — stage a corpus tripping every rule (plus mixed
+    whitespace, quotes, empty and null text) and run the REAL oracle
+    comparison on it."""
+    from tests.oracle_utils import compare, duck_connection
+    from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
+
+    all_queries()
+    sent = "The quick brown fox jumps over that lazy sleeping dog."
+    good = "\n".join([sent] * 4)
+    rows = [
+        (0, good, "en", "web", len(good)),
+        (1, good + "\nLorem ipsum dolor sit amet.", "en", "web", 10),
+        (2, "if (x) { return; }\n" + good, "de", "web", 10),
+        (3, "  spaced\tout   words here now.  \n" + sent, "fr", "web", 10),
+        (4, 'She shouted "Stop right there you rascal!"\n' + good, "en",
+         "news", 10),
+        (5, "", "en", "web", 0),
+        (6, None, "en", "web", 0),
+    ]
+    tmp = _stage_documents(rows)
+    try:
+        q = REGISTRY["quality_c4_rules"]
+        ok, msg = compare(q.fn(spark, tmp), duck_connection(tmp), q.sql,
+                          "c4@constructed")
+        assert ok, msg
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
