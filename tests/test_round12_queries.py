@@ -271,3 +271,4 @@ def test_c4_rules_oracle_parity_on_multiline_corpus(spark):
         assert ok, msg
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
