@@ -210,6 +210,8 @@ PROBES = {
     # the C4 gate: one codegen projection like the Gopher gate — the
     # slope should be scan-bound and match quality_gopher_rules
     "quality_c4_rules": {"documents": ["doc_id"]},
+    # third curation twin; same shape as its two siblings above
+    "curate_corpus_c4": {"documents": ["doc_id"]},
     # streaming_ivf_probe is NOT probed (streaming trigger harness
     # measures micro-batch plumbing, not an operator slope — the family
     # policy); its batch twin ann_ivf_bucketed_probe above carries the

@@ -747,6 +747,53 @@ def curate_corpus_gopher(spark, sf_dir):
     return _curation_verdicts(docs, gate)
 
 
+def _c4_gate_ctes():
+    from spark_sentiment_spark.plans.text_queries import (C4_FEATS_SQL,
+                                                          C4_KEEP_SQL,
+                                                          C4_REASON_SQL)
+    return rf"""c4feats AS (
+{C4_FEATS_SQL}
+),
+gate AS (
+  SELECT doc_id, text,
+         {C4_KEEP_SQL} AS q_keep,
+         {C4_REASON_SQL} AS q_reason
+  FROM c4feats
+)"""
+
+
+@register("curate_corpus_c4", sql=_curate_sql(_c4_gate_ctes()),
+          tags=("pipeline", "quality", "dedup", "text"))
+def curate_corpus_c4(spark, sf_dir):
+    """`curate_corpus` with the C4 gate (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2 — `quality_c4_rules`' exact rules and
+    first-failing sub-reasons) as stage 2, completing the set: BOTH
+    published gates now run inside the end-to-end curation pass next to
+    the composite one. Benchmark exclusion → C4 gate → prefix keep-best
+    dedup among gate survivors → 3-gram decontamination, one
+    declarative plan with first-failing-stage verdicts; the gate reuses
+    `_c4_feats` verbatim (Spark) and the C4_*_SQL pieces verbatim
+    (oracle), downstream stages are `_curation_verdicts` shared with
+    both siblings.
+
+    On the synthetic fixture the C4 gate honestly rejects every
+    document (single-line prose with no terminal punctuation), so the
+    dedup/decontamination stages are additionally exercised on a
+    constructed C4-passing corpus with a real cross-engine oracle in
+    tests/test_round12_queries.py.
+
+    Scale: identical to its siblings — the gate folds over the line
+    array inside one codegen projection; three bounded-key shuffles
+    end-to-end."""
+    from spark_sentiment_spark.plans.text_queries import _c4_feats
+
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    gate = _c4_feats(docs).select(
+        "doc_id", "text", F.col("keep").alias("q_keep"),
+        F.col("reason").alias("q_reason"))
+    return _curation_verdicts(docs, gate)
+
+
 # --- Snapshot merge / upsert (SCD-1 "MERGE INTO" as a plain plan) -----------
 
 MERGE_SQL = """

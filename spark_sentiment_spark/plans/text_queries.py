@@ -1675,9 +1675,12 @@ _C4_KEPT = (f"list_filter({_C4_LINES}, l -> "
             "w -> w <> '')) >= 5 "
             "AND NOT contains(lower(l), 'javascript'))")
 
-C4_SQL = f"""
-WITH feats AS (
-  SELECT doc_id,
+# Split into CTE body + verdict expressions so the composed curation
+# pass (`curate_corpus_c4`, plans/pipeline_queries.py) reuses the EXACT
+# same SQL for its gate stage instead of a paraphrase (the Gopher-gate
+# pattern).
+C4_FEATS_SQL = f"""
+  SELECT doc_id, text,
          CAST(len({_C4_LINES}) AS BIGINT) AS n_lines,
          CAST(len({_C4_KEPT}) AS BIGINT) AS n_kept,
          CAST(length(coalesce(array_to_string({_C4_KEPT}, chr(10)), ''))
@@ -1686,14 +1689,22 @@ WITH feats AS (
                   '.', ''), '!', ''), '?', '')) AS BIGINT) AS n_sent,
          contains(lower(text), 'lorem ipsum') AS has_lorem,
          contains(text, '{{') AS has_brace
-  FROM documents WHERE text IS NOT NULL
-)
-SELECT doc_id, n_lines, n_kept AS n_kept_lines, n_sent AS n_sentences,
-       NOT has_lorem AND NOT has_brace AND n_sent >= 3 AS keep,
-       CASE WHEN has_lorem THEN 'lorem_ipsum'
+  FROM documents WHERE text IS NOT NULL"""
+
+C4_KEEP_SQL = "NOT has_lorem AND NOT has_brace AND n_sent >= 3"
+
+C4_REASON_SQL = """CASE WHEN has_lorem THEN 'lorem_ipsum'
             WHEN has_brace THEN 'curly_brace'
             WHEN n_sent < 3 THEN 'too_few_sentences'
-            ELSE 'ok' END AS reason
+            ELSE 'ok' END"""
+
+C4_SQL = f"""
+WITH feats AS (
+{C4_FEATS_SQL}
+)
+SELECT doc_id, n_lines, n_kept AS n_kept_lines, n_sent AS n_sentences,
+       {C4_KEEP_SQL} AS keep,
+       {C4_REASON_SQL} AS reason
 FROM feats
 ORDER BY doc_id
 """
@@ -1720,11 +1731,12 @@ def quality_c4_rules(spark, sf_dir):
     return _c4_rules(docs)
 
 
-def _c4_rules(docs):
-    """Core of `quality_c4_rules` over any (doc_id, text) frame — split
-    out so tests can exercise the line-retention rules on constructed
-    multi-line corpora (the fixture is single-line prose with no
-    terminal punctuation, honestly rejected wholesale)."""
+def _c4_feats(docs):
+    """Raw C4 features + verdict over any (doc_id, text) frame — the
+    unformatted core shared by `quality_c4_rules` (which orders it) and
+    the composed curation pass `curate_corpus_c4`
+    (plans/pipeline_queries.py), which consumes only (doc_id, text,
+    keep, reason) as its gate stage."""
     kept = F.expr(
         "filter(split(text, '\\n', -1), l -> "
         "rtrim(l) rlike '[.!?\"]$' "
@@ -1733,7 +1745,7 @@ def _c4_rules(docs):
     feats = (docs.select("doc_id", "text", kept.alias("__kept"))
              .withColumn("__kt", F.array_join("__kept", "\n"))
              .select(
-                 "doc_id",
+                 "doc_id", "text",
                  F.size(F.split("text", "\n", -1)).cast("bigint")
                  .alias("n_lines"),
                  F.size("__kept").cast("bigint").alias("n_kept"),
@@ -1749,9 +1761,18 @@ def _c4_rules(docs):
               .when(F.col("has_brace"), "curly_brace")
               .when(F.col("n_sent") < 3, "too_few_sentences")
               .otherwise("ok"))
+    return feats.withColumn("keep", keep).withColumn("reason", reason)
+
+
+def _c4_rules(docs):
+    """Formatted `quality_c4_rules` output over any (doc_id, text)
+    frame — split out so tests can exercise the line-retention rules on
+    constructed multi-line corpora (the fixture is single-line prose
+    with no terminal punctuation, honestly rejected wholesale)."""
+    feats = _c4_feats(docs)
     return (feats.select(
         "doc_id", "n_lines",
         F.col("n_kept").alias("n_kept_lines"),
         F.col("n_sent").alias("n_sentences"),
-        keep.alias("keep"), reason.alias("reason"))
+        "keep", "reason")
         .orderBy("doc_id"))

@@ -272,3 +272,51 @@ def test_c4_rules_oracle_parity_on_multiline_corpus(spark):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+
+
+def test_curate_c4_all_stages_fire_with_oracle(spark):
+    """Every stage of the composed C4 curation pass produces a verdict
+    on this corpus — benchmark, kept, duplicate (same 4-token prefix,
+    keep-best by length), contaminated (shares a benchmark 3-gram), and
+    two distinct C4 sub-reasons — and the Spark plan matches the
+    composed DuckDB oracle cross-engine."""
+    from tests.oracle_utils import compare, duck_connection
+    from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
+
+    all_queries()
+    sent = "The quick brown fox jumps over that lazy sleeping dog."
+    goodc4 = "\n".join([sent] * 4)
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "bench", 35),
+        (1, "bench one marker", "en", "bench", 16),
+        (2, "bench two marker", "en", "bench", 16),
+        (3, "bench three marker", "en", "bench", 18),
+        (4, "bench four marker", "en", "bench", 17),
+        # kept: passes C4, unique prefix cluster winner (longest)
+        (5, "Prefix one two three starts this paragraph nicely today.\n"
+            + goodc4 + "\nAnd an extra closing line rounds it out well.",
+         "en", "web", 10),
+        # duplicate: same first-4-token prefix as doc 5, shorter
+        (6, "Prefix one two three follows the same path again now.\n"
+            + goodc4, "en", "web", 10),
+        # contaminated: passes C4, contains benchmark 3-gram
+        (7, "Now alpha beta gamma appears in this line today.\n" + goodc4,
+         "en", "web", 10),
+        # C4 sub-reasons surface as first-failing verdicts
+        (8, "no terminal punctuation at all here", "en", "web", 10),
+        (9, goodc4 + "\nvar x = {a: 1}", "en", "web", 10),  # curly_brace
+    ]
+    tmp = _stage_documents(rows)
+    try:
+        q = REGISTRY["curate_corpus_c4"]
+        out = {r["doc_id"]: r["reason"]
+               for r in q.fn(spark, tmp).collect()}
+        assert out == {0: "benchmark", 1: "benchmark", 2: "benchmark",
+                       3: "benchmark", 4: "benchmark", 5: "kept",
+                       6: "duplicate", 7: "contaminated",
+                       8: "too_few_sentences", 9: "curly_brace"}, out
+        ok, msg = compare(q.fn(spark, tmp), duck_connection(tmp), q.sql,
+                          "curate_c4@constructed")
+        assert ok, msg
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
