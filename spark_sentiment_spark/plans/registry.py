@@ -161,78 +161,79 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # catalog entries, so ordering is an explicit, audited decision rather
 # than an accident of import order.
 #
-# The round-12 window is COMPUTED, not hand-maintained: `python
+# The round-13 window is COMPUTED, not hand-maintained: `python
 # scripts/gen_window.py` derives it from the registry and the
 # CORRECTNESS_r*.json history for rounds strictly before WINDOW_ROUND
-# (=12, so the list stays frozen when the driver lands the current
+# (=13, so the list stays frozen when the driver lands the current
 # round's artifact mid-round), and tests/test_registry_window.py asserts
 # this committed list matches that computation. Cut 2026-08-15 at
-# round-12 start, matching the round-11 verdict accounting: the 8
-# round-11 additions (never driver-checked; all independently re-verified
-# at sf0.01 by the round-11 judge) take the priority slots, PLUS
-# `dedup_embedding_multiprobe` as an upgraded-since-row slot (its oracle
-# SQL was refactored into the shared _MP_CANDIDATE_CTE in round 11 after
-# the round-11 window froze, so its r8 row no longer hashes the live
-# source). That leaves 41 backfill slots: all 31 remaining r7-stale rows
-# plus the 10 alphabetically-first r8-stale rows. Rows-only queries never
-# take a slot. Round-12 additions land BELOW the window (normal rotation
-# reaches them at the round-13 cut). After this round the stale set is
-# ~39 r8 rows + this round's additions; the full-refresh cycle stays ~2
-# rounds at window 50 if catalog growth holds at <=8/round.
+# round-13 start, matching the round-12 verdict accounting: the 7
+# round-12 additions (never driver-checked; all independently re-verified
+# at sf0.01 by the round-12 judge) take the priority slots, PLUS
+# `curate_corpus` as an upgraded-since-row slot (its fn was rebased onto
+# the shared _curation_verdicts builder and its oracle onto the shared
+# _curate_sql composer in round 12 after the round-12 window froze, so
+# its r10 row no longer hashes the live source). That leaves 42 backfill
+# slots: ALL 38 remaining r8-stale rows plus the 4 alphabetically-first
+# r9-stale rows. Rows-only queries never take a slot. Round-13 additions
+# land BELOW the window (normal rotation reaches them at the round-14
+# cut). After this round the stale set is ~46 r9/r10 rows + this round's
+# additions; the full-refresh cycle stays ~2 rounds at window 50 if
+# catalog growth holds at <=8/round.
 _WINDOW_PRIORITY = [
-    # — never driver-checked (round-11 additions, judge-verified green) —
-    "corpus_dsir_weights",
-    "decontaminate_semantic",
-    "dedup_winnowing_incremental",
-    "events_rfm_cutpoints",
-    "events_stickiness_hll",
-    "quality_gopher_rules",
-    "sample_weighted",
-    "streaming_winnowing_probe",
+    # — never driver-checked (round-12 additions, judge-verified green) —
+    "ann_ivf_bucketed_probe",
+    "curate_corpus_c4",
+    "curate_corpus_gopher",
+    "events_rfm_cutpoints_bucketed",
+    "quality_c4_rules",
+    "sample_dsir",
+    "streaming_ivf_probe",
     # — upgraded after latest row —
-    "dedup_embedding_multiprobe",  # r8
+    "curate_corpus",  # r10
     # — oldest-stale backfill —
-    "distinct_pairs",  # r7
-    "doc_rolling_hash",  # r7
-    "drift_psi",  # r7
-    "embedding_centroids",  # r7
-    "embedding_norm_stats",  # r7
-    "embedding_quantize",  # r7
-    "events_attribution",  # r7
-    "events_dedup_latest",  # r7
-    "events_heatmap",  # r7
-    "events_session_sequences",  # r7
-    "events_transitions",  # r7
-    "events_volume_anomaly",  # r7
-    "hybrid_search_rrf",  # r7
-    "knn_cosine_topk",  # r7
-    "langid_confusion",  # r7
-    "merge_upsert",  # r7
-    "mixture_sample",  # r7
-    "multimodal_headers",  # r7
-    "pack_sequences",  # r7
-    "profile_columns",  # r7
-    "q21_waiting_suppliers",  # r7
-    "q2_min_cost_supplier",  # r7
-    "quality_gate",  # r7
-    "quality_gate_rates",  # r7
-    "quality_perplexity",  # r7
-    "sample_exact_n",  # r7
-    "shuffle_shards",  # r7
-    "skew_salted_agg",  # r7
-    "snapshot_diff",  # r7
-    "split_by_hash",  # r7
-    "vocab_coverage",  # r7
-    "agg_mad_by_group",  # r8
-    "boilerplate_ngrams",  # r8
-    "bpe_merges",  # r8
-    "bpe_token_counts",  # r8
-    "clean_text",  # r8
-    "decontaminate_ngram",  # r8
-    "dedup_sentence_exact",  # r8
-    "dedup_span_excise",  # r8
-    "dedup_tfidf_cosine",  # r8
-    "embedding_outliers",  # r8
+    "events_cumulative_users",  # r8
+    "events_peak_concurrency",  # r8
+    "events_sliding_users_hll",  # r8
+    "events_temporal_join",  # r8
+    "events_type_affinity",  # r8
+    "join_anti",  # r8
+    "join_left_outer",  # r8
+    "join_null_safe",  # r8
+    "join_semi",  # r8
+    "knn_classify",  # r8
+    "mixture_temperature",  # r8
+    "preference_pairs",  # r8
+    "q10_returned_items",  # r8
+    "q17_small_qty_revenue",  # r8
+    "q18_large_orders",  # r8
+    "q1_pricing_summary",  # r8
+    "q3_shipping_priority",  # r8
+    "q4_priority_exists",  # r8
+    "q5_local_supplier",  # r8
+    "q6_forecast_revenue",  # r8
+    "q7_volume_shipping",  # r8
+    "scalar_math_funcs",  # r8
+    "scalar_string_funcs",  # r8
+    "search_bm25",  # r8
+    "set_except",  # r8
+    "set_intersect",  # r8
+    "set_union",  # r8
+    "shard_balance",  # r8
+    "sort_topk_global",  # r8
+    "source_overlap",  # r8
+    "streaming_multimodal_headers",  # r8
+    "streaming_sessionize",  # r8
+    "streaming_topk_types",  # r8
+    "token_zipf_fit",  # r8
+    "window_lag_delta",  # r8
+    "window_rank_mix",  # r8
+    "window_running_sum",  # r8
+    "window_topk_per_group",  # r8
+    "agg_hll_merge_shards",  # r9
+    "dedup_cross_source_pairs",  # r9
+    "dedup_incremental_minhash",  # r9
+    "dedup_semantic",  # r9
 ]
 
 
