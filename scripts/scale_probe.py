@@ -216,6 +216,13 @@ PROBES = {
     # measures micro-batch plumbing, not an operator slope — the family
     # policy); its batch twin ann_ivf_bucketed_probe above carries the
     # vector index family's scale claim.
+    # round-13 additions. Constant 50-row output like
+    # ann_ivf_bucketed_probe; work = the Arrow encode + code-parquet
+    # write (linear in n, paid once at 100 TB) + the per-batch integer
+    # ADC scan over the stored codes (linear in n at 1/32nd the bytes)
+    # + a bounded re-rank — the slope measures the amortized
+    # encode+probe cost.
+    "ann_pq_persisted_probe": {"embeddings": ["vec_id"]},
 }
 
 

@@ -784,6 +784,137 @@ def ann_pq_topk(spark, sf_dir, topk: int = 10, rerank: int = PQ_RERANK):
             .orderBy("qid", "rn"))
 
 
+@register("ann_pq_persisted_probe", sql=ANN_PQ_SQL,
+          tags=("similarity", "layout", "pipeline"))
+def ann_pq_persisted_probe(spark, sf_dir, topk: int = 10,
+                           rerank: int = PQ_RERANK):
+    """`ann_pq_topk` routed through a PERSISTED quantized index — the
+    `ann_ivf_bucketed_probe` treatment applied to the PQ path, removing
+    the last inline-only asymmetry in the similarity family:
+    `ann_pq_topk` re-encodes the whole corpus inside every query, but at
+    100 TB you encode ONCE and ADC-probe the stored codes.
+
+    Index build (phase 1, written once): content-addressed codebooks
+    (the 16 md5-smallest vectors, replayable by any engine), the corpus
+    encoded to M 4-bit codes via the same Arrow-batched sequential-dim
+    argmin as the inline form, then TWO parquet artifacts staged — the
+    code table (vec_id, codes; 8 ints vs 64 floats = the 32× compression
+    that lets the store fit in RAM) and the 16-row codebook (so a probe
+    replays with no corpus access at all).
+
+    Probe (phase 2, the recurring per-batch cost): the batch's ADC
+    tables come from the PERSISTED codebook (16-row bounded read), the
+    integer ADC scan reads the code parquet — the probe plan contains
+    ZERO Python nodes (no re-encode; pinned in tests/test_plan_shape.py)
+    — and exact re-rank joins the broadcast candidate list back to the
+    embedding store. Unlike the IVF probe there is no bucketing: ADC
+    without a coarse quantizer is BY DESIGN a full linear scan of the
+    compressed codes (lookup tables, never the floats), so the persisted
+    artifact removes the re-encode, not a shuffle — there is no probe
+    key to co-locate on.
+
+    Exact oracle: the SAME SQL as `ann_pq_topk` — fixed-point integer
+    ADC plus content-addressed codebooks make the persisted codes
+    byte-identical to the inline encode, so only the physical phase
+    split differs.
+
+    Scale: the encode (the only Python and the only corpus-sized write)
+    is paid once and amortized across every future batch; each batch
+    then costs one codes-parquet scan (1/32nd the float bytes) + a
+    broadcast of queries×(M·K) integer tables + a rerank×queries exact
+    re-rank. Appending newly encoded vectors to the code parquet keeps
+    the artifact valid for the next batch — same append contract as the
+    MinHash band index and the IVF cell index."""
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from spark_sentiment_spark.plans.registry import track_staging_dir
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = _as_double("embedding")
+    unit = F.transform(e, lambda x: x / _norm(e))
+    vecs = emb.select("vec_id", unit.alias("e"))
+
+    # ---- phase 1: build + persist the quantized index (ONCE) -----------
+    sub = PQ_SUB
+    seed_rows = (vecs
+                 .select("vec_id", "e",
+                         F.md5(F.col("vec_id").cast("string")).alias("h"))
+                 .orderBy("h", "vec_id").limit(PQ_K)
+                 .select("vec_id", "e").collect())
+    seed_rows.sort(key=lambda r: r["vec_id"])   # code order = vec_id order
+    n_codes = len(seed_rows)
+    if n_codes == 0:
+        return spark.createDataFrame(
+            [], "qid long, vec_id long, cosine double, rn long")
+    cbmat = np.asarray([r["e"] for r in seed_rows], dtype=np.float64)
+    codebooks = np.ascontiguousarray(
+        cbmat.reshape(n_codes, PQ_M, sub).transpose(1, 0, 2))  # M × K × s
+
+    @pandas_udf("array<int>")
+    def _encode(embs: pd.Series) -> pd.Series:
+        V = np.asarray(embs.tolist(), dtype=np.float64)     # batch × dim
+        parts = V.reshape(len(V), PQ_M, sub)                # b × M × s
+        d2 = np.zeros((len(V), PQ_M, n_codes))
+        for s in range(sub):  # sequential over dims == DuckDB fold order
+            diff = parts[:, :, None, s] - codebooks[None, :, :, s]
+            d2 += diff * diff
+        return pd.Series(d2.argmin(-1).astype(np.int32).tolist())
+
+    base = track_staging_dir(tempfile.mkdtemp(prefix="pq_index_"))
+    vecs.select("vec_id", _encode("e").alias("codes")) \
+        .write.mode("overwrite").parquet(base + "/codes")
+    spark.createDataFrame(
+        [(int(m), int(k), [float(x) for x in codebooks[m, k]])
+         for m in range(PQ_M) for k in range(n_codes)],
+        "m int, code int, cw array<double>") \
+        .write.mode("overwrite").parquet(base + "/codebook")
+
+    # ---- phase 2: per-batch probe of the stored index -------------------
+    cb_rows = spark.read.parquet(base + "/codebook").collect()  # M×K bounded
+    cb = np.zeros((PQ_M, n_codes, sub))
+    for r in cb_rows:
+        cb[r["m"], r["code"]] = r["cw"]
+
+    queries = vecs.where(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe")).collect()
+    probe_rows = []
+    for q in queries:
+        qv = np.asarray(q["qe"], dtype=np.float64).reshape(PQ_M, sub)
+        ip = np.zeros((PQ_M, n_codes))
+        for s in range(sub):  # sequential fold, then fixed-point floor
+            ip += qv[:, None, s] * cb[:, :, s]
+        tbl = np.floor(ip * 1e6).astype(np.int64).reshape(-1)
+        probe_rows.append((q["qid"], [int(x) for x in tbl],
+                           [float(x) for x in q["qe"]]))
+    probes = spark.createDataFrame(
+        probe_rows, "qid long, tbl array<long>, qe array<double>")
+
+    codes = spark.read.parquet(base + "/codes")
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)), F.lit(0).cast("bigint"),
+        lambda acc, m: acc + F.element_at(
+            F.col("tbl"), (m * F.lit(n_codes)
+                           + F.element_at(F.col("codes"), m + 1) + 1)
+            .cast("int")))
+    w = Window.partitionBy("qid").orderBy(F.desc("adc"), F.asc("vec_id"))
+    cand = (codes.crossJoin(F.broadcast(probes))
+            .where(F.col("vec_id") != F.col("qid"))
+            .select("qid", "vec_id", "qe", adc.alias("adc"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= rerank))
+
+    cos = _dot(F.col("qe"), F.col("e"))
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (vecs.join(F.broadcast(cand), "vec_id")
+            .select("qid", "vec_id", cos.alias("cos"))
+            .withColumn("rn", F.row_number().over(w2).cast("long"))
+            .where(F.col("rn") <= topk)
+            .select("qid", "vec_id", F.round("cos", 6).alias("cosine"), "rn")
+            .orderBy("qid", "rn"))
+
 
 # --- Multi-probe hyperplane LSH near-dup pairs ------------------------------
 

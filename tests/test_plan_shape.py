@@ -476,6 +476,28 @@ def test_ivf_bucketed_probe_no_cell_shuffle(spark):
     assert "Exchange hashpartitioning(cell" not in plan
 
 
+def test_pq_persisted_probe_no_python_no_reencode(spark):
+    """ann_pq_persisted_probe: after the index build writes the code +
+    codebook parquet, the returned PROBE plan must contain zero Python
+    nodes — the Arrow encode lives entirely in the build phase, so the
+    recurring per-batch cost never re-encodes the corpus. The ADC scan
+    reads the staged code parquet (not the embedding floats), the query
+    batch is the broadcast side of the cross probe, and both top-k
+    windows stay inside WindowGroupLimit."""
+    from spark_sentiment_spark.plans.registry import release_caches
+
+    plan = _plan(spark, "ann_pq_persisted_probe")
+    release_caches()
+    assert "Python" not in plan            # no re-encode in the probe
+    assert "pq_index_" in plan             # ADC scans the persisted codes
+    # exactly two file scans: the code table (ADC) + the embedding store
+    # (exact re-rank); a third would mean the corpus floats leaked into
+    # the ADC stage
+    assert plan.count("FileScan parquet") == 2
+    assert "BroadcastNestedLoopJoin" in plan   # batch broadcast, corpus streams
+    assert plan.count("WindowGroupLimit") >= 2  # rerank + topk both limited
+
+
 def test_sample_dsir_topk_never_global_sorts(spark):
     """sample_dsir's corpus-wide Gumbel-top-k must stay inside
     TakeOrderedAndProject (per-partition heaps, k rows to the driver

@@ -119,3 +119,9 @@ def test_doc_counters_match_registry():
     assert f"FOUR of the {total}" in coverage or (
         rows_only != 4 and f"of the {total}" in coverage), (
         f"COVERAGE.md rows-only counter != {total}")
+    # round-12 VERDICT: the SURVEY §7.4 realized-surface note drifted twice;
+    # pin its literal counters to the live registry like README/COVERAGE.
+    survey = open(os.path.join(REPO, "SURVEY.md")).read()
+    assert (f"({total} queries, {total - rows_only} oracle-backed"
+            in survey), (
+        f"SURVEY.md §7.4 note != {total}/{total - rows_only}")

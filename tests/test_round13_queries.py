@@ -1,0 +1,62 @@
+"""Round-13 additions. `ann_pq_persisted_probe` has an exact DuckDB
+oracle (driver-routed); these tests pin what the driver row can't see:
+byte-equality to the INLINE form (the phase split must be a pure
+physical refactor) and the persisted artifacts themselves (codes +
+codebook parquet exist, codes carry the 32x-compressed schema)."""
+
+import glob
+
+from tests.conftest import SF_DIR
+
+
+def test_pq_persisted_probe_matches_oracle_and_inline(spark):
+    """The persisted-index probe must return EXACTLY the inline
+    `ann_pq_topk` result (same content-addressed codebooks, same
+    fixed-point ADC, only the physical phase split differs) and match
+    the shared DuckDB oracle cross-engine."""
+    from spark_sentiment_spark.plans.registry import (REGISTRY, all_queries,
+                                                      release_caches)
+    from tests.oracle_utils import compare, duck_connection
+
+    all_queries()
+    q = REGISTRY["ann_pq_persisted_probe"]
+    persisted = q.fn(spark, SF_DIR)
+    inline = REGISTRY["ann_pq_topk"].fn(spark, SF_DIR)
+    rows_p = [tuple(r) for r in persisted.collect()]
+    rows_i = [tuple(r) for r in inline.collect()]
+    release_caches()
+    assert rows_p == rows_i
+
+    con = duck_connection(SF_DIR)
+    ok, msg = compare(q.fn(spark, SF_DIR), con, q.sql,
+                      "ann_pq_persisted_probe")
+    release_caches()
+    assert ok, msg
+
+
+def test_pq_index_artifacts_are_staged(spark):
+    """The build phase must leave BOTH artifacts on disk — the code
+    table (vec_id + M small-int codes, the 32x compression) and the
+    M x K codebook (so a probe replays with no corpus access)."""
+    from spark_sentiment_spark.plans.registry import (REGISTRY, all_queries,
+                                                      release_caches)
+    from spark_sentiment_spark.plans.similarity_queries import PQ_K, PQ_M
+
+    all_queries()
+    df = REGISTRY["ann_pq_persisted_probe"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    base = next(seg for seg in plan.split("file:")[1:]
+                if "pq_index_" in seg).split("/codes", 1)[0]
+    codes = spark.read.parquet(base + "/codes")
+    assert [f.name for f in codes.schema] == ["vec_id", "codes"]
+    n = codes.count()
+    assert n == spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    lens = codes.selectExpr("min(size(codes)) a", "max(size(codes)) b") \
+        .first()
+    assert lens["a"] == lens["b"] == PQ_M
+    cb = spark.read.parquet(base + "/codebook")
+    assert cb.count() == PQ_M * PQ_K
+    assert glob.glob(base + "/codes/part-*")
+    release_caches()
+    # track_staging_dir cleanup must reclaim the index (no staging leaks)
+    assert not glob.glob(base + "/codes/part-*")
