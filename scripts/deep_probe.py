@@ -90,7 +90,19 @@ PROBES = [
     # the slope pair IS the certification at a scale ×8 cannot show.
     ("events_stickiness (exact)", "events_stickiness", "rekey"),
     ("events_stickiness_hll (swap)", "events_stickiness_hll", "rekey"),
+    # round-13 (round-12 VERDICT item 5): the two gated curation passes
+    # next to the composite one, so the ×32 totals sit beside the
+    # stage-attributed breakdown below
+    ("curate_corpus_gopher", "curate_corpus_gopher", "rekey"),
+    ("curate_corpus_c4", "curate_corpus_c4", "rekey"),
 ]
+
+# Stage-isolated sub-plans of the curation passes (gate / dedup window /
+# decontamination join), timed per factor so a steepening total slope is
+# ATTRIBUTABLE to its owning stage (round-12 VERDICT item 5: the ×8→×32
+# marginal hit 3.3× per 4× data with no way to name the stage).
+CURATION_KINDS = ["composite", "gopher", "c4"]
+CURATION_STAGES = ["gate", "dedup", "decon"]
 
 # variant -> {table: rekey columns}. documents in the disjoint variant
 # additionally gets its tokens prefixed per replica.
@@ -145,6 +157,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     results: dict[str, dict[int, dict]] = {label: {} for label, _, _ in PROBES}
+    stage_results: dict[str, dict[str, dict[int, float]]] = {
+        kind: {stage: {} for stage in CURATION_STAGES}
+        for kind in CURATION_KINDS}
     try:
         for k in FACTORS:
             dirs: dict[str, str] = {}
@@ -174,12 +189,33 @@ def main() -> None:
                     release_caches()
                 results[label][k] = {"sec": round(best, 3)}
                 print(f"x{k} {label}: {best:.2f}s", flush=True)
+            # stage-attributed curation breakdown at this factor
+            from spark_sentiment_spark.plans.pipeline_queries import (
+                curation_stage_frames)
+            for kind in CURATION_KINDS:
+                for stage in CURATION_STAGES:
+                    def _run_stage():
+                        curation_stage_frames(spark, dirs["rekey"], kind)[
+                            stage].write.format("noop") \
+                            .mode("overwrite").save()
+                    _run_stage()
+                    release_caches()  # untimed warm run
+                    t0 = time.perf_counter()
+                    _run_stage()
+                    sec = time.perf_counter() - t0
+                    release_caches()
+                    stage_results[kind][stage][k] = round(sec, 3)
+                    print(f"x{k} curate[{kind}].{stage}: {sec:.2f}s",
+                          flush=True)
     finally:
         shutil.rmtree(TMP, ignore_errors=True)
         spark.stop()
 
     incomplete = [label for label, by_k in results.items()
                   if sorted(by_k) != FACTORS]
+    incomplete += [f"curate[{kind}].{stage}"
+                   for kind in CURATION_KINDS for stage in CURATION_STAGES
+                   if sorted(stage_results[kind][stage]) != FACTORS]
     if incomplete:  # refuse a partial report (round-6 ADVICE)
         raise SystemExit(f"probes missing factors, not writing SCALING.md: "
                          f"{incomplete}")
@@ -244,7 +280,47 @@ def main() -> None:
         "(its residual slope is the per-day partial build, one linear",
         "pass); the gap widens with every further ×k, which is the",
         "certified-swap claim measured rather than argued.",
+        "",
+        "### Stage-attributed curation breakdown (round-12 VERDICT item 5)",
+        "",
+        "Each pass's three corpus-scale stages timed in ISOLATION per",
+        "factor (gate = the scan-speed verdict projection; dedup = the",
+        "prefix keep-best window over gate survivors; decon = the 3-gram",
+        "explode + broadcast benchmark probe + distinct), built from the",
+        "same builders the composed single-plan pass runs — so the next",
+        "steepening of a curation total is attributable to its owning",
+        "stage instead of re-profiled from scratch. Stage times need not",
+        "sum to the composed total (the single plan shares the scan and",
+        "fuses the verdict joins).",
+        "",
+        "| pass.stage | ×1 | ×8 | ×32 | ×32/×1 | ×8→×32 marginal |",
+        "|---|---|---|---|---|---|"]
+    dominant: dict[str, tuple[str, float, float]] = {}
+    for kind in CURATION_KINDS:
+        for stage in CURATION_STAGES:
+            by_k = stage_results[kind][stage]
+            marg = round(by_k[32] / max(by_k[8], 1e-9), 1)
+            total = round(by_k[32] / max(by_k[1], 1e-9), 1)
+            if kind not in dominant or by_k[32] > dominant[kind][1]:
+                dominant[kind] = (stage, by_k[32], marg)
+            lines.append(
+                f"| {kind}.{stage} | {by_k[1]}s | {by_k[8]}s | {by_k[32]}s"
+                f" | {total}× | {marg}× |")
+    lines += [
+        "",
+        "Dominant stage at ×32 (owns the pass's marginal slope): "
+        + "; ".join(
+            f"{kind} → **{st}** ({sec}s, ×8→×32 marginal {marg}× for 4× "
+            "data)" for kind, (st, sec, marg) in dominant.items()) + ".",
+        "The decon stage's bound is the 3-gram explode (linear in tokens)",
+        "feeding a broadcast probe whose build side is the BENCHMARK gram",
+        "set (fixed); the dedup stage's bound is one window over gate",
+        "survivors keyed on the prefix hash (linear, bounded groups); the",
+        "gate is a scan-speed projection. Whichever stage the table names",
+        "is therefore scan/explode-bound, not a join blow-up.",
         "Raw32: `" + json.dumps(results) + "`",
+        "",
+        "RawStages: `" + json.dumps(stage_results) + "`",
     ]
 
     path = os.path.join(REPO, "SCALING.md")

@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""The pre-commit fast loop, sharded across concurrent pytest PROCESSES
+(round-12 VERDICT item 4: get `pytest -m "not slow"` under ~480 s;
+pytest-xdist is not in this environment, so sharding is process-level).
+
+Three shards run concurrently, each with its own Spark session
+(local[4] apiece — 12 cores total on the 32-core host) and its own
+warehouse/Derby home (embedded Derby allows one metastore per
+directory; see tests/conftest.py):
+
+  1. tests/test_oracle.py with SPARK_GRAFT_ORACLE_SHARD=0/2
+  2. tests/test_oracle.py with SPARK_GRAFT_ORACLE_SHARD=1/2
+  3. everything else
+
+Wall time ≈ the slowest shard instead of the serial sum. Coverage is
+IDENTICAL to `pytest tests/ -m "not slow"`: the oracle-shard env var
+only partitions the sweep's parametrize list, and the md5 shard bit is
+independent of the rotation bit, so both shards carry rotated-in and
+rotated-out-marked queries alike. The driver's full `pytest tests/`
+run is untouched (no env vars set → no sharding, stock layout).
+
+Usage: python scripts/fast_loop.py [extra pytest args…]
+Exit code: non-zero if ANY shard fails; each shard's tail is printed.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SHARDS = [
+    ("oracle-0/2", ["tests/test_oracle.py"], {"SPARK_GRAFT_ORACLE_SHARD": "0/2"}),
+    ("oracle-1/2", ["tests/test_oracle.py"], {"SPARK_GRAFT_ORACLE_SHARD": "1/2"}),
+    ("rest", ["tests", "--ignore=tests/test_oracle.py"], {}),
+]
+
+
+def main() -> int:
+    extra = sys.argv[1:]
+    procs = []
+    t0 = time.perf_counter()
+    for label, targets, env_add in SHARDS:
+        shard_dir = tempfile.mkdtemp(prefix=f"fastloop_{label.replace('/', '_')}_")
+        env = dict(os.environ,
+                   SPARK_GRAFT_TEST_SHARD_DIR=shard_dir, **env_add)
+        log = open(os.path.join(shard_dir, "pytest.log"), "w")
+        p = subprocess.Popen(
+            [sys.executable, "-m", "pytest", *targets,
+             "-m", "not slow", "-q", *extra],
+            cwd=REPO, env=env, stdout=log, stderr=subprocess.STDOUT)
+        procs.append((label, p, log, shard_dir))
+    rc = 0
+    for label, p, log, shard_dir in procs:
+        p.wait()
+        log.close()
+        tail = open(log.name).read().splitlines()[-6:]
+        status = "ok" if p.returncode == 0 else f"FAILED rc={p.returncode}"
+        print(f"--- shard {label}: {status} ({log.name})")
+        for line in tail:
+            print(f"    {line}")
+        rc = rc or p.returncode
+    print(f"fast loop total: {time.perf_counter() - t0:.0f}s "
+          f"({'green' if rc == 0 else 'RED'})")
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -619,6 +619,28 @@ gate AS (
 )""")
 
 
+def _composite_gate(docs):
+    """Stage 2 of `curate_corpus`: the composite `quality_gate` rules as
+    a gate frame (doc_id, text, q_keep, q_reason) — one codegen
+    projection. Factored out so the stage-attribution probe
+    (`curation_stage_frames`) times exactly the plan the pass runs."""
+    toks = F.split(F.col("text"), " ", -1)
+    alpha = (F.length(F.regexp_replace("text", "[^a-zA-Z ]", ""))
+             .cast("double") / F.greatest(F.length("text"), F.lit(1)))
+    distinct = (F.size(F.array_distinct(toks)).cast("double")
+                / F.greatest(F.size(toks), F.lit(1)))
+    n_tok = F.size(toks)
+    q_keep = ((n_tok >= 16) & (n_tok <= 4096)
+              & (alpha >= 0.6) & (distinct >= 0.3))
+    q_reason = (F.when(n_tok < 16, "too_short")
+                .when(n_tok > 4096, "too_long")
+                .when(alpha < 0.6, "low_alpha")
+                .when(distinct < 0.3, "repetitive")
+                .otherwise("ok"))
+    return docs.select("doc_id", "text", q_keep.alias("q_keep"),
+                       q_reason.alias("q_reason"))
+
+
 @register("curate_corpus", sql=CURATE_SQL, tags=("pipeline", "quality",
                                                  "dedup"))
 def curate_corpus(spark, sf_dir):
@@ -641,22 +663,36 @@ def curate_corpus(spark, sf_dir):
     broadcast-benchmark explode from `decontaminate_ngram` — three
     shuffles end-to-end, all on bounded keys, nothing quadratic."""
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return _curation_verdicts(docs, _composite_gate(docs))
+
+
+def _dedup_ranked(gate):
+    """Stage 3 of the curation pass: prefix keep-best rank over gate
+    survivors — one window on the prefix hash."""
+    w = (Window.partitionBy("prefix_hash")
+         .orderBy(F.desc(F.length("text")), "doc_id"))
+    return (gate.where(F.col("q_keep") & (F.col("doc_id") >= 5))
+            .select("doc_id", "text",
+                    _prefix_hash_col().alias("prefix_hash"))
+            .withColumn("rn", F.row_number().over(w))
+            .select("doc_id", "rn"))
+
+
+def _contaminated(docs):
+    """Stage 4 of the curation pass: 3-gram explode → broadcast
+    benchmark-gram probe → distinct contaminated doc ids."""
     toks = F.split(F.col("text"), " ", -1)
-    alpha = (F.length(F.regexp_replace("text", "[^a-zA-Z ]", ""))
-             .cast("double") / F.greatest(F.length("text"), F.lit(1)))
-    distinct = (F.size(F.array_distinct(toks)).cast("double")
-                / F.greatest(F.size(toks), F.lit(1)))
-    n_tok = F.size(toks)
-    q_keep = ((n_tok >= 16) & (n_tok <= 4096)
-              & (alpha >= 0.6) & (distinct >= 0.3))
-    q_reason = (F.when(n_tok < 16, "too_short")
-                .when(n_tok > 4096, "too_long")
-                .when(alpha < 0.6, "low_alpha")
-                .when(distinct < 0.3, "repetitive")
-                .otherwise("ok"))
-    gate = docs.select("doc_id", "text", q_keep.alias("q_keep"),
-                       q_reason.alias("q_reason"))
-    return _curation_verdicts(docs, gate)
+    grams = (docs.select("doc_id", toks.alias("__t"))
+             .where(F.size("__t") >= 3)
+             .select("doc_id", F.explode(F.expr(
+                 "transform(sequence(0, size(__t) - 3),"
+                 " i -> concat(__t[i], ' ', __t[i+1], ' ', __t[i+2]))"
+             )).alias("g")))
+    bench = grams.where(F.col("doc_id") < 5).select("g").distinct()
+    return (grams.where(F.col("doc_id") >= 5)
+            .join(F.broadcast(bench), "g")
+            .select("doc_id").distinct()
+            .withColumn("is_cont", F.lit(True)))
 
 
 def _curation_verdicts(docs, gate):
@@ -666,26 +702,8 @@ def _curation_verdicts(docs, gate):
     `curate_corpus` (composite `quality_gate` rules) and
     `curate_corpus_gopher` (the published Gopher thresholds), so the
     two passes differ ONLY in their gate stage."""
-    toks = F.split(F.col("text"), " ", -1)
-    w = (Window.partitionBy("prefix_hash")
-         .orderBy(F.desc(F.length("text")), "doc_id"))
-    ranked = (gate.where(F.col("q_keep") & (F.col("doc_id") >= 5))
-              .select("doc_id", "text",
-                      _prefix_hash_col().alias("prefix_hash"))
-              .withColumn("rn", F.row_number().over(w))
-              .select("doc_id", "rn"))
-
-    grams = (docs.select("doc_id", toks.alias("__t"))
-             .where(F.size("__t") >= 3)
-             .select("doc_id", F.explode(F.expr(
-                 "transform(sequence(0, size(__t) - 3),"
-                 " i -> concat(__t[i], ' ', __t[i+1], ' ', __t[i+2]))"
-             )).alias("g")))
-    bench = grams.where(F.col("doc_id") < 5).select("g").distinct()
-    cont = (grams.where(F.col("doc_id") >= 5)
-            .join(F.broadcast(bench), "g")
-            .select("doc_id").distinct()
-            .withColumn("is_cont", F.lit(True)))
+    ranked = _dedup_ranked(gate)
+    cont = _contaminated(docs)
 
     reason = (F.when(F.col("doc_id") < 5, "benchmark")
               .when(~F.col("q_keep"), F.col("q_reason"))
@@ -716,7 +734,7 @@ gate AS (
 
 
 @register("curate_corpus_gopher", sql=_curate_sql(_gopher_gate_ctes()),
-          tags=("pipeline", "quality", "dedup", "text"))
+          bench=True, tags=("pipeline", "quality", "dedup", "text"))
 def curate_corpus_gopher(spark, sf_dir):
     """`curate_corpus` with the PUBLISHED Gopher gate (Rae et al. 2021,
     arXiv:2112.11446 A1.1 — `quality_gopher_rules`' exact thresholds and
@@ -792,6 +810,34 @@ def curate_corpus_c4(spark, sf_dir):
         "doc_id", "text", F.col("keep").alias("q_keep"),
         F.col("reason").alias("q_reason"))
     return _curation_verdicts(docs, gate)
+
+
+def curation_stage_frames(spark, sf_dir, kind="composite"):
+    """Stage-ISOLATED sub-plans of a curation pass, for profiling only
+    (scripts/deep_probe.py's stage attribution, round-12 VERDICT item
+    5): which stage owns the pass's ×8→×32 marginal slope. Returns
+    {'gate': …, 'dedup': …, 'decon': …} built from exactly the builders
+    the composed pass runs (`_composite_gate`/`_gopher_feats`/
+    `_c4_feats`, `_dedup_ranked`, `_contaminated`) — NOT a catalog
+    query; the composed single-plan pass stays the product."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    if kind == "composite":
+        gate = _composite_gate(docs)
+    elif kind == "gopher":
+        from spark_sentiment_spark.plans.text_queries import _gopher_feats
+        gate = _gopher_feats(docs).select(
+            "doc_id", "text", F.col("keep").alias("q_keep"),
+            F.col("reason").alias("q_reason"))
+    elif kind == "c4":
+        from spark_sentiment_spark.plans.text_queries import _c4_feats
+        gate = _c4_feats(docs).select(
+            "doc_id", "text", F.col("keep").alias("q_keep"),
+            F.col("reason").alias("q_reason"))
+    else:
+        raise ValueError(f"unknown curation gate kind: {kind}")
+    return {"gate": gate,
+            "dedup": _dedup_ranked(gate),
+            "decon": _contaminated(docs)}
 
 
 # --- Snapshot merge / upsert (SCD-1 "MERGE INTO" as a plain plan) -----------
