@@ -223,6 +223,9 @@ PROBES = {
     # + a bounded re-rank — the slope measures the amortized
     # encode+probe cost.
     "ann_pq_persisted_probe": {"embeddings": ["vec_id"]},
+    # streaming_pq_probe is NOT probed (streaming family policy, like
+    # streaming_ivf_probe above); ann_pq_persisted_probe carries the
+    # quantized index family's scale claim.
 }
 
 
@@ -247,10 +250,53 @@ def replicate(spark, table: str, keys, k: int, out_dir: str):
     return df.count()
 
 
+def _table_row(name: str, by_k: dict) -> str:
+    """One main-table markdown row; by_k keys may be int or str (the
+    Raw dict round-trips through JSON, which stringifies them)."""
+    get = lambda k: by_k.get(k, by_k.get(str(k)))  # noqa: E731
+    cells = [f"{get(k)['sec']}s" for k in FACTORS]
+    ratio = round(get(8)["sec"] / get(1)["sec"], 1)
+    thr = f"{get(1)['krows_s']} → {get(8)['krows_s']}"
+    return f"| {name} | " + " | ".join(cells) + f" | {ratio}× | {thr} |"
+
+
+def _merge_rows(results: dict) -> None:
+    """--only mode writer: splice the probed queries' rows into the
+    existing SCALING.md main table and Raw dict, leaving every other
+    row (and the chain / ×32 / stage / merge sections) untouched."""
+    path = os.path.join(os.path.dirname(TMP), "SCALING.md")
+    text = open(path).read()
+
+    raw_start = text.index("Raw: `") + len("Raw: `")
+    raw_end = text.index("`", raw_start)
+    merged = json.loads(text[raw_start:raw_end])
+    merged.update(results)
+    text = text[:raw_start] + json.dumps(merged) + text[raw_end:]
+
+    hdr = "| query | ×1 | ×2 | ×4 | ×8 | ×8/×1 time ratio | krows/s ×1→×8 |"
+    body_start = text.index("\n", text.index("|---|", text.index(hdr))) + 1
+    body_end = text.index("\n\n", body_start) + 1
+    rows = "".join(_table_row(n, by_k) + "\n" for n, by_k in merged.items())
+    with open(path, "w") as f:
+        f.write(text[:body_start] + rows + text[body_end:])
+    print(f"merged {sorted(results)} into SCALING.md")
+
+
 def main() -> None:
     from spark_sentiment_spark import get_spark
     from spark_sentiment_spark.plans.registry import (REGISTRY, all_queries,
                                                       release_caches)
+
+    # --only name1,name2: probe just those queries and MERGE their rows
+    # into the existing SCALING.md table + Raw dict (a full regen costs
+    # ~an hour of probe time and reprices every historical row under
+    # today's host load — incremental additions shouldn't pay that).
+    only: set[str] = set()
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        missing = only - set(PROBES)
+        assert not missing, f"--only names not in PROBES: {missing}"
+    probes = {n: s for n, s in PROBES.items() if n in only} if only else PROBES
 
     all_queries()
     spark = get_spark(master="local[32]", shuffle_partitions=32,
@@ -259,15 +305,15 @@ def main() -> None:
                                   "spark.sql.codegen.wholeStage": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
-    results: dict[str, dict[int, dict]] = {q: {} for q in PROBES}
+    results: dict[str, dict[int, dict]] = {q: {} for q in probes}
     try:
         for k in FACTORS:
             out_dir = f"{TMP}/x{k}"
-            tables = {t for spec in PROBES.values() for t in spec}
+            tables = {t for spec in probes.values() for t in spec}
             rows = {t: replicate(spark, t, next(
-                spec[t] for spec in PROBES.values() if t in spec), k, out_dir)
+                spec[t] for spec in probes.values() if t in spec), k, out_dir)
                 for t in sorted(tables)}
-            for name, spec in PROBES.items():
+            for name, spec in probes.items():
                 fn = REGISTRY[name].fn
                 fn(spark, out_dir).write.format("noop").mode("overwrite").save()
                 release_caches()  # warm (scan cache, codegen) — untimed
@@ -292,7 +338,7 @@ def main() -> None:
             connected_components)
 
         chain: dict[int, dict] = {}
-        for k in FACTORS:
+        for k in FACTORS if not only else []:
             n = 8192 * k
             edges = spark.range(n - 1).select(
                 F.col("id").alias("s"), (F.col("id") + 1).alias("d"))
@@ -308,6 +354,10 @@ def main() -> None:
     finally:
         shutil.rmtree(TMP, ignore_errors=True)
         spark.stop()
+
+    if only:
+        _merge_rows(results)
+        return
 
     lines = [
         "# SCALING — measured data-volume slopes (local[32], sf0.1 × K)",
@@ -331,12 +381,7 @@ def main() -> None:
         "| query | ×1 | ×2 | ×4 | ×8 | ×8/×1 time ratio | krows/s ×1→×8 |",
         "|---|---|---|---|---|---|---|",
     ]
-    for name, by_k in results.items():
-        cells = [f"{by_k[k]['sec']}s" for k in FACTORS]
-        ratio = round(by_k[8]["sec"] / by_k[1]["sec"], 1)
-        thr = f"{by_k[1]['krows_s']} → {by_k[8]['krows_s']}"
-        lines.append(
-            f"| {name} | " + " | ".join(cells) + f" | {ratio}× | {thr} |")
+    lines += [_table_row(name, by_k) for name, by_k in results.items()]
     lines += [
         "",
         "## connected_components on an adversarial path graph",

@@ -825,6 +825,35 @@ def ann_pq_persisted_probe(spark, sf_dir, topk: int = 10,
     re-rank. Appending newly encoded vectors to the code parquet keeps
     the artifact valid for the next batch — same append contract as the
     MinHash band index and the IVF cell index."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = _as_double("embedding")
+    unit = F.transform(e, lambda x: x / _norm(e))
+    vecs = emb.select("vec_id", unit.alias("e"))
+
+    # ---- phase 1: build + persist the quantized index (ONCE) -----------
+    base, n_codes = _pq_stage_index(spark, vecs)
+    if n_codes == 0:
+        return spark.createDataFrame(
+            [], "qid long, vec_id long, cosine double, rn long")
+
+    # ---- phase 2: per-batch probe of the stored index -------------------
+    cb = _pq_read_codebook(spark, base, n_codes)
+    queries = vecs.where(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe")).collect()
+    probes = _pq_adc_tables(spark, queries, cb, n_codes)
+
+    codes = spark.read.parquet(base + "/codes")
+    return _pq_adc_topk(codes, probes, vecs, n_codes, rerank, topk)
+
+
+def _pq_stage_index(spark, vecs):
+    """Phase-1 PQ index builder shared by `ann_pq_persisted_probe` and
+    `streaming_pq_probe` (plans/streaming_queries.py): content-addressed
+    codebooks (the PQ_K md5-smallest vectors, replayable by any engine)
+    + the Arrow-batched sequential-dim encode, staged as the two parquet
+    artifacts a probe replays from — codes/ (vec_id, M small-int codes)
+    and codebook/ (M×K codewords). Returns (base_dir, n_codes);
+    n_codes == 0 marks an empty corpus (nothing staged)."""
     import tempfile
 
     import numpy as np
@@ -832,12 +861,6 @@ def ann_pq_persisted_probe(spark, sf_dir, topk: int = 10,
 
     from spark_sentiment_spark.plans.registry import track_staging_dir
 
-    emb = load(spark, sf_dir, "embeddings")
-    e = _as_double("embedding")
-    unit = F.transform(e, lambda x: x / _norm(e))
-    vecs = emb.select("vec_id", unit.alias("e"))
-
-    # ---- phase 1: build + persist the quantized index (ONCE) -----------
     sub = PQ_SUB
     seed_rows = (vecs
                  .select("vec_id", "e",
@@ -847,8 +870,7 @@ def ann_pq_persisted_probe(spark, sf_dir, topk: int = 10,
     seed_rows.sort(key=lambda r: r["vec_id"])   # code order = vec_id order
     n_codes = len(seed_rows)
     if n_codes == 0:
-        return spark.createDataFrame(
-            [], "qid long, vec_id long, cosine double, rn long")
+        return None, 0
     cbmat = np.asarray([r["e"] for r in seed_rows], dtype=np.float64)
     codebooks = np.ascontiguousarray(
         cbmat.reshape(n_codes, PQ_M, sub).transpose(1, 0, 2))  # M × K × s
@@ -871,28 +893,48 @@ def ann_pq_persisted_probe(spark, sf_dir, topk: int = 10,
          for m in range(PQ_M) for k in range(n_codes)],
         "m int, code int, cw array<double>") \
         .write.mode("overwrite").parquet(base + "/codebook")
+    return base, n_codes
 
-    # ---- phase 2: per-batch probe of the stored index -------------------
-    cb_rows = spark.read.parquet(base + "/codebook").collect()  # M×K bounded
-    cb = np.zeros((PQ_M, n_codes, sub))
+
+def _pq_read_codebook(spark, base: str, n_codes: int):
+    """Bounded M×K read of the PERSISTED codebook back into the ndarray
+    layout the ADC-table builder uses — probes replay from the artifact,
+    never from driver memory left over from the build."""
+    import numpy as np
+
+    cb_rows = spark.read.parquet(base + "/codebook").collect()
+    cb = np.zeros((PQ_M, n_codes, PQ_SUB))
     for r in cb_rows:
         cb[r["m"], r["code"]] = r["cw"]
+    return cb
 
-    queries = vecs.where(F.col("vec_id") < 5) \
-        .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe")).collect()
+
+def _pq_adc_tables(spark, queries, cb, n_codes: int):
+    """Per-query fixed-point integer ADC tables (M×K inner products,
+    floor(ip·1e6)) from collected query rows (qid, qe) — the tiny
+    broadcast side of the ADC scan. Sequential fold over subspace dims
+    keeps the floats byte-identical to DuckDB's list_dot_product."""
+    import numpy as np
+
     probe_rows = []
     for q in queries:
-        qv = np.asarray(q["qe"], dtype=np.float64).reshape(PQ_M, sub)
+        qv = np.asarray(q["qe"], dtype=np.float64).reshape(PQ_M, PQ_SUB)
         ip = np.zeros((PQ_M, n_codes))
-        for s in range(sub):  # sequential fold, then fixed-point floor
+        for s in range(PQ_SUB):  # sequential fold, then fixed-point floor
             ip += qv[:, None, s] * cb[:, :, s]
         tbl = np.floor(ip * 1e6).astype(np.int64).reshape(-1)
         probe_rows.append((q["qid"], [int(x) for x in tbl],
                            [float(x) for x in q["qe"]]))
-    probes = spark.createDataFrame(
+    return spark.createDataFrame(
         probe_rows, "qid long, tbl array<long>, qe array<double>")
 
-    codes = spark.read.parquet(base + "/codes")
+
+def _pq_adc_topk(codes, probes, vecs, n_codes: int, rerank: int, topk: int):
+    """The ADC scan + exact re-rank shared verbatim by the persisted
+    batch probe and each streaming micro-batch: integer table-lookup
+    scores over the stored codes (never the floats), per-qid
+    top-``rerank`` window, exact cosine re-rank against the embedding
+    store, top-``topk`` out."""
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(PQ_M - 1)), F.lit(0).cast("bigint"),
         lambda acc, m: acc + F.element_at(

@@ -849,8 +849,9 @@ def streaming_winnowing_probe(spark, sf_dir):
 # --- Streaming IVF probe (the vector index triad's streaming leg) -----------
 
 from spark_sentiment_spark.plans.similarity_queries import (  # noqa: E402
-    ANN_IVF_SQL, IVF_ASSIGN, IVF_K, IVF_PROBE, IVF_TOPK, _as_double, _dot,
-    _norm)
+    ANN_IVF_SQL, ANN_PQ_SQL, IVF_ASSIGN, IVF_K, IVF_PROBE, IVF_TOPK,
+    PQ_RERANK, _as_double, _dot, _norm, _pq_adc_tables, _pq_adc_topk,
+    _pq_read_codebook, _pq_stage_index)
 
 
 @register("streaming_ivf_probe", sql=ANN_IVF_SQL,
@@ -961,4 +962,97 @@ def streaming_ivf_probe(spark, sf_dir):
     return (spark.read.schema(out_schema + ", batch_id int")
             .parquet(out_dir)
             .select("qid", "vec_id", "label", "cosine", "rn")
+            .orderBy("qid", "rn"))
+
+
+# --- Streaming PQ probe (the quantized index triad's streaming leg) ---------
+
+
+@register("streaming_pq_probe", sql=ANN_PQ_SQL,
+          tags=("similarity", "streaming", "pipeline"))
+def streaming_pq_probe(spark, sf_dir, topk: int = 10,
+                       rerank: int = PQ_RERANK):
+    """Streaming consumer of the persisted PQ index — completes the
+    quantized index's inline / persisted / streaming triad
+    (`ann_pq_topk` → `ann_pq_persisted_probe` → this), matching the arc
+    the IVF, MinHash and winnowing families already walk. The corpus's
+    code table + codebook are staged ONCE by the shared builder
+    (`_pq_stage_index`, plans/similarity_queries.py); QUERY vectors
+    arrive as a file stream staged as TWO files at one file per
+    trigger. Each micro-batch builds ITS queries' fixed-point ADC
+    tables from the PERSISTED codebook (a bounded M×K read, no corpus
+    access), integer-scans the stored codes, and exact-re-ranks — the
+    scan + re-rank chain is `_pq_adc_topk`, the SAME function the batch
+    probe runs, so streamed-equals-batch is structural, not incidental.
+
+    Each micro-batch appends its top-k to a batch_id-partitioned sink
+    (exactly-once by overwrite-per-batch); ADC tables are per-query and
+    the code table is static, so any batch split yields the same
+    result — each qid lives in exactly one batch and no result spans
+    batches (pinned against the inline form in
+    tests/test_round13_queries.py).
+
+    Oracle: `ann_pq_topk`'s SQL verbatim — content-addressed codebooks
+    + fixed-point integer ADC make the persisted codes byte-identical
+    to the inline encode, and the finite availableNow source replays
+    the same top-k regardless of the query batch split.
+
+    Scale: per batch, work is one codes-parquet scan (1/32nd the float
+    bytes) × |batch queries| table lookups + a rerank×queries exact
+    re-rank; the index is table-sized state on disk, never streaming
+    state. Newly encoded vectors append to the code parquet between
+    batches — the same append contract as the MinHash band and IVF
+    cell indexes. Reference parity: witlox/spark_sentiment has no
+    streaming surface; extension per SURVEY §7.4."""
+    import glob
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = _as_double("embedding")
+    unit = F.transform(e, lambda x: x / _norm(e))
+    vecs = track_persist(emb.select("vec_id", unit.alias("e")))
+
+    # ---- static side: the persisted quantized index (built ONCE) -------
+    base, n_codes = _pq_stage_index(spark, vecs)
+    out_schema = "qid long, vec_id long, cosine double, rn long"
+    if n_codes == 0:
+        return spark.createDataFrame([], out_schema)  # empty corpus
+
+    cb = _pq_read_codebook(spark, base, n_codes)  # bounded M×K artifact read
+    codes = spark.read.parquet(base + "/codes")
+
+    # Queries arrive as TWO micro-batches (split by vec_id) — one file
+    # per trigger, pinning that batch boundaries cannot change any
+    # query's top-k.
+    q_src = emb.where(F.col("vec_id") < 5)
+    stream_dir = _stage_ordered_segments(
+        (q_src.where(F.col("vec_id") < 3),
+         q_src.where(F.col("vec_id") >= 3)), "pq_queries_")
+
+    out_dir = track_staging_dir(tempfile.mkdtemp(prefix="pq_hits_"))
+    ckpt = track_staging_dir(tempfile.mkdtemp(prefix="pq_ckpt_"))
+
+    def probe_batch(df, batch_id):
+        be = _as_double("embedding")
+        bunit = F.transform(be, lambda x: x / _norm(be))
+        batch_queries = (df.select(F.col("vec_id").alias("qid"),
+                                   bunit.alias("qe")).collect())
+        probes = _pq_adc_tables(spark, batch_queries, cb, n_codes)
+        topk_df = _pq_adc_topk(codes, probes, vecs, n_codes, rerank, topk)
+        topk_df.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}")
+
+    stream = (spark.readStream.schema(q_src.schema)
+              .option("maxFilesPerTrigger", 1).parquet(stream_dir))
+    q = (stream.writeStream
+         .foreachBatch(probe_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    if not glob.glob(f"{out_dir}/batch_id=*/part-*.parquet"):
+        return spark.createDataFrame([], out_schema)  # empty source
+    return (spark.read.schema(out_schema + ", batch_id int")
+            .parquet(out_dir)
+            .select("qid", "vec_id", "cosine", "rn")
             .orderBy("qid", "rn"))

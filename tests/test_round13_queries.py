@@ -60,3 +60,34 @@ def test_pq_index_artifacts_are_staged(spark):
     release_caches()
     # track_staging_dir cleanup must reclaim the index (no staging leaks)
     assert not glob.glob(base + "/codes/part-*")
+
+
+def test_streaming_pq_probe_two_batches_equals_inline(spark):
+    """The streaming leg of the quantized index triad must (a) actually
+    run as TWO micro-batches (one staged query file per trigger) and
+    (b) produce exactly the inline `ann_pq_topk` result — batch
+    boundaries cannot matter because ADC tables are per-query, the code
+    table is static, and each qid lives in exactly one batch. The probe
+    chain is `_pq_adc_topk` — the same function the persisted batch
+    probe runs — so this pins the STAGING plumbing, not a re-derivation
+    of the math."""
+    from spark_sentiment_spark.plans import registry
+    from spark_sentiment_spark.plans.registry import (REGISTRY, all_queries,
+                                                      release_caches)
+
+    all_queries()
+    before = set(registry._STAGED_DIRS)
+    streamed = [(r["qid"], r["rn"], r["vec_id"], r["cosine"])
+                for r in REGISTRY["streaming_pq_probe"]
+                .fn(spark, SF_DIR).collect()]
+    hit_dirs = [d for d in registry._STAGED_DIRS
+                if d not in before and "pq_hits_" in d]
+    assert hit_dirs, "hit sink not tracked"
+    batches = glob.glob(hit_dirs[-1] + "/batch_id=*")
+    assert len(batches) == 2, batches
+
+    inline = [(r["qid"], r["rn"], r["vec_id"], r["cosine"])
+              for r in REGISTRY["ann_pq_topk"].fn(spark, SF_DIR).collect()]
+    release_caches()
+    assert streamed == inline
+    assert streamed, "fixture produced no top-k rows"
