@@ -85,6 +85,15 @@ UPGRADED_SINCE_ROW = {
     # feeding curate_corpus_gopher) — logic byte-equivalent, oracle
     # re-verified locally at two SFs this round; the r13 cut re-verifies.
     "curate_corpus": 12,
+    # round 13: verdict/reason moved behind _composite_gate's inner
+    # feature projection so the regexp alpha ratio evaluates once per
+    # row instead of once per referencing branch (the stage-attribution
+    # probe named the composite gate as curate_corpus's dominant ×8→×32
+    # marginal; measured 1.9× on the ×16 probe corpus) — values
+    # byte-identical, oracle re-verified locally at two SFs this round;
+    # the r14 cut re-verifies it. curate_corpus / curate_corpus_gopher
+    # share the edit but sit in the r13 window, which certifies them.
+    "quality_gate": 13,
 }
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
