@@ -315,9 +315,13 @@ def main() -> None:
         "The decon stage's bound is the 3-gram explode (linear in tokens)",
         "feeding a broadcast probe whose build side is the BENCHMARK gram",
         "set (fixed); the dedup stage's bound is one window over gate",
-        "survivors keyed on the prefix hash (linear, bounded groups); the",
-        "gate is a scan-speed projection. Whichever stage the table names",
-        "is therefore scan/explode-bound, not a join blow-up.",
+        "survivors keyed on the prefix hash (linear, bounded groups on a",
+        "real corpus — under REPLICATION the k text-identical copies share",
+        "one prefix hash, so its probe groups grow ×k by construction,",
+        "the same artifact class as the embedding caveat in the main",
+        "table's preamble); the gate is a scan-speed projection. Whichever",
+        "stage the table names is therefore scan/explode-bound, not a",
+        "join blow-up.",
         "Raw32: `" + json.dumps(results) + "`",
         "",
         "RawStages: `" + json.dumps(stage_results) + "`",
