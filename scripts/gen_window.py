@@ -94,6 +94,16 @@ UPGRADED_SINCE_ROW = {
     # the r14 cut re-verifies it. curate_corpus / curate_corpus_gopher
     # share the edit but sit in the r13 window, which certifies them.
     "quality_gate": 13,
+    # round 13 (same fix class, found by a catalog-wide executed-plan
+    # sweep for duplicated expensive expressions): langid_stopword's
+    # vote chain referenced each language's stop-word filter up to 3×
+    # in one projection — now an inner scored projection mirroring the
+    # oracle's scored CTE (9 filter nodes → 3). Values byte-identical;
+    # all three consumers oracle re-verified locally at two SFs; the
+    # r14 cut re-verifies.
+    "langid_stopword": 13,
+    "langid_confusion": 13,
+    "langid_kappa": 13,
 }
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -442,7 +442,16 @@ ORDER BY doc_id
 @register("langid_stopword", sql=LANGID_SQL, tags=("text",))
 def langid_stopword(spark, sf_dir):
     """Language ID by stop-word voting — the n-gram-heuristic family,
-    deterministic and fully native (no Python)."""
+    deterministic and fully native (no Python).
+
+    Two projection layers like the oracle's `scored` CTE: each
+    language's stop-word filter is aliased once in an inner select and
+    the vote chain references the COUNTS by name — inlined, the
+    when-chain evaluated each of the three token-array filters up to
+    three times per row (CollapseProject inlines single-layer aliases;
+    interpreted mode has no subexpression elimination — the
+    `_composite_gate` fix class, 9 filter nodes → 3 in the executed
+    plan). Shared by `langid_confusion` and `langid_kappa`."""
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ", -1)
 
@@ -450,16 +459,19 @@ def langid_stopword(spark, sf_dir):
         arr = F.array(*[F.lit(w) for w in words])
         return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
 
-    en = hits(["the", "a", "of", "and", "is"])
-    de = hits(["der", "die", "das", "und", "ist"])
-    fr = hits(["le", "la", "et", "est", "les"])
+    scored = docs.select(
+        "doc_id", "lang",
+        hits(["the", "a", "of", "and", "is"]).alias("__en"),
+        hits(["der", "die", "das", "und", "ist"]).alias("__de"),
+        hits(["le", "la", "et", "est", "les"]).alias("__fr"))
+    en, de, fr = F.col("__en"), F.col("__de"), F.col("__fr")
     pred = (
         F.when((en >= de) & (en >= fr) & (en > 0), "en")
         .when((de >= fr) & (de > 0), "de")
         .when(fr > 0, "fr")
         .otherwise("unknown")
     )
-    return (docs.select("doc_id", "lang", pred.alias("predicted_lang"))
+    return (scored.select("doc_id", "lang", pred.alias("predicted_lang"))
             .orderBy("doc_id"))
 
 
