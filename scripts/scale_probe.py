@@ -226,6 +226,11 @@ PROBES = {
     # streaming_pq_probe is NOT probed (streaming family policy, like
     # streaming_ivf_probe above); ann_pq_persisted_probe carries the
     # quantized index family's scale claim.
+    # the staged curation pass: two artifact-build scans (write-inclusive)
+    # + an artifact-only assembly — slope should sit at or below the
+    # inline curate_corpus's since every stage is the same work minus
+    # the re-derivation
+    "curate_corpus_staged": {"documents": ["doc_id"]},
 }
 
 

@@ -91,3 +91,37 @@ def test_streaming_pq_probe_two_batches_equals_inline(spark):
     release_caches()
     assert streamed == inline
     assert streamed, "fixture produced no top-k rows"
+
+
+def test_curate_corpus_staged_matches_inline_and_never_rescans(spark):
+    """The staged curation pass must (a) emit the inline pass's manifest
+    byte-identically (the staging is a pure physical split — same gate,
+    same window keys, same gram stream, same `_curation_verdicts`
+    assembly), (b) assemble its verdict from the persisted artifacts
+    with ZERO documents-table scans in the executed plan (the 4-scan →
+    2-scan I/O claim), and (c) stage BOTH artifacts."""
+    from spark_sentiment_spark.plans.registry import (REGISTRY, all_queries,
+                                                      release_caches)
+    from tests.oracle_utils import compare, duck_connection
+
+    all_queries()
+    q = REGISTRY["curate_corpus_staged"]
+    df = q.fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan, "assembly re-scanned the corpus"
+    base = next(seg for seg in plan.split("file:")[1:]
+                if "curate_stage_" in seg).split("/verdicts", 1)[0]
+    verdicts = spark.read.parquet(base + "/verdicts")
+    assert [f.name for f in verdicts.schema] == [
+        "doc_id", "q_keep", "q_reason", "prefix_hash", "n_chars"]
+    assert glob.glob(base + "/grams/part-*")
+
+    staged = [tuple(r) for r in df.collect()]
+    inline = [tuple(r) for r in REGISTRY["curate_corpus"].fn(spark, SF_DIR)
+              .collect()]
+    assert staged == inline and staged
+
+    ok, msg = compare(q.fn(spark, SF_DIR), duck_connection(SF_DIR), q.sql,
+                      "curate_corpus_staged")
+    release_caches()
+    assert ok, msg
