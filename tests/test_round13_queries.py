@@ -125,3 +125,5 @@ def test_curate_corpus_staged_matches_inline_and_never_rescans(spark):
                       "curate_corpus_staged")
     release_caches()
     assert ok, msg
+    # track_staging_dir cleanup must reclaim the artifacts (no leaks)
+    assert not glob.glob(base + "/verdicts/part-*")
