@@ -231,6 +231,10 @@ PROBES = {
     # inline curate_corpus's since every stage is the same work minus
     # the re-derivation
     "curate_corpus_staged": {"documents": ["doc_id"]},
+    # the persisted inverted index, write-inclusive: tokenize + two hash
+    # aggs + the sorted postings write dominate; the probe itself reads
+    # only term-matching row groups
+    "search_bm25_persisted_probe": {"documents": ["doc_id"]},
 }
 
 

@@ -1474,12 +1474,27 @@ def search_bm25(spark, sf_dir):
     df = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
                    F.avg("dl").alias("avgdl"))
+    q = _bm25_query_frame(spark)
+    return _bm25_score_topk(q, tf, df, dl, stats)
+
+
+def _bm25_query_frame(spark):
+    """The fixture query-term list as a tiny broadcastable frame —
+    shared by the inline ranking and the persisted-index probe."""
     q = None
     for qid, terms in _BM25_QUERIES:
         for t in terms:
             row = spark.range(1).select(F.lit(qid).alias("qid"),
                                         F.lit(t).alias("term"))
             q = row if q is None else q.union(row)
+    return q
+
+
+def _bm25_score_topk(q, tf, df, dl, stats):
+    """The BM25 scoring + per-query top-k chain shared verbatim by
+    `search_bm25` (inline-built postings) and
+    `search_bm25_persisted_probe` (postings read from the staged
+    index), so probe-equals-inline is structural."""
     idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
     gain = (idf * F.col("tf") * (_BM25_K1 + 1.0)
@@ -1499,6 +1514,75 @@ def search_bm25(spark, sf_dir):
             .select("qid", "doc_id", F.round("score", 6).alias("score"),
                     "rn")
             .orderBy("qid", "rn"))
+
+
+@register("search_bm25_persisted_probe", sql=BM25_SQL,
+          tags=("text", "search", "layout", "pipeline"))
+def search_bm25_persisted_probe(spark, sf_dir):
+    """`search_bm25` routed through a PERSISTED inverted index — the
+    staged-artifact treatment (ann_pq_persisted_probe,
+    curate_corpus_staged) applied to the retrieval family: the inline
+    ranking re-tokenizes the corpus and rebuilds postings inside every
+    query, but a search engine builds the index ONCE and serves every
+    query batch from it.
+
+    Index build (phase 1, two artifacts, the only corpus scans):
+    postings/ (doc_id, w, tf) written repartitioned + SORTED on the
+    term so parquet row-group min/max stats on `w` make the index
+    seekable, and doclens/ (doc_id, dl). df and the (n_docs, avgdl)
+    scalar are NOT materialized: df for exactly the probe's terms falls
+    out of the matched postings slice, and the scalar is one bounded
+    aggregate over doclens — so the index stays two append-friendly
+    tables.
+
+    Probe (phase 2, the recurring cost): an explicit `w IN (terms)`
+    predicate — pushed to the postings scan and row-group-prunable
+    thanks to the sorted layout (PushedFilters pinned in
+    tests/test_round13_queries.py) — selects only matching postings;
+    df comes from that slice (identical values: the slice holds every
+    posting of each matched term), and scoring + top-k is
+    `_bm25_score_topk`, the SAME chain the inline form runs. The probe
+    plan touches the documents table zero times (pinned).
+
+    Oracle: BM25_SQL verbatim — the staging is a pure physical split,
+    equality to `search_bm25` pinned at two SFs.
+
+    Scale: the index build is one tokenize + two hash aggs, paid once
+    and append-extended per ingest batch; each query batch then reads
+    only the row groups containing its terms (posting-list seeks, the
+    inverted-index access pattern) plus one narrow doclens pass for
+    the scalar."""
+    import tempfile
+
+    from spark_sentiment_spark.plans.registry import track_staging_dir
+
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim("text") != ""))
+    tok = track_persist(
+        docs.select("doc_id", F.explode(
+            F.split(F.lower("text"), " ", -1)).alias("w"))
+        .where(F.col("w") != ""))
+
+    base = track_staging_dir(tempfile.mkdtemp(prefix="bm25_index_"))
+    postings_src = (tok.groupBy("doc_id", "w")
+                    .agg(F.count(F.lit(1)).alias("tf"))
+                    .repartition("w").sortWithinPartitions("w"))
+    postings_src.write.mode("overwrite").parquet(base + "/postings")
+    dl_src = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl_src.write.mode("overwrite").parquet(base + "/doclens")
+
+    # explicit schemas: an empty corpus writes part-less directories that
+    # schema inference cannot read back
+    postings = spark.read.schema(postings_src.schema) \
+        .parquet(base + "/postings")
+    dl = spark.read.schema(dl_src.schema).parquet(base + "/doclens")
+
+    all_terms = sorted({t for _, terms in _BM25_QUERIES for t in terms})
+    matched = postings.where(F.col("w").isin(all_terms))
+    df = matched.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    return _bm25_score_topk(_bm25_query_frame(spark), matched, df, dl, stats)
 
 
 # --- Gopher quality rules -----------------------------------------------------

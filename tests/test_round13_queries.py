@@ -127,3 +127,36 @@ def test_curate_corpus_staged_matches_inline_and_never_rescans(spark):
     assert ok, msg
     # track_staging_dir cleanup must reclaim the artifacts (no leaks)
     assert not glob.glob(base + "/verdicts/part-*")
+
+
+def test_bm25_persisted_probe_matches_inline_and_prunes(spark):
+    """The persisted inverted index must (a) return EXACTLY the inline
+    `search_bm25` ranking (scoring chain shared via `_bm25_score_topk`,
+    so this pins the index staging, not a re-derivation), (b) assemble
+    the probe from the artifacts with ZERO documents-table scans, and
+    (c) push the term IN-filter into the postings scan — the row-group
+    seek the sorted layout exists for."""
+    from spark_sentiment_spark.plans.registry import (REGISTRY, all_queries,
+                                                      release_caches)
+    from tests.oracle_utils import compare, duck_connection
+
+    all_queries()
+    q = REGISTRY["search_bm25_persisted_probe"]
+    df = q.fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan, "probe re-scanned the corpus"
+    postings_scans = [l for l in plan.splitlines()
+                      if "FileScan" in l and "/postings" in l]
+    assert postings_scans and all(
+        "PushedFilters: [In(w, [" in l for l in postings_scans), \
+        "term IN-filter not pushed to the postings scan"
+
+    probe = [tuple(r) for r in df.collect()]
+    inline = [tuple(r) for r in REGISTRY["search_bm25"].fn(spark, SF_DIR)
+              .collect()]
+    assert probe == inline and probe
+
+    ok, msg = compare(q.fn(spark, SF_DIR), duck_connection(SF_DIR), q.sql,
+                      "search_bm25_persisted_probe")
+    release_caches()
+    assert ok, msg
