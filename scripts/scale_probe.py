@@ -233,7 +233,8 @@ PROBES = {
     "curate_corpus_staged": {"documents": ["doc_id"]},
     # the persisted inverted index, write-inclusive: tokenize + two hash
     # aggs + the sorted postings write dominate; the probe itself reads
-    # only term-matching row groups
+    # only term-matching row groups. streaming_bm25_probe is NOT probed
+    # (streaming family policy); this batch form carries the claim.
     "search_bm25_persisted_probe": {"documents": ["doc_id"]},
 }
 

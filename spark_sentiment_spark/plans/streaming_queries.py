@@ -1056,3 +1056,95 @@ def streaming_pq_probe(spark, sf_dir, topk: int = 10,
             .parquet(out_dir)
             .select("qid", "vec_id", "cosine", "rn")
             .orderBy("qid", "rn"))
+
+
+# --- Streaming BM25 probe (the retrieval family's streaming leg) ------------
+
+from spark_sentiment_spark.plans.text_queries import (  # noqa: E402
+    _BM25_QUERIES, _bm25_score_topk, _bm25_stage_index, BM25_SQL)
+
+
+@register("streaming_bm25_probe", sql=BM25_SQL,
+          tags=("text", "search", "streaming", "pipeline"))
+def streaming_bm25_probe(spark, sf_dir):
+    """Streaming consumer of the persisted inverted index — completes
+    the retrieval family's inline / persisted / streaming triad
+    (`search_bm25` → `search_bm25_persisted_probe` → this), the arc the
+    IVF, PQ, MinHash and winnowing families already walk, and the most
+    production-literal of all of them: a search engine builds its index
+    once and serves a continuous QUERY stream against it. The postings
+    (term-sorted) + doclens artifacts are staged ONCE by the shared
+    builder (`_bm25_stage_index`, plans/text_queries.py); query terms
+    arrive as a file stream staged as TWO files (q1 | q2+q3) at one
+    file per trigger.
+
+    Each micro-batch collects ITS (qid, term) rows — the tiny side —
+    pushes the batch's `w IN (terms)` predicate into the postings scan
+    (row-group seeks on the sorted layout), derives df from the matched
+    slice and the (n_docs, avgdl) scalar from doclens, and scores via
+    `_bm25_score_topk` — the SAME chain both batch forms run, so
+    streamed-equals-batch is structural. Top-k appends to a
+    batch_id-partitioned sink (exactly-once by overwrite-per-batch);
+    df/stats derive only from the static artifacts and each qid lives
+    in exactly one batch, so batch boundaries cannot change any
+    ranking (pinned against the inline form in
+    tests/test_round13_queries.py).
+
+    Oracle: BM25_SQL verbatim — the finite availableNow source replays
+    the same top-k regardless of the query batch split.
+
+    Scale: per batch, cost is bounded by the batch's term list (postings
+    row-group seeks + one narrow doclens pass), never the corpus; the
+    index is table-sized state on disk, append-extended per ingest
+    batch, never streaming state. Reference parity:
+    witlox/spark_sentiment has no streaming surface; extension per
+    SURVEY §7.4."""
+    import glob
+    import tempfile
+
+    postings, dl = _bm25_stage_index(spark, sf_dir)
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+
+    # Query terms arrive as TWO micro-batches (q1 | q2+q3) — one file
+    # per trigger, pinning that batch boundaries cannot change rankings.
+    term_rows = [(qid, t) for qid, terms in _BM25_QUERIES for t in terms]
+    q_all = spark.createDataFrame(term_rows, "qid string, term string")
+    stream_dir = _stage_ordered_segments(
+        (q_all.where(F.col("qid") == "q1"),
+         q_all.where(F.col("qid") != "q1")), "bm25_queries_")
+
+    out_dir = track_staging_dir(tempfile.mkdtemp(prefix="bm25_hits_"))
+    ckpt = track_staging_dir(tempfile.mkdtemp(prefix="bm25_ckpt_"))
+
+    def probe_batch(df_batch, batch_id):
+        rows = df_batch.collect()  # the tiny query side
+        if rows:
+            q = spark.createDataFrame(
+                [(r["qid"], r["term"]) for r in rows],
+                "qid string, term string")
+            terms = sorted({r["term"] for r in rows})
+            matched = postings.where(F.col("w").isin(terms))
+            df = matched.groupBy("w").agg(
+                F.countDistinct("doc_id").alias("df"))
+            topk = _bm25_score_topk(q, matched, df, dl, stats)
+        else:  # empty micro-batch: emit an empty, schema-stable slice
+            topk = spark.createDataFrame(
+                [], "qid string, doc_id bigint, score double, rn bigint")
+        topk.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    stream = (spark.readStream.schema(q_all.schema)
+              .option("maxFilesPerTrigger", 1).parquet(stream_dir))
+    q = (stream.writeStream
+         .foreachBatch(probe_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    out_schema = "qid string, doc_id bigint, score double, rn bigint"
+    if not glob.glob(f"{out_dir}/batch_id=*/part-*.parquet"):
+        return spark.createDataFrame([], out_schema)  # empty source
+    return (spark.read.schema(out_schema + ", batch_id int")
+            .parquet(out_dir)
+            .select("qid", "doc_id", "score", "rn")
+            .orderBy("qid", "rn"))

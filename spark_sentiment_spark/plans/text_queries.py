@@ -1552,6 +1552,24 @@ def search_bm25_persisted_probe(spark, sf_dir):
     only the row groups containing its terms (posting-list seeks, the
     inverted-index access pattern) plus one narrow doclens pass for
     the scalar."""
+    postings, dl = _bm25_stage_index(spark, sf_dir)
+    all_terms = sorted({t for _, terms in _BM25_QUERIES for t in terms})
+    matched = postings.where(F.col("w").isin(all_terms))
+    df = matched.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    return _bm25_score_topk(_bm25_query_frame(spark), matched, df, dl, stats)
+
+
+def _bm25_stage_index(spark, sf_dir):
+    """Phase-1 inverted-index builder shared by
+    `search_bm25_persisted_probe` and `streaming_bm25_probe`
+    (plans/streaming_queries.py): postings (doc_id, w, tf) written
+    repartitioned + SORTED on the term (row-group stats make the index
+    seekable) and doclens (doc_id, dl), in exactly two corpus scans.
+    Returns the two artifact frames read back with explicit schemas (an
+    empty corpus writes part-less directories that schema inference
+    cannot read back)."""
     import tempfile
 
     from spark_sentiment_spark.plans.registry import track_staging_dir
@@ -1571,18 +1589,10 @@ def search_bm25_persisted_probe(spark, sf_dir):
     dl_src = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     dl_src.write.mode("overwrite").parquet(base + "/doclens")
 
-    # explicit schemas: an empty corpus writes part-less directories that
-    # schema inference cannot read back
     postings = spark.read.schema(postings_src.schema) \
         .parquet(base + "/postings")
     dl = spark.read.schema(dl_src.schema).parquet(base + "/doclens")
-
-    all_terms = sorted({t for _, terms in _BM25_QUERIES for t in terms})
-    matched = postings.where(F.col("w").isin(all_terms))
-    df = matched.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
-                   F.avg("dl").alias("avgdl"))
-    return _bm25_score_topk(_bm25_query_frame(spark), matched, df, dl, stats)
+    return postings, dl
 
 
 # --- Gopher quality rules -----------------------------------------------------

@@ -160,3 +160,32 @@ def test_bm25_persisted_probe_matches_inline_and_prunes(spark):
                       "search_bm25_persisted_probe")
     release_caches()
     assert ok, msg
+
+
+def test_streaming_bm25_probe_two_batches_equals_inline(spark):
+    """The retrieval family's streaming leg must (a) actually run as TWO
+    micro-batches (one staged query-term file per trigger) and (b)
+    produce exactly the inline `search_bm25` ranking — batch boundaries
+    cannot matter because df/stats derive only from the static
+    artifacts and each qid lives in exactly one batch. The per-batch
+    scoring is `_bm25_score_topk` — the same chain both batch forms
+    run — so this pins the staging plumbing, not a re-derivation."""
+    from spark_sentiment_spark.plans import registry
+    from spark_sentiment_spark.plans.registry import (REGISTRY, all_queries,
+                                                      release_caches)
+
+    all_queries()
+    before = set(registry._STAGED_DIRS)
+    streamed = [tuple(r) for r in REGISTRY["streaming_bm25_probe"]
+                .fn(spark, SF_DIR).collect()]
+    hit_dirs = [d for d in registry._STAGED_DIRS
+                if d not in before and "bm25_hits_" in d]
+    assert hit_dirs, "hit sink not tracked"
+    batches = glob.glob(hit_dirs[-1] + "/batch_id=*")
+    assert len(batches) == 2, batches
+
+    inline = [tuple(r) for r in REGISTRY["search_bm25"].fn(spark, SF_DIR)
+              .collect()]
+    release_caches()
+    assert streamed == inline
+    assert streamed, "fixture produced no rankings"
