@@ -10,7 +10,7 @@ directory; see tests/conftest.py):
 
   1. tests/test_oracle.py with SPARK_GRAFT_ORACLE_SHARD=0/2
   2. tests/test_oracle.py with SPARK_GRAFT_ORACLE_SHARD=1/2
-  3. the five heaviest non-oracle files (REST_HEAVY)
+  3. the heaviest non-oracle files (REST_HEAVY)
   4. everything else
 
 Wall time ≈ the slowest shard instead of the serial sum. Coverage is
@@ -34,7 +34,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The five heaviest non-oracle files (measured with --durations=0 on a
+# The heaviest non-oracle files (measured with --durations=0 on a
 # quiet host, round 13: properties 79s, round11 54s, plan_shape 44s,
 # round10 35s, streaming 32s ≈ 244s of the rest-shard's 495s attributed
 # total) split off into their own shard so "rest" is no longer the

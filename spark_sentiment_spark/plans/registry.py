@@ -161,79 +161,80 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # catalog entries, so ordering is an explicit, audited decision rather
 # than an accident of import order.
 #
-# The round-13 window is COMPUTED, not hand-maintained: `python
+# The round-14 window is COMPUTED, not hand-maintained: `python
 # scripts/gen_window.py` derives it from the registry and the
 # CORRECTNESS_r*.json history for rounds strictly before WINDOW_ROUND
-# (=13, so the list stays frozen when the driver lands the current
+# (=14, so the list stays frozen when the driver lands the current
 # round's artifact mid-round), and tests/test_registry_window.py asserts
-# this committed list matches that computation. Cut 2026-08-15 at
-# round-13 start, matching the round-12 verdict accounting: the 7
-# round-12 additions (never driver-checked; all independently re-verified
-# at sf0.01 by the round-12 judge) take the priority slots, PLUS
-# `curate_corpus` as an upgraded-since-row slot (its fn was rebased onto
-# the shared _curation_verdicts builder and its oracle onto the shared
-# _curate_sql composer in round 12 after the round-12 window froze, so
-# its r10 row no longer hashes the live source). That leaves 42 backfill
-# slots: ALL 38 remaining r8-stale rows plus the 4 alphabetically-first
-# r9-stale rows. Rows-only queries never take a slot. Round-13 additions
-# land BELOW the window (normal rotation reaches them at the round-14
-# cut). After this round the stale set is ~46 r9/r10 rows + this round's
-# additions; the full-refresh cycle stays ~2 rounds at window 50 if
-# catalog growth holds at <=8/round.
+# this committed list matches that computation. Cut 2026-08-16 at
+# round-14 start, matching the round-13 verdict accounting: the 5
+# round-13 additions (never driver-checked; all independently re-verified
+# at sf0.01 by the round-13 judge) take the priority slots, PLUS the four
+# round-13 single-eval perf-fix queries as upgraded-since-row slots
+# (quality_gate's verdict moved behind _gopher_feats' inner projection;
+# langid_stopword/confusion/kappa's vote chain behind an inner scored
+# projection — values byte-identical, oracles re-verified at two SFs, but
+# their green rows no longer hash the live source). That leaves 41
+# backfill slots: 41 of the 46 remaining r9-stale rows (round asc, name
+# asc). Rows-only queries never take a slot. Round-14 additions land
+# BELOW the window (normal rotation reaches them at the round-15 cut).
+# After this round the stale set is ~5 r9 rows + ~50 r10 rows + this
+# round's additions; the full-refresh cycle stays ~2 rounds at window 50
+# if catalog growth holds at <=8/round.
 _WINDOW_PRIORITY = [
-    # — never driver-checked (round-12 additions, judge-verified green) —
-    "ann_ivf_bucketed_probe",
-    "curate_corpus_c4",
-    "curate_corpus_gopher",
-    "events_rfm_cutpoints_bucketed",
-    "quality_c4_rules",
-    "sample_dsir",
-    "streaming_ivf_probe",
+    # — never driver-checked (round-13 additions, judge-verified green) —
+    "ann_pq_persisted_probe",
+    "curate_corpus_staged",
+    "search_bm25_persisted_probe",
+    "streaming_bm25_probe",
+    "streaming_pq_probe",
     # — upgraded after latest row —
-    "curate_corpus",  # r10
+    "quality_gate",  # r12
+    "langid_stopword",  # r9
+    "langid_confusion",  # r12
+    "langid_kappa",  # r9
     # — oldest-stale backfill —
-    "events_cumulative_users",  # r8
-    "events_peak_concurrency",  # r8
-    "events_sliding_users_hll",  # r8
-    "events_temporal_join",  # r8
-    "events_type_affinity",  # r8
-    "join_anti",  # r8
-    "join_left_outer",  # r8
-    "join_null_safe",  # r8
-    "join_semi",  # r8
-    "knn_classify",  # r8
-    "mixture_temperature",  # r8
-    "preference_pairs",  # r8
-    "q10_returned_items",  # r8
-    "q17_small_qty_revenue",  # r8
-    "q18_large_orders",  # r8
-    "q1_pricing_summary",  # r8
-    "q3_shipping_priority",  # r8
-    "q4_priority_exists",  # r8
-    "q5_local_supplier",  # r8
-    "q6_forecast_revenue",  # r8
-    "q7_volume_shipping",  # r8
-    "scalar_math_funcs",  # r8
-    "scalar_string_funcs",  # r8
-    "search_bm25",  # r8
-    "set_except",  # r8
-    "set_intersect",  # r8
-    "set_union",  # r8
-    "shard_balance",  # r8
-    "sort_topk_global",  # r8
-    "source_overlap",  # r8
-    "streaming_multimodal_headers",  # r8
-    "streaming_sessionize",  # r8
-    "streaming_topk_types",  # r8
-    "token_zipf_fit",  # r8
-    "window_lag_delta",  # r8
-    "window_rank_mix",  # r8
-    "window_running_sum",  # r8
-    "window_topk_per_group",  # r8
-    "agg_hll_merge_shards",  # r9
-    "dedup_cross_source_pairs",  # r9
-    "dedup_incremental_minhash",  # r9
-    "dedup_semantic",  # r9
+    "doc_chunks",  # r9
+    "doc_fingerprints",  # r9
+    "embedding_kmeans_iter",  # r9
+    "events_asof_cogroup",  # r9
+    "events_asof_join",  # r9
+    "events_funnel",  # r9
+    "events_gap_fill",  # r9
+    "events_gap_percentiles",  # r9
+    "events_json_extract",  # r9
+    "events_props_map",  # r9
+    "events_range_join",  # r9
+    "events_retention_cohorts",  # r9
+    "events_rfm_scores",  # r9
+    "events_rolling_1h",  # r9
+    "events_sessionize",  # r9
+    "events_sliding_hour",  # r9
+    "events_tumbling_hour",  # r9
+    "events_user_lifecycle",  # r9
+    "events_user_rates",  # r9
+    "graph_triangle_count",  # r9
+    "io_csv_roundtrip",  # r9
+    "io_json_roundtrip",  # r9
+    "io_schema_evolution",  # r9
+    "join_bucketed",  # r9
+    "knn_classify_ivf",  # r9
+    "link_parts_fuzzy",  # r9
+    "mixture_apply",  # r9
+    "multimodal_decode_features",  # r9
+    "multimodal_frame_sample",  # r9
+    "multimodal_ppm_decode",  # r9
+    "multimodal_wav_decode",  # r9
+    "pareto_revenue_share",  # r9
+    "q11_nation_concentration",  # r9
+    "q12_priority_classes",  # r9
+    "q13_customer_distribution",  # r9
+    "q14_promo_revenue",  # r9
+    "q15_top_supplier",  # r9
+    "q16_supplier_variety",  # r9
+    "q19_disjunctive_brackets",  # r9
+    "q20_part_suppliers",  # r9
+    "token_burstiness",  # r9
 ]
 
 

@@ -110,7 +110,8 @@ def test_curate_corpus_staged_matches_inline_and_never_rescans(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "documents.parquet" not in plan, "assembly re-scanned the corpus"
     base = next(seg for seg in plan.split("file:")[1:]
-                if "curate_stage_" in seg).split("/verdicts", 1)[0]
+                if "curate_stage_" in seg and "/verdicts" in seg
+                ).split("/verdicts", 1)[0]
     verdicts = spark.read.parquet(base + "/verdicts")
     assert [f.name for f in verdicts.schema] == [
         "doc_id", "q_keep", "q_reason", "prefix_hash", "n_chars"]
