@@ -236,7 +236,53 @@ PROBES = {
     # only term-matching row groups. streaming_bm25_probe is NOT probed
     # (streaming family policy); this batch form carries the claim.
     "search_bm25_persisted_probe": {"documents": ["doc_id"]},
+    # round-14 addition. Constant 50-row output; work = the one-pass
+    # cell-assign + Arrow encode + partitioned code write (linear in n,
+    # paid once at 100 TB) + a probe that reads only the visited cells'
+    # partitions (expected probe/K of the codes) — the write-inclusive
+    # slope is encode-bound; the probe-only row isolates the recurring
+    # pruned-scan cost.
+    "ann_ivfpq_persisted_probe": {"embeddings": ["vec_id"]},
 }
+
+
+#: The staged-index queries' write-inclusive rows above price build+probe
+#: together, which overstates the recurring cost those queries exist to
+#: minimize. `--probe-only` stages each index ONCE per K (untimed), then
+#: times ONLY the recurring probe plan against the existing artifacts —
+#: the amortized claim, measured. Rows land as `<query>.probe_only`.
+def _probe_only_builders(spark, sf_dir):
+    """Pre-stage every staged index at this K and return zero-arg probe
+    builders (each returns the recurring per-batch DataFrame). Staging
+    dirs stay alive until the caller's release_caches()."""
+    from spark_sentiment_spark.plans import pipeline_queries as pq
+    from spark_sentiment_spark.plans import similarity_queries as sq
+    from spark_sentiment_spark.plans import text_queries as tq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = sq._as_double("embedding")
+    unit = F.transform(e, lambda x: x / sq._norm(e))
+    vecs = emb.select("vec_id", unit.alias("e"))
+    pq_base, pq_n = sq._pq_stage_index(spark, vecs)
+    ivfpq_base, ivfpq_n = sq._ivfpq_stage_index(spark, vecs)
+    postings, dl = tq._bm25_stage_index(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull())
+    v, g = pq._curate_stage(spark, docs)
+    return {
+        "ann_pq_persisted_probe.probe_only":
+            ("embeddings",
+             lambda: sq._pq_probe(spark, vecs, pq_base, pq_n,
+                                  sq.PQ_RERANK, 10)),
+        "ann_ivfpq_persisted_probe.probe_only":
+            ("embeddings",
+             lambda: sq._ivfpq_probe(spark, vecs, ivfpq_base, ivfpq_n,
+                                     sq.IVFPQ_RERANK, 10)),
+        "search_bm25_persisted_probe.probe_only":
+            ("documents", lambda: tq._bm25_probe(spark, postings, dl)),
+        "curate_corpus_staged.probe_only":
+            ("documents", lambda: pq._curate_assemble(v, g)),
+    }
 
 
 def replicate(spark, table: str, keys, k: int, out_dir: str):
@@ -315,6 +361,39 @@ def main() -> None:
                                   "spark.sql.codegen.wholeStage": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
+    if "--probe-only" in sys.argv:
+        results = {}
+        try:
+            for k in FACTORS:
+                out_dir = f"{TMP}/x{k}"
+                rows = {t: replicate(spark, t, keys, k, out_dir)
+                        for t, keys in (("embeddings", ["vec_id"]),
+                                        ("documents", ["doc_id"]))}
+                builders = _probe_only_builders(spark, out_dir)  # untimed
+                for name, (table, build) in builders.items():
+                    build().write.format("noop").mode("overwrite").save()
+                    best = float("inf")
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        build().write.format("noop") \
+                            .mode("overwrite").save()
+                        best = min(best, time.perf_counter() - t0)
+                    in_rows = rows[table]
+                    results.setdefault(name, {})[k] = {
+                        "sec": round(best, 3), "rows": in_rows,
+                        "krows_s": round(in_rows / best / 1e3, 1)}
+                    print(f"x{k} {name}: {best:.2f}s "
+                          f"({in_rows / best / 1e3:.0f} krows/s)",
+                          flush=True)
+                # artifacts must outlive the timings — release per K,
+                # not per run (release_caches removes staging dirs)
+                release_caches()
+        finally:
+            shutil.rmtree(TMP, ignore_errors=True)
+            spark.stop()
+        _merge_rows(results)
+        return
+
     results: dict[str, dict[int, dict]] = {q: {} for q in probes}
     try:
         for k in FACTORS:
@@ -387,6 +466,14 @@ def main() -> None:
         "are the auto-scaling cell count (k = n / CELL_TARGET holds real",
         "occupancy flat) and the decorrelated-replica candidate-growth pins",
         "in tests/test_similarity_recall.py.",
+        "",
+        "Staged-index split: the staged queries' own rows are",
+        "WRITE-INCLUSIVE (build + probe in one timing). The",
+        "`<query>.probe_only` rows (`scale_probe.py --probe-only`) stage",
+        "the artifacts untimed, then time ONLY the recurring probe plan —",
+        "the amortized per-batch claim, measured. Probe timings include",
+        "the bounded driver-side control plane (query routing, ADC-table",
+        "construction, codebook read).",
         "",
         "| query | ×1 | ×2 | ×4 | ×8 | ×8/×1 time ratio | krows/s ×1→×8 |",
         "|---|---|---|---|---|---|---|",

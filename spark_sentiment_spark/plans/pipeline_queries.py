@@ -3072,12 +3072,19 @@ def curate_corpus_staged(spark, sf_dir):
     Oracle: CURATE_SQL verbatim — the staging is a pure physical split
     of the inline plan, so the manifest is byte-identical to
     `curate_corpus`'s (equality pinned at two SFs)."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    v, g = _curate_stage(spark, docs)
+    return _curate_assemble(v, g)
+
+
+def _curate_stage(spark, docs):
+    """Phase-1 of the staged curation pass: the two artifact builds —
+    the only corpus scans — returning the artifacts read back with
+    explicit schemas (an empty corpus writes part-less directories that
+    schema inference cannot read back)."""
     import tempfile
 
-    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     base = track_staging_dir(tempfile.mkdtemp(prefix="curate_stage_"))
-
-    # ---- artifact builds: the only two corpus scans ---------------------
     verdicts_src = _composite_gate(docs).select(
         "doc_id", "q_keep", "q_reason",
         _prefix_hash_col().alias("prefix_hash"),
@@ -3086,12 +3093,16 @@ def curate_corpus_staged(spark, sf_dir):
     grams_src = _doc_grams(docs)
     grams_src.write.mode("overwrite").parquet(base + "/grams")
 
-    # ---- verdict assembly: artifacts only, no corpus access --------------
-    # explicit schemas: an empty corpus writes part-less directories that
-    # schema inference cannot read back
     v = spark.read.schema(verdicts_src.schema).parquet(base + "/verdicts")
     g = spark.read.schema(grams_src.schema).parquet(base + "/grams")
+    return v, g
 
+
+def _curate_assemble(v, g):
+    """Phase-2 of the staged curation pass — the recurring nightly cost,
+    callable on its own against pre-staged artifacts (scripts/
+    scale_probe.py times it separately from the builds): verdict
+    assembly from the artifacts only, no corpus access."""
     w = (Window.partitionBy("prefix_hash")
          .orderBy(F.desc("n_chars"), "doc_id"))
     ranked = (v.where(F.col("q_keep") & (F.col("doc_id") >= 5))

@@ -837,6 +837,15 @@ def ann_pq_persisted_probe(spark, sf_dir, topk: int = 10,
             [], "qid long, vec_id long, cosine double, rn long")
 
     # ---- phase 2: per-batch probe of the stored index -------------------
+    return _pq_probe(spark, vecs, base, n_codes, rerank, topk)
+
+
+def _pq_probe(spark, vecs, base: str, n_codes: int, rerank: int, topk: int):
+    """Phase-2 of the flat PQ index — the recurring per-batch cost,
+    callable on its own against pre-staged artifacts (scripts/
+    scale_probe.py times it separately from the build): ADC tables from
+    the PERSISTED codebook, integer ADC scan over the stored codes,
+    exact re-rank."""
     cb = _pq_read_codebook(spark, base, n_codes)
     queries = vecs.where(F.col("vec_id") < 5) \
         .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe")).collect()
@@ -844,6 +853,52 @@ def ann_pq_persisted_probe(spark, sf_dir, topk: int = 10,
 
     codes = spark.read.parquet(base + "/codes")
     return _pq_adc_topk(codes, probes, vecs, n_codes, rerank, topk)
+
+
+def _pq_seed_codebooks(vecs):
+    """Content-addressed seed fetch shared by every staged quantizer
+    build: the PQ_K md5-smallest unit vectors (a 16-row bounded driver
+    fetch any engine replays), returned as (n_codes, cbmat, codebooks)
+    where cbmat is the K×dim seed matrix in vec_id order (row i = coarse
+    centroid of cell i for the IVF layer) and codebooks its M×K×sub
+    per-subspace view (codeword k of subspace m for the PQ layer).
+    n_codes == 0 marks an empty corpus."""
+    import numpy as np
+
+    seed_rows = (vecs
+                 .select("vec_id", "e",
+                         F.md5(F.col("vec_id").cast("string")).alias("h"))
+                 .orderBy("h", "vec_id").limit(PQ_K)
+                 .select("vec_id", "e").collect())
+    seed_rows.sort(key=lambda r: r["vec_id"])   # code order = vec_id order
+    n_codes = len(seed_rows)
+    if n_codes == 0:
+        return 0, None, None
+    cbmat = np.asarray([r["e"] for r in seed_rows], dtype=np.float64)
+    codebooks = np.ascontiguousarray(
+        cbmat.reshape(n_codes, PQ_M, PQ_SUB).transpose(1, 0, 2))  # M × K × s
+    return n_codes, cbmat, codebooks
+
+
+def _pq_encoder(codebooks, n_codes: int):
+    """The Arrow-batched PQ encode UDF (argmin codeword per subspace).
+    The per-code distance accumulates over subspace dims SEQUENTIALLY (a
+    dim-loop of vectorized +=, not np.sum) so the floats stay
+    byte-identical to DuckDB's left-to-right list_dot_product fold."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _encode(embs: pd.Series) -> pd.Series:
+        V = np.asarray(embs.tolist(), dtype=np.float64)     # batch × dim
+        parts = V.reshape(len(V), PQ_M, PQ_SUB)             # b × M × s
+        d2 = np.zeros((len(V), PQ_M, n_codes))
+        for s in range(PQ_SUB):  # sequential over dims == DuckDB fold order
+            diff = parts[:, :, None, s] - codebooks[None, :, :, s]
+            d2 += diff * diff
+        return pd.Series(d2.argmin(-1).astype(np.int32).tolist())
+
+    return _encode
 
 
 def _pq_stage_index(spark, vecs):
@@ -856,34 +911,12 @@ def _pq_stage_index(spark, vecs):
     n_codes == 0 marks an empty corpus (nothing staged)."""
     import tempfile
 
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-
     from spark_sentiment_spark.plans.registry import track_staging_dir
 
-    sub = PQ_SUB
-    seed_rows = (vecs
-                 .select("vec_id", "e",
-                         F.md5(F.col("vec_id").cast("string")).alias("h"))
-                 .orderBy("h", "vec_id").limit(PQ_K)
-                 .select("vec_id", "e").collect())
-    seed_rows.sort(key=lambda r: r["vec_id"])   # code order = vec_id order
-    n_codes = len(seed_rows)
+    n_codes, codebooks_kd, codebooks = _pq_seed_codebooks(vecs)
     if n_codes == 0:
         return None, 0
-    cbmat = np.asarray([r["e"] for r in seed_rows], dtype=np.float64)
-    codebooks = np.ascontiguousarray(
-        cbmat.reshape(n_codes, PQ_M, sub).transpose(1, 0, 2))  # M × K × s
-
-    @pandas_udf("array<int>")
-    def _encode(embs: pd.Series) -> pd.Series:
-        V = np.asarray(embs.tolist(), dtype=np.float64)     # batch × dim
-        parts = V.reshape(len(V), PQ_M, sub)                # b × M × s
-        d2 = np.zeros((len(V), PQ_M, n_codes))
-        for s in range(sub):  # sequential over dims == DuckDB fold order
-            diff = parts[:, :, None, s] - codebooks[None, :, :, s]
-            d2 += diff * diff
-        return pd.Series(d2.argmin(-1).astype(np.int32).tolist())
+    _encode = _pq_encoder(codebooks, n_codes)
 
     base = track_staging_dir(tempfile.mkdtemp(prefix="pq_index_"))
     vecs.select("vec_id", _encode("e").alias("codes")) \
@@ -929,21 +962,29 @@ def _pq_adc_tables(spark, queries, cb, n_codes: int):
         probe_rows, "qid long, tbl array<long>, qe array<double>")
 
 
-def _pq_adc_topk(codes, probes, vecs, n_codes: int, rerank: int, topk: int):
+def _pq_adc_topk(codes, probes, vecs, n_codes: int, rerank: int, topk: int,
+                 cand=None):
     """The ADC scan + exact re-rank shared verbatim by the persisted
-    batch probe and each streaming micro-batch: integer table-lookup
-    scores over the stored codes (never the floats), per-qid
-    top-``rerank`` window, exact cosine re-rank against the embedding
-    store, top-``topk`` out."""
+    batch probe, each streaming micro-batch, and the composed IVF+PQ
+    probe: integer table-lookup scores over the stored codes (never the
+    floats), per-qid top-``rerank`` window, exact cosine re-rank against
+    the embedding store, top-``topk`` out. By default every (query,
+    code-row) pair is scored (the full linear ADC scan of the flat PQ
+    index); a caller that already narrowed the candidate set — the
+    IVF+PQ probe joins probe cells to the cell-partitioned code table —
+    passes it as ``cand`` (columns qid, vec_id, codes, tbl, qe) and only
+    those pairs are scored."""
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(PQ_M - 1)), F.lit(0).cast("bigint"),
         lambda acc, m: acc + F.element_at(
             F.col("tbl"), (m * F.lit(n_codes)
                            + F.element_at(F.col("codes"), m + 1) + 1)
             .cast("int")))
+    if cand is None:
+        cand = (codes.crossJoin(F.broadcast(probes))
+                .where(F.col("vec_id") != F.col("qid")))
     w = Window.partitionBy("qid").orderBy(F.desc("adc"), F.asc("vec_id"))
-    cand = (codes.crossJoin(F.broadcast(probes))
-            .where(F.col("vec_id") != F.col("qid"))
+    cand = (cand
             .select("qid", "vec_id", "qe", adc.alias("adc"))
             .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= rerank))
@@ -956,6 +997,269 @@ def _pq_adc_topk(codes, probes, vecs, n_codes: int, rerank: int, topk: int):
             .where(F.col("rn") <= topk)
             .select("qid", "vec_id", F.round("cos", 6).alias("cosine"), "rn")
             .orderBy("qid", "rn"))
+
+
+# --- Composed IVF+PQ persisted index (the FAISS-IVFPQ production shape) -----
+
+IVFPQ_RERANK = 50
+
+
+def _ivfpq_sql(topk: int = 10, rerank: int = IVFPQ_RERANK) -> str:
+    """The composed oracle: ANN_IVF_SQL's coarse chain (seeds → cells →
+    multi-assignment → query probes) spliced with _pq_sql's fine chain
+    (codebooks → encode → fixed-point ADC tables), candidates restricted
+    to probed cells BEFORE ADC scoring. With content-addressed seeds the
+    two layers share one seed CTE: cb.code doubles as the coarse cell id
+    (cell i's centroid IS seed vector i; codeword k of subspace m is its
+    m-th sub-vector) — standard IVFPQ trains the two quantizers
+    separately, but sampled quantizers seeded from the same rows
+    coincide, which is exactly what makes the composition exactly
+    replayable by any engine."""
+    sub = PQ_SUB
+    return f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), un AS (
+  SELECT vec_id,
+         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
+  FROM c
+), seeds AS (
+  SELECT vec_id, u
+  FROM un ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {PQ_K}
+), cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, u AS cu
+  FROM seeds
+), cscore AS (
+  SELECT un.vec_id, cb.code AS cell,
+         row_number() OVER (
+           PARTITION BY un.vec_id
+           ORDER BY round(list_dot_product(un.u, cb.cu), 6) DESC,
+                    cb.code) AS rn
+  FROM un CROSS JOIN cb
+), assigned AS (
+  SELECT vec_id, cell FROM cscore WHERE rn <= {IVF_ASSIGN}
+), qprobes AS (
+  SELECT vec_id AS qid, cell FROM cscore
+  WHERE vec_id < 5 AND rn <= {IVF_PROBE}
+), enc AS (
+  SELECT un.vec_id, m.m, cb.code,
+         list_dot_product(
+           list_transform(generate_series(1, {sub}),
+                          s -> un.u[m.m * {sub} + s]
+                               - cb.cu[m.m * {sub} + s]),
+           list_transform(generate_series(1, {sub}),
+                          s -> un.u[m.m * {sub} + s]
+                               - cb.cu[m.m * {sub} + s])) AS d2
+  FROM un
+  CROSS JOIN generate_series(0, {PQ_M - 1}) AS m(m)
+  CROSS JOIN cb
+), codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2, code) AS rn
+    FROM enc)
+  WHERE rn = 1
+), qt AS (
+  SELECT q.vec_id AS qid, m.m, cb.code,
+         CAST(floor(list_dot_product(
+           list_transform(generate_series(1, {sub}),
+                          s -> q.u[m.m * {sub} + s]),
+           list_transform(generate_series(1, {sub}),
+                          s -> cb.cu[m.m * {sub} + s])) * 1000000)
+           AS BIGINT) AS ip_fp
+  FROM un q
+  CROSS JOIN generate_series(0, {PQ_M - 1}) AS m(m)
+  CROSS JOIN cb
+  WHERE q.vec_id < 5
+), cellcand AS (
+  SELECT DISTINCT q.qid, a.vec_id
+  FROM qprobes q JOIN assigned a ON q.cell = a.cell
+  WHERE a.vec_id <> q.qid
+), adc AS (
+  SELECT cc.qid, cc.vec_id, sum(qt.ip_fp) AS adc_fp
+  FROM cellcand cc
+  JOIN codes ON codes.vec_id = cc.vec_id
+  JOIN qt ON qt.qid = cc.qid AND qt.m = codes.m AND qt.code = codes.code
+  GROUP BY cc.qid, cc.vec_id
+), cand AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY adc_fp DESC, vec_id) AS rn
+    FROM adc)
+  WHERE rn <= {rerank}
+), rer AS (
+  SELECT cand.qid, cand.vec_id,
+         list_dot_product(q.u, v.u) AS cos
+  FROM cand
+  JOIN un q ON cand.qid = q.vec_id
+  JOIN un v ON cand.vec_id = v.vec_id
+)
+SELECT qid, vec_id, round(cos, 6) AS cosine, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, vec_id) AS rn
+  FROM rer)
+WHERE rn <= {topk}
+ORDER BY qid, rn
+"""
+
+
+ANN_IVFPQ_SQL = _ivfpq_sql()
+
+
+def _ivfpq_stage_index(spark, vecs):
+    """Phase-1 composed IVF+PQ index builder: ONE corpus pass computes
+    both quantizer layers — multi-assignment coarse cells (the
+    `ann_ivf_topk` machinery) and M 4-bit PQ codes (the `_pq_encoder`
+    machinery, same content-addressed seeds) — and stages three parquet
+    artifacts: codes/ PARTITIONED BY cell (so a probe's directory
+    listing already prunes to visited cells), centroids/ (K rows, probe
+    routing replays from the artifact), codebook/ (M×K codewords for
+    ADC tables). Returns (base, n_codes); n_codes == 0 marks an empty
+    corpus (nothing staged)."""
+    import tempfile
+
+    from spark_sentiment_spark.plans.registry import track_staging_dir
+
+    n_codes, cbmat, codebooks = _pq_seed_codebooks(vecs)
+    if n_codes == 0:
+        return None, 0
+    _encode = _pq_encoder(codebooks, n_codes)
+
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in cbmat[i]]) for i in range(n_codes)],
+        "cell int, cu array<double>")
+    sim = F.round(_dot(F.col("e"), F.col("cu")), 6)
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    cells = (vecs.crossJoin(F.broadcast(cent))
+             .select("vec_id", "cell", sim.alias("sim"))
+             .withColumn("rn", F.row_number().over(wa))
+             .where(F.col("rn") <= IVF_ASSIGN)
+             .select("vec_id", "cell"))
+
+    base = track_staging_dir(tempfile.mkdtemp(prefix="ivfpq_index_"))
+    (cells.join(vecs.select("vec_id", _encode("e").alias("codes")), "vec_id")
+     .repartition(8, F.col("cell"))
+     .write.mode("overwrite").partitionBy("cell").parquet(base + "/codes"))
+    cent.write.mode("overwrite").parquet(base + "/centroids")
+    spark.createDataFrame(
+        [(int(m), int(k), [float(x) for x in codebooks[m, k]])
+         for m in range(PQ_M) for k in range(n_codes)],
+        "m int, code int, cw array<double>") \
+        .write.mode("overwrite").parquet(base + "/codebook")
+    return base, n_codes
+
+
+@register("ann_ivfpq_persisted_probe", sql=ANN_IVFPQ_SQL,
+          tags=("similarity", "layout", "pipeline"))
+def ann_ivfpq_persisted_probe(spark, sf_dir, topk: int = 10,
+                              rerank: int = IVFPQ_RERANK):
+    """The COMPOSED persisted vector index — per-cell PQ codes under the
+    bucketed IVF cell layout, the FAISS-IVFPQ production shape (Jégou
+    et al., "Product Quantization for Nearest Neighbor Search", §V) and
+    the direct answer to `ann_pq_persisted_probe`'s documented full
+    linear ADC scan: a probe now reads ONLY the visited cells'
+    compressed codes instead of every vector's.
+
+    Index build (phase 1, written once): one corpus pass assigns every
+    vector to its IVF_ASSIGN=2 nearest coarse cells AND encodes it to M
+    4-bit PQ codes — both layers seeded from the same content-addressed
+    16 md5-smallest vectors, so any engine replays them — then stages
+    the code table PARTITIONED BY cell plus the centroid and codebook
+    artifacts (a probe never touches the corpus).
+
+    Probe (phase 2, the recurring cost): query routing ranks the batch
+    against the PERSISTED centroids (a 16-row bounded read, same
+    F.round(·,6) ranking as `ann_ivf_topk`); the visited-cell list
+    becomes a PARTITION FILTER on the code table — the scan's directory
+    pruning skips unvisited cells entirely (pinned in
+    tests/test_plan_shape.py), which is the whole point of the
+    composition: expected I/O is probe/K of the (already 32×-compressed)
+    codes. Candidates join the probe-cell list, dedupe the
+    multi-assignment overlap, ADC-score via the same `_pq_adc_topk`
+    integer tables as the flat PQ probe, and exact-re-rank the top
+    ``rerank`` against the embedding store. Zero Python nodes in the
+    probe plan (the Arrow encode lives in the build phase).
+
+    Exact oracle: ANN_IVF_SQL's coarse CTE chain composed with
+    _pq_sql's fine chain — candidates restricted to probed cells before
+    ADC. rerank=50 (vs the flat probe's 200) keeps the ADC cut ACTIVE
+    on the test fixtures (a probed-cell candidate set is ~6/16 of the
+    corpus, so 200 would cover it entirely and reduce the query to pure
+    IVF).
+
+    Scale: the one corpus-sized build (assignment cross-join with a
+    broadcast 16-row centroid table + Arrow encode + one shuffle into
+    the cell layout) is amortized across every future batch; each batch
+    then reads probe/K of the code partitions, broadcasts
+    queries×(M·K) integer tables + the ≤ queries×IVF_PROBE cell pairs,
+    and shuffles only the candidate set (bounded by cell occupancy ×
+    probes, never the corpus). Appending newly indexed vectors into
+    their cells' partitions keeps the layout valid for the next batch —
+    the same append contract as the IVF cell index and the MinHash band
+    index."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = _as_double("embedding")
+    unit = F.transform(e, lambda x: x / _norm(e))
+    vecs = emb.select("vec_id", unit.alias("e"))
+
+    # ---- phase 1: build + persist the composed index (ONCE) ------------
+    base, n_codes = _ivfpq_stage_index(spark, vecs)
+    if n_codes == 0:
+        return spark.createDataFrame(
+            [], "qid long, vec_id long, cosine double, rn long")
+
+    # ---- phase 2: per-batch probe ---------------------------------------
+    return _ivfpq_probe(spark, vecs, base, n_codes, rerank, topk)
+
+
+def _ivfpq_probe(spark, vecs, base: str, n_codes: int, rerank: int,
+                 topk: int):
+    """Phase-2 of the composed IVF+PQ index — the recurring per-batch
+    cost, callable on its own against pre-staged artifacts
+    (scripts/scale_probe.py times it separately from the build).
+
+    Query routing replays from the persisted centroids — same ranking
+    as the inline IVF (round-6dp sim desc, cell asc), a 16-row
+    broadcast and a ≤ queries×IVF_PROBE collect (bounded control
+    plane, like the codebook fetch)."""
+    cent = spark.read.parquet(base + "/centroids")
+    sim = F.round(_dot(F.col("qe"), F.col("cu")), 6)
+    wq = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cell"))
+    qcell_rows = (vecs.where(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("qid"),
+                          F.col("e").alias("qe"))
+                  .crossJoin(F.broadcast(cent))
+                  .select("qid", "cell", sim.alias("sim"))
+                  .withColumn("rn", F.row_number().over(wq))
+                  .where(F.col("rn") <= IVF_PROBE)
+                  .select("qid", "cell").collect())
+    visited = sorted({int(r["cell"]) for r in qcell_rows})
+    qcells = spark.createDataFrame(
+        [(int(r["qid"]), int(r["cell"])) for r in qcell_rows],
+        "qid long, cell int")
+
+    cb = _pq_read_codebook(spark, base, n_codes)
+    queries = vecs.where(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe")).collect()
+    probes = _pq_adc_tables(spark, queries, cb, n_codes)
+
+    # The visited-cell predicate prunes the partitioned code table at the
+    # directory level — the probe never reads an unvisited cell's codes.
+    codes = (spark.read.parquet(base + "/codes")
+             .where(F.col("cell").isin(visited)))
+    cand = (codes.join(F.broadcast(qcells), "cell")
+            .where(F.col("vec_id") != F.col("qid"))
+            # multi-assignment means a candidate can match a query via
+            # two cells — dedupe before ADC or rn double-counts it
+            .dropDuplicates(["qid", "vec_id"])
+            .join(F.broadcast(probes), "qid"))
+    return _pq_adc_topk(codes, probes, vecs, n_codes, rerank, topk,
+                        cand=cand)
 
 
 # --- Multi-probe hyperplane LSH near-dup pairs ------------------------------

@@ -1553,6 +1553,15 @@ def search_bm25_persisted_probe(spark, sf_dir):
     inverted-index access pattern) plus one narrow doclens pass for
     the scalar."""
     postings, dl = _bm25_stage_index(spark, sf_dir)
+    return _bm25_probe(spark, postings, dl)
+
+
+def _bm25_probe(spark, postings, dl):
+    """Phase-2 of the inverted index — the recurring per-batch cost,
+    callable on its own against pre-staged artifacts (scripts/
+    scale_probe.py times it separately from the build): the term
+    IN-filter seeks the sorted postings, df falls out of the matched
+    slice, and scoring is the shared `_bm25_score_topk` chain."""
     all_terms = sorted({t for _, terms in _BM25_QUERIES for t in terms})
     matched = postings.where(F.col("w").isin(all_terms))
     df = matched.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))

@@ -679,3 +679,37 @@ def test_gopher_rules_is_scan_speed(spark):
     assert "Join" not in plan
     assert plan.count("Exchange") == 2  # round-robin load + output sort
     assert "PushedFilters: [IsNotNull(text)]" in plan
+
+
+def test_ivfpq_probe_prunes_to_visited_cells_no_python(spark):
+    """ann_ivfpq_persisted_probe: the composed index's entire point is
+    that the probe reads ONLY the visited cells' compressed codes — the
+    visited-cell predicate must land as a PARTITION filter on the
+    cell-partitioned code table (directory-level pruning, strictly fewer
+    than the 16 cells), the probe plan must contain zero Python nodes
+    (the Arrow encode lives in the build phase), and exactly two file
+    scans may appear: the pruned code partitions (ADC) + the embedding
+    store (exact re-rank)."""
+    import glob
+
+    from spark_sentiment_spark.plans.registry import release_caches
+    from spark_sentiment_spark.plans.similarity_queries import PQ_K
+
+    plan = _plan(spark, "ann_ivfpq_persisted_probe")
+    assert "Python" not in plan            # no re-encode in the probe
+    assert "ivfpq_index_" in plan          # ADC scans the persisted codes
+    assert plan.count("FileScan parquet") == 2
+    m = re.search(r"ivfpq_index_[^\n]*PartitionFilters: \[cell#\d+ INSET"
+                  r" ([\d, ]+)", plan)
+    assert m, "visited-cell predicate did not reach the partitioned scan"
+    visited = {int(x) for x in m.group(1).split(",") if x.strip()}
+    # 5 queries x 3 probe cells dedupe to < K — unvisited cell
+    # directories are never listed, let alone read. (The INSET renders
+    # before any truncation ellipsis, so the parse sees every cell id.)
+    assert 0 < len(visited) < PQ_K, sorted(visited)
+    base = next(seg for seg in plan.split("file:")[1:]
+                if "ivfpq_index_" in seg).split("/codes", 1)[0] + "/codes"
+    on_disk = len(glob.glob(base + "/cell=*"))
+    release_caches()
+    assert on_disk == PQ_K, f"index staged {on_disk} cell partitions"
+    assert plan.count("WindowGroupLimit") >= 2  # rerank + topk both limited

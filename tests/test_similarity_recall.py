@@ -284,3 +284,35 @@ def test_multiprobe_recall_at_real_neardup_thresholds(spark):
         planted = {(2 * i, 2 * i + 1) for i in range(len(V))}
         recall = len(planted & cand) / len(planted)
         assert recall >= floor, (eps, recall)
+
+
+def test_ann_ivfpq_recall_floor(spark):
+    """Per-query recall@10 of the COMPOSED IVF+PQ persisted index vs the
+    exact KNN query. Two approximation layers stack: the coarse probe
+    (3 of 16 cells) bounds recall at the IVF layer's 0.56, and the
+    ADC top-50 cut inside the probed cells (active by construction —
+    probed-cell candidates ~185 > rerank 50 on this fixture) trims it to
+    a DETERMINISTIC 0.42 (content-addressed seeds: the number cannot
+    drift). The floor pins both layers' machinery, not a semantic-recall
+    claim."""
+    exact = REGISTRY["knn_cosine_topk"].fn(spark, SF_DIR).collect()
+    approx = REGISTRY["ann_ivfpq_persisted_probe"].fn(spark, SF_DIR).collect()
+    ivf = REGISTRY["ann_ivf_topk"].fn(spark, SF_DIR).collect()
+    release_caches()
+    exact_by_q: dict = {}
+    for r in exact:
+        exact_by_q.setdefault(r.qid, set()).add(r.vec_id)
+    approx_by_q: dict = {}
+    for r in approx:
+        approx_by_q.setdefault(r.qid, set()).add(r.vec_id)
+    recalls = [
+        len(exact_by_q[q] & approx_by_q.get(q, set())) / len(exact_by_q[q])
+        for q in exact_by_q
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.35, f"IVFPQ recall@10 degraded to {mean_recall:.3f}"
+    # the ADC cut must actually bite — were rerank >= the probed-cell
+    # candidate count, the PQ layer would be a no-op and the "composed"
+    # query silently degenerate to pure IVF
+    ivf_ids = sorted((r.qid, r.vec_id) for r in ivf)
+    assert sorted((r.qid, r.vec_id) for r in approx) != ivf_ids
