@@ -243,6 +243,11 @@ PROBES = {
     # slope is encode-bound; the probe-only row isolates the recurring
     # pruned-scan cost.
     "ann_ivfpq_persisted_probe": {"embeddings": ["vec_id"]},
+    # the composed pipeline tail: curation (its own audited slopes) + a
+    # constant-150-row mixture/pack/shuffle over the survivors — the
+    # marginal should track curate_corpus's (the selection stages are
+    # bounded: broadcast quota, 150-row windows)
+    "prepare_training_set": {"documents": ["doc_id"]},
 }
 
 

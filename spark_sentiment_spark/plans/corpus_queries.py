@@ -613,15 +613,31 @@ def mixture_apply(spark, sf_dir):
     source-partition ranking window over (doc_id, source) pairs — the
     corpus shuffles once and the text column never moves."""
     docs = load(spark, sf_dir, "documents")
-    live = docs.where(F.col("text").isNotNull() & (F.trim("text") != ""))
+    live = (docs.where(F.col("text").isNotNull() & (F.trim("text") != ""))
+            .select("doc_id", "source",
+                    F.size(_tokens_col()).alias("n_tokens")))
+    return (_mixture_quota_pick(live)
+            .select("doc_id", "source", "pick")
+            .orderBy("source", "pick"))
+
+
+def _mixture_quota_pick(live, budget: int = MIXTURE_BUDGET):
+    """The temperature-quota selection shared by `mixture_apply` and the
+    composed `prepare_training_set` (plans/pipeline_queries.py): over any
+    (doc_id, source, n_tokens) frame, allocate per-source
+    largest-remainder quotas of ``budget`` documents and pick each
+    source's md5-smallest ``quota`` docs. Takes the token count as a
+    COLUMN (not text) so a caller can compute it once, persist the
+    narrow frame, and reuse it across stages. Returns
+    (doc_id, source, pick), unordered."""
     src = live.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(_tokens_col())).alias("n_tokens"))
+        F.sum("n_tokens").alias("n_tokens"))
     wall = Window.partitionBy()  # bounded: one row per source
     scaled = F.pow(F.col("n_tokens"), F.lit(TEMP_ALPHA))
     alloc = src.select(
         "source", "n_docs", "n_tokens",
-        (scaled / F.sum(scaled).over(wall) * MIXTURE_BUDGET)
+        (scaled / F.sum(scaled).over(wall) * budget)
         .alias("quota_f"))
     based = alloc.select(
         "source", "n_docs", "n_tokens",
@@ -632,7 +648,7 @@ def mixture_apply(spark, sf_dir):
     lr = based.select(
         "source", "n_docs", "base_q",
         F.row_number().over(wrem).alias("rr"),
-        (F.lit(MIXTURE_BUDGET) - F.sum("base_q").over(wall))
+        (F.lit(budget) - F.sum("base_q").over(wall))
         .alias("leftover"))
     quota = lr.select(
         "source",
@@ -646,8 +662,7 @@ def mixture_apply(spark, sf_dir):
         F.row_number().over(wr).cast("bigint").alias("pick"))
     return (ranked.join(F.broadcast(quota), "source")
             .where(F.col("pick") <= F.col("q"))
-            .select("doc_id", "source", "pick")
-            .orderBy("source", "pick"))
+            .select("doc_id", "source", "pick"))
 
 
 # --- TextRank token centrality (integer fixed-point PageRank) ---------------

@@ -544,13 +544,13 @@ def quality_gate(spark, sf_dir):
             .orderBy("doc_id"))
 
 
-def _curate_sql(gate_ctes: str) -> str:
-    """Compose the curation-pass oracle from a gate CTE block (must end
-    with a CTE named `gate` exposing doc_id, text, q_keep, q_reason) —
-    shared by CURATE_SQL and CURATE_GOPHER_SQL so the two oracles differ
-    ONLY in their gate stage, mirroring _curation_verdicts."""
-    return rf"""
-WITH {gate_ctes},
+def _curate_ctes(gate_ctes: str) -> str:
+    """The curation pass's full CTE chain (gate block + dedup rank +
+    gram stream + contamination probe + first-failing-stage verdicts) —
+    the shared WITH-body behind `_curate_sql` and the composed
+    PREP_SQL, so the training-set oracle can never drift from the
+    curation oracles on any stage."""
+    return rf"""{gate_ctes},
 ranked AS (
   SELECT doc_id,
          row_number() OVER (
@@ -583,14 +583,26 @@ verdicts AS (
   FROM gate g
   LEFT JOIN ranked r ON g.doc_id = r.doc_id
   LEFT JOIN cont c ON g.doc_id = c.doc_id
-)
+)"""
+
+
+def _curate_sql(gate_ctes: str) -> str:
+    """Compose the curation-pass oracle from a gate CTE block (must end
+    with a CTE named `gate` exposing doc_id, text, q_keep, q_reason) —
+    shared by CURATE_SQL and CURATE_GOPHER_SQL so the two oracles differ
+    ONLY in their gate stage, mirroring _curation_verdicts."""
+    return rf"""
+WITH {_curate_ctes(gate_ctes)}
 SELECT doc_id, reason = 'kept' AS keep, reason
 FROM verdicts
 ORDER BY doc_id
 """
 
 
-CURATE_SQL = _curate_sql(rf"""scored AS (
+# The composite-gate CTE block — shared (byte-identical) by CURATE_SQL
+# and the composed PREP_SQL below, so the two oracles can never drift on
+# the gate stage.
+_COMPOSITE_GATE_CTES = rf"""scored AS (
   SELECT doc_id, text,
          CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
            / greatest(length(text), 1)                    AS alpha_ratio,
@@ -609,7 +621,9 @@ gate AS (
               WHEN distinct_ratio < 0.3 THEN 'repetitive'
               ELSE 'ok' END AS q_reason
   FROM scored
-)""")
+)"""
+
+CURATE_SQL = _curate_sql(_COMPOSITE_GATE_CTES)
 
 
 def _composite_gate(docs):
@@ -3111,3 +3125,178 @@ def _curate_assemble(v, g):
     cont = _contaminated(None, grams=g)
     return _curation_verdicts(None, v.select("doc_id", "q_keep", "q_reason"),
                               ranked=ranked, cont=cont)
+
+
+# --- The composed training-set build (curate → mix → pack → shuffle) --------
+
+PREP_BUDGET = 150  # mixture budget over the curated survivors: ~260 of 500
+#   fixture docs survive curation, so 150 keeps the quota stage ACTIVE at
+#   every test SF (a budget >= the survivor count would select everything
+#   and reduce the mixture stage to a no-op)
+
+# Keep in sync with corpus_queries.TEMP_ALPHA (not imported: a module-
+# scope import would run corpus_queries' registrations early and shift
+# the catalog order — the same rule as streaming_queries' ANOMALY_SQL
+# note; tests/test_round14_queries.py pins the equality).
+PREP_TEMP_ALPHA = 0.7
+
+PREP_SQL = rf"""
+WITH {_curate_ctes(_COMPOSITE_GATE_CTES)},
+kept AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM verdicts v JOIN documents d ON v.doc_id = d.doc_id
+  WHERE v.reason = 'kept'
+),
+src AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len({_TOKENS_SQL})) AS n_tokens
+  FROM kept
+  GROUP BY source
+),
+alloc AS (
+  SELECT source, n_docs, n_tokens,
+         pow(n_tokens, {PREP_TEMP_ALPHA}) /
+           sum(pow(n_tokens, {PREP_TEMP_ALPHA})) OVER ()
+           * {PREP_BUDGET} AS quota_f
+  FROM src
+),
+based AS (
+  SELECT source, n_docs,
+         CAST(floor(quota_f) AS BIGINT) AS base_q,
+         round(quota_f - floor(quota_f), 6) AS rem,
+         n_tokens
+  FROM alloc
+),
+lr AS (
+  SELECT source, n_docs, base_q,
+         row_number() OVER (ORDER BY rem DESC, n_tokens DESC, source)
+           AS rr,
+         {PREP_BUDGET} - sum(base_q) OVER () AS leftover
+  FROM based
+),
+quota AS (
+  SELECT source,
+         least(base_q + CASE WHEN rr <= leftover THEN 1 ELSE 0 END,
+               n_docs) AS q
+  FROM lr
+),
+mranked AS (
+  SELECT doc_id, source,
+         CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS pick
+  FROM kept
+),
+picked AS (
+  SELECT m.doc_id, m.source, CAST(m.pick AS BIGINT) AS pick, m.n_tokens
+  FROM mranked m JOIN quota ON m.source = quota.source
+  WHERE m.pick <= quota.q
+),
+packed AS (
+  SELECT doc_id, source, pick, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS window_id
+  FROM picked
+),
+sharded AS (
+  SELECT doc_id, source, pick, n_tokens, window_id,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST(floor((strpos('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                    / 2.0) AS BIGINT) AS shard
+  FROM packed
+)
+SELECT doc_id, source, pick, n_tokens, window_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+            AS BIGINT) AS pos
+FROM sharded
+ORDER BY shard, pos
+"""
+
+
+@register("prepare_training_set", sql=PREP_SQL,
+          tags=("pipeline", "quality", "dedup"))
+def prepare_training_set(spark, sf_dir, manifest=None):
+    """The pipeline TAIL composed end-to-end — the one-manifest
+    training-set build downstream of everything else in the catalog,
+    mirroring how `curate_corpus` composed its four stages:
+
+      1. curation (`curate_corpus` — gate + benchmark exclusion +
+         keep-best dedup + 3-gram decontamination) selects the
+         survivors;
+      2. mixture quota (`mixture_apply` semantics via the shared
+         `_mixture_quota_pick` builder, budget {PREP_BUDGET}): each
+         source contributes a temperature-scaled largest-remainder
+         quota of survivors, picked by content-addressed md5 rank;
+      3. sequence packing (`pack_sequences` semantics): per-source
+         running token sum over the SELECTED docs → context-window id;
+      4. reproducible shuffle (`shuffle_shards` semantics): md5-nibble
+         shard + md5 rank within shard = the training ingest order.
+
+    Emits one row per selected document — (doc_id, source, pick,
+    n_tokens, window_id, shard, pos), ordered by (shard, pos): exactly
+    the manifest a trainer consumes. Every stage keeps its standalone
+    query's published semantics; stage-consistency is pinned in
+    tests/test_round14_queries.py (selected ⊆ kept, shard equality vs
+    `shuffle_shards`, per-source pick order vs `mixture_apply`).
+
+    ``manifest`` defaults to the inline curation plan; pass a prebuilt
+    (doc_id, keep, reason) frame — e.g. `_curate_assemble` over
+    `curate_corpus_staged`'s persisted artifacts — to build the
+    training set from staged verdicts without re-running curation
+    (identity pinned in tests/test_round14_queries.py).
+
+    Scale: the curation stages keep their audited shapes (scan-speed
+    gate, bounded-key windows, broadcast benchmark probe); the manifest
+    join is one linear doc_id-equi shuffle (at 100 TB the staged-
+    artifact path makes it an ids-only join against the text store);
+    the quota table is per-source bounded (broadcast); packing windows
+    partition on the bounded source key; the shard window on the
+    16-value nibble key. Nothing quadratic, no global ordering until
+    the final bounded output sort."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    if manifest is None:
+        manifest = _curation_verdicts(docs, _composite_gate(docs))
+    # The survivor frame is PERSISTED, narrow (3 columns, no text):
+    # every reference to `kept` would otherwise re-expand the whole
+    # curation DAG — measured 15 documents scans unpersisted vs the
+    # curation pass's own ~5 with the cache.
+    kept = track_persist(
+        docs.select("doc_id", "source",
+                    _n_tokens_col().alias("n_tokens"))
+        .join(manifest.where(F.col("keep")).select("doc_id"), "doc_id"))
+    return _prep_training_set(kept)
+
+
+def _prep_training_set(kept):
+    """Stages 2–4 of the training-set build over the curated survivors
+    (doc_id, source, n_tokens): mixture quota → packing → shuffle."""
+    from spark_sentiment_spark.plans.corpus_queries import \
+        _mixture_quota_pick
+
+    picked = _mixture_quota_pick(kept, budget=PREP_BUDGET)
+    sel = picked.join(kept.select("doc_id", "n_tokens"), "doc_id")
+
+    wp = (Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = (sel.withColumn("cum", F.sum("n_tokens").over(wp))
+              .select("doc_id", "source", "pick", "n_tokens",
+                      F.floor((F.col("cum") - F.col("n_tokens"))
+                              / PACK_BUDGET)
+                      .cast("bigint").alias("window_id")))
+
+    h = F.md5(F.col("doc_id").cast("string"))
+    # floor() on BOTH sides, as in shuffle_shards: DuckDB's CAST rounds
+    # while Spark's truncates
+    shard = F.floor(
+        (F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1) / 2
+    ).cast("bigint")
+    ws = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (packed.withColumn("h", h).withColumn("shard", shard)
+            .withColumn("pos", F.row_number().over(ws).cast("bigint"))
+            .select("doc_id", "source", "pick", "n_tokens", "window_id",
+                    "shard", "pos")
+            .orderBy("shard", "pos"))

@@ -713,3 +713,18 @@ def test_ivfpq_probe_prunes_to_visited_cells_no_python(spark):
     release_caches()
     assert on_disk == PQ_K, f"index staged {on_disk} cell partitions"
     assert plan.count("WindowGroupLimit") >= 2  # rerank + topk both limited
+
+
+def test_prepare_training_set_caches_survivors_no_python(spark):
+    """prepare_training_set: the curated-survivor frame must be served
+    from ONE persisted narrow relation (3 InMemoryTableScan references
+    — without the cache every reference re-expands the whole curation
+    DAG, measured 15 real documents scans), and the composed plan stays
+    Python-free end-to-end."""
+    from spark_sentiment_spark.plans.registry import release_caches
+
+    plan = _plan(spark, "prepare_training_set")
+    release_caches()
+    assert "Python" not in plan
+    assert plan.count("InMemoryTableScan") == 3
+    assert "BroadcastNestedLoopJoin" not in plan

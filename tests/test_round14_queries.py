@@ -65,3 +65,74 @@ def test_ivfpq_candidates_are_the_ivf_cells_pq_ranked(spark):
     for r in composed:
         if (r.qid, r.vec_id) in exact_cos:
             assert abs(r.cosine - exact_cos[(r.qid, r.vec_id)]) < 1e-9
+
+
+def test_prepare_training_set_stage_consistency(spark):
+    """The composed training-set build must agree with each standalone
+    stage query where their semantics overlap: every selected doc
+    survived curation; shard assignment is content-addressed so it must
+    EQUAL shuffle_shards' for the same doc_id; and within a source the
+    md5 pick order must be a subsequence of mixture_apply's order (the
+    universe differs — kept-only vs all docs — but md5 rank is a stable
+    total order). The fixture's quota is fully consumable, so the
+    budget must be exactly consumed."""
+    from spark_sentiment_spark.plans.pipeline_queries import (
+        PREP_BUDGET, PREP_TEMP_ALPHA)
+    from spark_sentiment_spark.plans.corpus_queries import TEMP_ALPHA
+    from spark_sentiment_spark.plans.registry import (REGISTRY, all_queries,
+                                                      release_caches)
+
+    assert PREP_TEMP_ALPHA == TEMP_ALPHA  # the keep-in-sync pin
+
+    all_queries()
+    prep = REGISTRY["prepare_training_set"].fn(spark, SF_DIR).collect()
+    manifest = {r.doc_id: r.keep
+                for r in REGISTRY["curate_corpus"].fn(spark, SF_DIR)
+                .collect()}
+    shards = {r.doc_id: r.shard
+              for r in REGISTRY["shuffle_shards"].fn(spark, SF_DIR)
+              .collect()}
+    mix_rank = {(r.source, r.doc_id): r.pick
+                for r in REGISTRY["mixture_apply"].fn(spark, SF_DIR)
+                .collect()}
+    release_caches()
+
+    assert len(prep) == PREP_BUDGET
+    assert all(manifest[r.doc_id] for r in prep), "picked a dropped doc"
+    assert all(shards[r.doc_id] == r.shard for r in prep)
+
+    by_source: dict = {}
+    for r in prep:
+        by_source.setdefault(r.source, []).append(r)
+    for source, rows in by_source.items():
+        rows.sort(key=lambda r: r.pick)
+        # the composed pick order restricted to docs mixture_apply also
+        # selected must preserve mixture_apply's order
+        both = [r.doc_id for r in rows if (source, r.doc_id) in mix_rank]
+        assert both == sorted(both,
+                              key=lambda d: mix_rank[(source, d)]), source
+
+
+def test_prepare_training_set_from_staged_manifest(spark):
+    """Feeding the composed build a manifest assembled from
+    `curate_corpus_staged`'s persisted artifacts must yield the
+    IDENTICAL training set — the staged path is a drop-in for the
+    inline curation stage because `_curation_verdicts` is shared."""
+    from pyspark.sql import functions as F
+
+    from spark_sentiment_spark.plans.pipeline_queries import (
+        _curate_assemble, _curate_stage, prepare_training_set)
+    from spark_sentiment_spark.plans.registry import (REGISTRY, all_queries,
+                                                      load, release_caches)
+
+    all_queries()
+    inline = [tuple(r) for r in
+              REGISTRY["prepare_training_set"].fn(spark, SF_DIR).collect()]
+    docs = load(spark, SF_DIR, "documents").where(F.col("text").isNotNull())
+    v, g = _curate_stage(spark, docs)
+    staged = [tuple(r) for r in
+              prepare_training_set(spark, SF_DIR,
+                                   manifest=_curate_assemble(v, g))
+              .collect()]
+    release_caches()
+    assert staged == inline and inline
