@@ -1218,21 +1218,25 @@ def ann_ivfpq_persisted_probe(spark, sf_dir, topk: int = 10,
 
 
 def _ivfpq_probe(spark, vecs, base: str, n_codes: int, rerank: int,
-                 topk: int):
+                 topk: int, queries=None):
     """Phase-2 of the composed IVF+PQ index — the recurring per-batch
     cost, callable on its own against pre-staged artifacts
-    (scripts/scale_probe.py times it separately from the build).
+    (scripts/scale_probe.py times it separately from the build;
+    `streaming_ivfpq_probe` runs it per micro-batch with that batch's
+    ``queries`` frame (qid, qe) — default is the standard 5-query
+    batch).
 
     Query routing replays from the persisted centroids — same ranking
     as the inline IVF (round-6dp sim desc, cell asc), a 16-row
     broadcast and a ≤ queries×IVF_PROBE collect (bounded control
     plane, like the codebook fetch)."""
+    if queries is None:
+        queries = vecs.where(F.col("vec_id") < 5) \
+            .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
     cent = spark.read.parquet(base + "/centroids")
     sim = F.round(_dot(F.col("qe"), F.col("cu")), 6)
     wq = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cell"))
-    qcell_rows = (vecs.where(F.col("vec_id") < 5)
-                  .select(F.col("vec_id").alias("qid"),
-                          F.col("e").alias("qe"))
+    qcell_rows = (queries
                   .crossJoin(F.broadcast(cent))
                   .select("qid", "cell", sim.alias("sim"))
                   .withColumn("rn", F.row_number().over(wq))
@@ -1244,9 +1248,7 @@ def _ivfpq_probe(spark, vecs, base: str, n_codes: int, rerank: int,
         "qid long, cell int")
 
     cb = _pq_read_codebook(spark, base, n_codes)
-    queries = vecs.where(F.col("vec_id") < 5) \
-        .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe")).collect()
-    probes = _pq_adc_tables(spark, queries, cb, n_codes)
+    probes = _pq_adc_tables(spark, queries.collect(), cb, n_codes)
 
     # The visited-cell predicate prunes the partitioned code table at the
     # directory level — the probe never reads an unvisited cell's codes.

@@ -849,8 +849,9 @@ def streaming_winnowing_probe(spark, sf_dir):
 # --- Streaming IVF probe (the vector index triad's streaming leg) -----------
 
 from spark_sentiment_spark.plans.similarity_queries import (  # noqa: E402
-    ANN_IVF_SQL, ANN_PQ_SQL, IVF_ASSIGN, IVF_K, IVF_PROBE, IVF_TOPK,
-    PQ_RERANK, _as_double, _dot, _norm, _pq_adc_tables, _pq_adc_topk,
+    ANN_IVF_SQL, ANN_IVFPQ_SQL, ANN_PQ_SQL, IVF_ASSIGN, IVF_K, IVF_PROBE,
+    IVF_TOPK, IVFPQ_RERANK, PQ_RERANK, _as_double, _dot, _ivfpq_probe,
+    _ivfpq_stage_index, _norm, _pq_adc_tables, _pq_adc_topk,
     _pq_read_codebook, _pq_stage_index)
 
 
@@ -1039,6 +1040,89 @@ def streaming_pq_probe(spark, sf_dir, topk: int = 10,
                                    bunit.alias("qe")).collect())
         probes = _pq_adc_tables(spark, batch_queries, cb, n_codes)
         topk_df = _pq_adc_topk(codes, probes, vecs, n_codes, rerank, topk)
+        topk_df.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}")
+
+    stream = (spark.readStream.schema(q_src.schema)
+              .option("maxFilesPerTrigger", 1).parquet(stream_dir))
+    q = (stream.writeStream
+         .foreachBatch(probe_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    if not glob.glob(f"{out_dir}/batch_id=*/part-*.parquet"):
+        return spark.createDataFrame([], out_schema)  # empty source
+    return (spark.read.schema(out_schema + ", batch_id int")
+            .parquet(out_dir)
+            .select("qid", "vec_id", "cosine", "rn")
+            .orderBy("qid", "rn"))
+
+
+# --- Streaming IVF+PQ probe (the composed index's streaming leg) ------------
+
+
+@register("streaming_ivfpq_probe", sql=ANN_IVFPQ_SQL,
+          tags=("similarity", "streaming", "pipeline"))
+def streaming_ivfpq_probe(spark, sf_dir, topk: int = 10,
+                          rerank: int = IVFPQ_RERANK):
+    """Streaming consumer of the COMPOSED IVF+PQ index — gives the
+    round-14 composition the same persisted / streaming pair the flat
+    PQ and IVF halves already have: the three artifacts (cell-
+    partitioned codes, centroids, codebook) are staged ONCE by the
+    shared `_ivfpq_stage_index` builder, query vectors arrive as a
+    file stream staged as TWO files at one file per trigger, and each
+    micro-batch runs `_ivfpq_probe` — the SAME function the batch
+    probe runs — with ITS queries: routing against the persisted
+    centroids, the batch's visited-cell list pruning the code
+    partitions at the directory level, candidate dedupe, integer ADC,
+    exact re-rank. Streamed-equals-batch is structural.
+
+    Batch boundaries cannot change any query's top-k: routing, probe
+    cells, ADC tables, and the per-qid windows are all per-query, the
+    artifacts are static, and each qid lives in exactly one batch
+    (pinned against the batch form in tests/test_round14_queries.py).
+
+    Oracle: ANN_IVFPQ_SQL verbatim — the finite availableNow source
+    replays the same composed top-k regardless of the query split.
+
+    Scale: per batch, I/O is the batch's probe/K share of the
+    compressed code partitions (not the corpus, not even all codes) +
+    bounded control-plane reads; the index is table-sized state on
+    disk, never streaming state. Newly indexed vectors append into
+    their cells' partitions between batches — the same append contract
+    as every other persisted index. Reference parity:
+    witlox/spark_sentiment has no streaming surface; extension per
+    SURVEY §7.4."""
+    import glob
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = _as_double("embedding")
+    unit = F.transform(e, lambda x: x / _norm(e))
+    vecs = track_persist(emb.select("vec_id", unit.alias("e")))
+
+    # ---- static side: the persisted composed index (built ONCE) --------
+    base, n_codes = _ivfpq_stage_index(spark, vecs)
+    out_schema = "qid long, vec_id long, cosine double, rn long"
+    if n_codes == 0:
+        return spark.createDataFrame([], out_schema)  # empty corpus
+
+    q_src = emb.where(F.col("vec_id") < 5)
+    stream_dir = _stage_ordered_segments(
+        (q_src.where(F.col("vec_id") < 3),
+         q_src.where(F.col("vec_id") >= 3)), "ivfpq_queries_")
+
+    out_dir = track_staging_dir(tempfile.mkdtemp(prefix="ivfpq_hits_"))
+    ckpt = track_staging_dir(tempfile.mkdtemp(prefix="ivfpq_ckpt_"))
+
+    def probe_batch(df, batch_id):
+        be = _as_double("embedding")
+        bunit = F.transform(be, lambda x: x / _norm(be))
+        batch_queries = df.select(F.col("vec_id").alias("qid"),
+                                  bunit.alias("qe"))
+        topk_df = _ivfpq_probe(spark, vecs, base, n_codes, rerank, topk,
+                               queries=batch_queries)
         topk_df.write.mode("overwrite").parquet(
             f"{out_dir}/batch_id={batch_id}")
 

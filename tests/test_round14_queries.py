@@ -136,3 +136,36 @@ def test_prepare_training_set_from_staged_manifest(spark):
               .collect()]
     release_caches()
     assert staged == inline and inline
+
+
+def test_streaming_ivfpq_probe_two_batches_equals_batch_form(spark):
+    """The composed index's streaming leg must (a) actually run as TWO
+    micro-batches (one staged query file per trigger) and (b) produce
+    exactly the batch probe's result — batch boundaries cannot matter
+    because routing, probe cells, ADC tables, and the per-qid windows
+    are per-query and the artifacts are static. The per-batch chain is
+    `_ivfpq_probe` — the same function the batch probe runs — so this
+    pins the STAGING plumbing, not a re-derivation of the math."""
+    import glob
+
+    from spark_sentiment_spark.plans import registry
+    from spark_sentiment_spark.plans.registry import (REGISTRY, all_queries,
+                                                      release_caches)
+
+    all_queries()
+    before = set(registry._STAGED_DIRS)
+    streamed = [(r["qid"], r["rn"], r["vec_id"], r["cosine"])
+                for r in REGISTRY["streaming_ivfpq_probe"]
+                .fn(spark, SF_DIR).collect()]
+    hit_dirs = [d for d in registry._STAGED_DIRS
+                if d not in before and "ivfpq_hits_" in d]
+    assert hit_dirs, "hit sink not tracked"
+    batches = glob.glob(hit_dirs[-1] + "/batch_id=*")
+    assert len(batches) == 2, batches
+
+    batch_form = [(r["qid"], r["rn"], r["vec_id"], r["cosine"])
+                  for r in REGISTRY["ann_ivfpq_persisted_probe"]
+                  .fn(spark, SF_DIR).collect()]
+    release_caches()
+    assert streamed == batch_form
+    assert streamed, "fixture produced no top-k rows"
