@@ -44,19 +44,26 @@ REST_HEAVY = [
     "tests/test_properties.py",
     "tests/test_round11_queries.py",
     "tests/test_plan_shape.py",
-    "tests/test_round10_queries.py",
-    "tests/test_streaming.py",
     # moved when the round-13 staged-index tests pushed "rest" to the
     # ~350s threshold (round13 file ≈ 50s: two-SF oracle compares +
     # streaming trigger + two staged-artifact probes)
     "tests/test_round13_queries.py",
 ]
 
+# Round-14 rebalance: the round-14 additions pushed rest-heavy to 358s
+# while the oracle shards ran 120-175s — streaming (32s) and round10
+# (35s) ride along with the oracle shards (separate pytest processes,
+# so a file just adds its own time), bringing rest-heavy back to ~290s
+# behind rest's ~310-330s straggler.
 SHARDS = [
-    ("oracle-0/2", ["tests/test_oracle.py"], {"SPARK_GRAFT_ORACLE_SHARD": "0/2"}),
-    ("oracle-1/2", ["tests/test_oracle.py"], {"SPARK_GRAFT_ORACLE_SHARD": "1/2"}),
+    ("oracle-0/2", ["tests/test_oracle.py", "tests/test_streaming.py"],
+     {"SPARK_GRAFT_ORACLE_SHARD": "0/2"}),
+    ("oracle-1/2", ["tests/test_oracle.py", "tests/test_round10_queries.py"],
+     {"SPARK_GRAFT_ORACLE_SHARD": "1/2"}),
     ("rest-heavy", REST_HEAVY, {}),
     ("rest", ["tests", "--ignore=tests/test_oracle.py",
+              "--ignore=tests/test_streaming.py",
+              "--ignore=tests/test_round10_queries.py",
               *[f"--ignore={f}" for f in REST_HEAVY]], {}),
 ]
 

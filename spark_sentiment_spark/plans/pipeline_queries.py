@@ -75,6 +75,85 @@ def pack_sequences(spark, sf_dir):
             .orderBy("source", "doc_id"))
 
 
+# --- Token-span packing (documents SPLIT across window boundaries) ----------
+
+PACK_SPANS_SQL = f"""
+SELECT doc_id, source, n_tokens,
+       CAST(w AS BIGINT) AS window_id,
+       CAST(greatest(start, w * {PACK_BUDGET}) - start AS BIGINT)
+         AS tok_start,
+       CAST(least(start + n_tokens - 1, (w + 1) * {PACK_BUDGET} - 1)
+            - greatest(start, w * {PACK_BUDGET}) + 1 AS BIGINT) AS seg_len,
+       CAST(greatest(start, w * {PACK_BUDGET}) - w * {PACK_BUDGET} AS BIGINT)
+         AS pos_in_window
+FROM (
+  SELECT doc_id, source, n_tokens, cum - n_tokens AS start, cum
+  FROM (
+    SELECT doc_id, source,
+           CAST(length({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+           sum(CAST(length({_TOKENS_SQL}) AS BIGINT)) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM documents
+    WHERE text IS NOT NULL
+  )
+), LATERAL unnest(generate_series(
+     CAST(floor(start / {PACK_BUDGET}.0) AS BIGINT),
+     CAST(floor((cum - 1) / {PACK_BUDGET}.0) AS BIGINT))) AS t(w)
+ORDER BY source, window_id, pos_in_window, doc_id
+"""
+
+
+@register("pack_sequences_spans", sql=PACK_SPANS_SQL, tags=("pipeline",))
+def pack_sequences_spans(spark, sf_dir):
+    """`pack_sequences` taken to its production conclusion: the
+    concat-and-chunk layout SPLITS documents across window boundaries
+    (GPT-style packing trains on every token — a document rarely ends
+    exactly at the context edge), so the trainer needs the SPAN table,
+    not just each document's first window. One row per (document,
+    window) segment: which slice of the document (``tok_start``,
+    ``seg_len``) lands in which window at which offset
+    (``pos_in_window``). A document spanning k window boundaries emits
+    k+1 rows; interior windows are exactly full by construction.
+
+    Same per-source running sum as `pack_sequences` (its window_id ==
+    this query's FIRST segment's window_id per doc — pinned in
+    tests/test_round14_queries.py along with the wall-to-wall
+    invariants: per-doc seg_len sums to n_tokens, every non-final
+    window sums to exactly {PACK_BUDGET} tokens with no gaps), then one
+    native `sequence()` explode over the occupied window range — pure
+    integer arithmetic, no Python, engine-exact.
+
+    Scale: the explode emits ~total_tokens/{PACK_BUDGET} extra rows
+    (one per boundary crossed) — linear in corpus tokens, the same
+    cardinality class as the window table a trainer materializes
+    anyway; the only shuffle is the per-source running-sum window
+    `pack_sequences` already pays."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    n_tok = _n_tokens_col()
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    spans = (docs
+             .select("doc_id", "source", n_tok.alias("n_tokens"))
+             .withColumn("cum", F.sum("n_tokens").over(w))
+             .withColumn("start", F.col("cum") - F.col("n_tokens"))
+             .withColumn("w", F.explode(F.sequence(
+                 F.floor(F.col("start") / PACK_BUDGET),
+                 F.floor((F.col("cum") - 1) / PACK_BUDGET)))))
+    seg_start = F.greatest(F.col("start"), F.col("w") * PACK_BUDGET)
+    seg_end = F.least(F.col("cum") - 1,
+                      (F.col("w") + 1) * F.lit(PACK_BUDGET) - 1)
+    return (spans.select(
+                "doc_id", "source", "n_tokens",
+                F.col("w").cast("bigint").alias("window_id"),
+                (seg_start - F.col("start")).cast("bigint")
+                .alias("tok_start"),
+                (seg_end - seg_start + 1).cast("bigint").alias("seg_len"),
+                (seg_start - F.col("w") * PACK_BUDGET).cast("bigint")
+                .alias("pos_in_window"))
+            .orderBy("source", "window_id", "pos_in_window", "doc_id"))
+
+
 # --- Deterministic hash split (train/holdout) -------------------------------
 
 SPLIT_SQL = """

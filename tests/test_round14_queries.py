@@ -169,3 +169,54 @@ def test_streaming_ivfpq_probe_two_batches_equals_batch_form(spark):
     release_caches()
     assert streamed == batch_form
     assert streamed, "fixture produced no top-k rows"
+
+
+def test_pack_spans_tile_windows_exactly(spark):
+    """Wall-to-wall packing invariants the oracle's hash can't state as
+    theorems: per-document segment lengths sum to n_tokens (no token
+    lost or duplicated at a boundary), every non-final window per
+    source is EXACTLY full (segments tile it gaplessly), and each
+    document's first segment lands in the window `pack_sequences`
+    assigns it (the span table refines, never contradicts, the parent
+    query)."""
+    from collections import defaultdict
+
+    from spark_sentiment_spark.plans.pipeline_queries import PACK_BUDGET
+    from spark_sentiment_spark.plans.registry import (REGISTRY, all_queries,
+                                                      release_caches)
+
+    all_queries()
+    rows = REGISTRY["pack_sequences_spans"].fn(spark, SF_DIR).collect()
+    parent = {r.doc_id: r.window_id
+              for r in REGISTRY["pack_sequences"].fn(spark, SF_DIR)
+              .collect()}
+    release_caches()
+    assert rows
+
+    per_doc = defaultdict(int)
+    per_win = defaultdict(int)
+    first_w: dict = {}
+    n_tok: dict = {}
+    positions = defaultdict(list)
+    for r in rows:
+        per_doc[r.doc_id] += r.seg_len
+        per_win[(r.source, r.window_id)] += r.seg_len
+        first_w[r.doc_id] = min(first_w.get(r.doc_id, r.window_id),
+                                r.window_id)
+        n_tok[r.doc_id] = r.n_tokens
+        positions[(r.source, r.window_id)].append(
+            (r.pos_in_window, r.seg_len))
+    assert all(per_doc[d] == n_tok[d] for d in per_doc)
+    last_w = defaultdict(lambda: -1)
+    for (s, w) in per_win:
+        last_w[s] = max(last_w[s], w)
+    assert all(v == PACK_BUDGET
+               for (s, w), v in per_win.items() if w < last_w[s])
+    assert all(first_w[d] == parent[d] for d in first_w)
+    # segments within a window tile gaplessly from offset 0
+    for key, segs in positions.items():
+        segs.sort()
+        off = 0
+        for pos, ln in segs:
+            assert pos == off, key
+            off += ln
