@@ -621,15 +621,109 @@ def mixture_apply(spark, sf_dir):
             .orderBy("source", "pick"))
 
 
-def _mixture_quota_pick(live, budget: int = MIXTURE_BUDGET):
-    """The temperature-quota selection shared by `mixture_apply` and the
-    composed `prepare_training_set` (plans/pipeline_queries.py): over any
-    (doc_id, source, n_tokens) frame, allocate per-source
-    largest-remainder quotas of ``budget`` documents and pick each
-    source's md5-smallest ``quota`` docs. Takes the token count as a
-    COLUMN (not text) so a caller can compute it once, persist the
-    narrow frame, and reuse it across stages. Returns
-    (doc_id, source, pick), unordered."""
+# --- Epoch-aware upsampling mixture ------------------------------------------
+
+UPSAMPLE_BUDGET = 600
+
+MIXTURE_UPSAMPLE_SQL = f"""
+WITH src AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len({_TOKENS_SQL})) AS n_tokens
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+  GROUP BY source
+), alloc AS (
+  SELECT source, n_docs, n_tokens,
+         pow(n_tokens, {TEMP_ALPHA}) /
+           sum(pow(n_tokens, {TEMP_ALPHA})) OVER ()
+           * {UPSAMPLE_BUDGET} AS quota_f
+  FROM src
+), based AS (
+  SELECT source, n_docs,
+         CAST(floor(quota_f) AS BIGINT) AS base_q,
+         round(quota_f - floor(quota_f), 6) AS rem,
+         n_tokens
+  FROM alloc
+), lr AS (
+  SELECT source, n_docs, base_q,
+         row_number() OVER (ORDER BY rem DESC, n_tokens DESC, source)
+           AS rr,
+         {UPSAMPLE_BUDGET} - sum(base_q) OVER () AS leftover
+  FROM based
+), quota AS (
+  SELECT source, n_docs,
+         base_q + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS q
+  FROM lr
+), ks AS (
+  SELECT source, n_docs, CAST(t.k AS BIGINT) AS k
+  FROM quota, LATERAL unnest(generate_series(1, q)) AS t(k)
+), ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS pick
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+)
+SELECT r.doc_id, ks.source, ks.k AS pick,
+       CAST((ks.k - 1) // ks.n_docs AS BIGINT) AS epoch
+FROM ks JOIN ranked r
+  ON ks.source = r.source AND r.pick = ((ks.k - 1) % ks.n_docs) + 1
+ORDER BY ks.source, ks.k
+"""
+
+
+@register("mixture_upsample", sql=MIXTURE_UPSAMPLE_SQL, tags=("pipeline",))
+def mixture_upsample(spark, sf_dir):
+    """Temperature mixture with UPSAMPLING — what `mixture_apply`'s
+    n_docs cap deliberately avoids: in a production pretraining mix,
+    a small high-quality source whose temperature quota exceeds its
+    size is REPEATED for extra epochs (the standard practice behind
+    published data recipes: temperature sampling with per-source epoch
+    counts, e.g. the multilingual-sampling scheme of Conneau & Lample
+    2019 and the per-source epoch tables of Llama/GPT-3-class data
+    mixes). Each source gets its UNCAPPED largest-remainder quota q
+    (the `_mixture_quotas` builder `mixture_apply` also uses, sums to
+    the budget exactly); selection slot k ∈ 1..q maps to the doc at
+    content-addressed md5 rank ((k-1) mod n_docs)+1 with epoch
+    (k-1) div n_docs — every doc of the source appears floor(q/n) or
+    ceil(q/n) times, deterministic on any engine, resumable, and
+    append-stable like the sampling form. Budget 600 > the 500-doc
+    fixture makes epoch 1 REACHED at the small SFs (pinned) — a budget
+    below corpus size would silently degenerate to `mixture_apply`.
+
+    Scale: the quota table is per-source bounded; slots explode
+    broadcast-side (budget rows, not corpus rows); the only
+    corpus-sized work is the same md5 rank window `mixture_apply`
+    pays, and the slot join probes it with a broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    live = (docs.where(F.col("text").isNotNull() & (F.trim("text") != ""))
+            .select("doc_id", "source",
+                    F.size(_tokens_col()).alias("n_tokens")))
+    quota = _mixture_quotas(live, UPSAMPLE_BUDGET)
+    # guard q >= 1 before sequence(): Spark's sequence(1, 0) yields a
+    # DESCENDING [1, 0] rather than the empty series DuckDB produces
+    ks = (quota.where(F.col("q") >= 1)
+          .select("source", "n_docs",
+                  F.explode(F.sequence(F.lit(1).cast("long"),
+                                       F.col("q"))).alias("k")))
+    slots = ks.select(
+        "source", "n_docs", "k",
+        (((F.col("k") - 1) % F.col("n_docs")) + 1).alias("pick_t"))
+    return (_md5_ranked(live).withColumnRenamed("pick", "pick_t")
+            .join(F.broadcast(slots), ["source", "pick_t"])
+            .select("doc_id", "source", F.col("k").alias("pick"),
+                    F.floor((F.col("k") - 1) / F.col("n_docs"))
+                    .cast("bigint").alias("epoch"))
+            .orderBy("source", "pick"))
+
+
+def _mixture_quotas(live, budget: int):
+    """The largest-remainder temperature-quota table over any
+    (doc_id, source, n_tokens) frame: (source, n_docs, q) where q is
+    the UNCAPPED integer quota (sums to ``budget`` by construction) —
+    `_mixture_quota_pick` caps at n_docs for the sampling form,
+    `mixture_upsample` keeps the excess as extra epochs."""
     src = live.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"))
@@ -650,17 +744,35 @@ def _mixture_quota_pick(live, budget: int = MIXTURE_BUDGET):
         F.row_number().over(wrem).alias("rr"),
         (F.lit(budget) - F.sum("base_q").over(wall))
         .alias("leftover"))
-    quota = lr.select(
-        "source",
-        F.least(F.col("base_q")
-                + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0),
-                F.col("n_docs")).alias("q"))
+    return lr.select(
+        "source", "n_docs",
+        (F.col("base_q")
+         + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0))
+        .alias("q"))
+
+
+def _md5_ranked(live):
+    """Content-addressed per-source rank (doc_id, source, pick): the
+    stable total order both mixture forms pick from."""
     wr = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id")
-    ranked = live.select(
+    return live.select(
         "doc_id", "source",
         F.row_number().over(wr).cast("bigint").alias("pick"))
-    return (ranked.join(F.broadcast(quota), "source")
+
+
+def _mixture_quota_pick(live, budget: int = MIXTURE_BUDGET):
+    """The temperature-quota selection shared by `mixture_apply` and the
+    composed `prepare_training_set` (plans/pipeline_queries.py): over any
+    (doc_id, source, n_tokens) frame, allocate per-source
+    largest-remainder quotas of ``budget`` documents (capped at source
+    size) and pick each source's md5-smallest ``quota`` docs. Takes the
+    token count as a COLUMN (not text) so a caller can compute it once,
+    persist the narrow frame, and reuse it across stages. Returns
+    (doc_id, source, pick), unordered."""
+    quota = _mixture_quotas(live, budget).select(
+        "source", F.least(F.col("q"), F.col("n_docs")).alias("q"))
+    return (_md5_ranked(live).join(F.broadcast(quota), "source")
             .where(F.col("pick") <= F.col("q"))
             .select("doc_id", "source", "pick"))
 

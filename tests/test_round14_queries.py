@@ -220,3 +220,38 @@ def test_pack_spans_tile_windows_exactly(spark):
         for pos, ln in segs:
             assert pos == off, key
             off += ln
+
+
+def test_mixture_upsample_epochs_and_budget(spark):
+    """The upsampling mixture's contract: the budget is consumed
+    EXACTLY (uncapped quotas sum to it by construction), epoch 1 is
+    actually reached on this fixture (quota > source size — otherwise
+    the query silently degenerates to `mixture_apply`), every doc of
+    an upsampled source appears floor(q/n) or ceil(q/n) times, and the
+    epoch-0 slice IS the capped sampling form's pick set restricted to
+    the same quota."""
+    from collections import Counter
+
+    from spark_sentiment_spark.plans.corpus_queries import UPSAMPLE_BUDGET
+    from spark_sentiment_spark.plans.registry import (REGISTRY, all_queries,
+                                                      release_caches)
+
+    all_queries()
+    rows = REGISTRY["mixture_upsample"].fn(spark, SF_DIR).collect()
+    release_caches()
+    assert len(rows) == UPSAMPLE_BUDGET
+    assert max(r.epoch for r in rows) >= 1, "fixture never upsampled"
+
+    per_source_q = Counter(r.source for r in rows)
+    reps = Counter((r.source, r.doc_id) for r in rows)
+    docs_per_source: dict = {}
+    for (s, d) in reps:
+        docs_per_source.setdefault(s, set()).add(d)
+    for (s, d), c in reps.items():
+        q, n = per_source_q[s], len(docs_per_source[s])
+        assert c in (q // n, q // n + (1 if q % n else 0)), (s, d, c)
+    # within a source, epoch 0 covers the md5-smallest min(q, n) docs —
+    # the same content-addressed prefix mixture_apply picks
+    for s in per_source_q:
+        e0 = [r for r in rows if r.source == s and r.epoch == 0]
+        assert len(e0) == min(per_source_q[s], len(docs_per_source[s]))
