@@ -255,3 +255,46 @@ def test_mixture_upsample_epochs_and_budget(spark):
     for s in per_source_q:
         e0 = [r for r in rows if r.source == s and r.epoch == 0]
         assert len(e0) == min(per_source_q[s], len(docs_per_source[s]))
+
+
+def test_ivfpq_index_append_contract(spark):
+    """The documented append contract, demonstrated: with the quantizer
+    artifacts frozen (centroids + codebook copied from the original
+    build), a code table assembled by TWO partitionBy-cell APPEND
+    writes must serve a probe byte-identically to the one-shot index —
+    newly indexed vectors really can land in their cells' partitions
+    between batches without rebuilding anything."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spark_sentiment_spark.plans.registry import (load, release_caches,
+                                                      track_staging_dir)
+    from spark_sentiment_spark.plans.similarity_queries import (
+        IVFPQ_RERANK, _as_double, _ivfpq_probe, _ivfpq_stage_index, _norm)
+
+    emb = load(spark, SF_DIR, "embeddings")
+    e = _as_double("embedding")
+    unit = F.transform(e, lambda x: x / _norm(e))
+    vecs = emb.select("vec_id", unit.alias("e"))
+
+    base, n_codes = _ivfpq_stage_index(spark, vecs)
+    full = [tuple(r) for r in
+            _ivfpq_probe(spark, vecs, base, n_codes, IVFPQ_RERANK, 10)
+            .collect()]
+
+    base2 = track_staging_dir(tempfile.mkdtemp(prefix="ivfpq_append_"))
+    for art in ("centroids", "codebook"):
+        spark.read.parquet(f"{base}/{art}") \
+            .write.parquet(f"{base2}/{art}")
+    codes = spark.read.parquet(base + "/codes")
+    for parity in (0, 1):  # initial ingest, then an append batch
+        codes.where(F.col("vec_id") % 2 == parity) \
+            .write.partitionBy("cell").mode("append") \
+            .parquet(base2 + "/codes")
+
+    incr = [tuple(r) for r in
+            _ivfpq_probe(spark, vecs, base2, n_codes, IVFPQ_RERANK, 10)
+            .collect()]
+    release_caches()
+    assert incr == full and full
