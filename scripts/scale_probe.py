@@ -248,6 +248,15 @@ PROBES = {
     # marginal should track curate_corpus's (the selection stages are
     # bounded: broadcast quota, 150-row windows)
     "prepare_training_set": {"documents": ["doc_id"]},
+    # the span table: same running sum as pack_sequences + a sequence()
+    # explode emitting ~tokens/256 extra rows — slope should track the
+    # parent's scan-bound shape
+    "pack_sequences_spans": {"documents": ["doc_id"]},
+    # constant 600-row output; work = the same per-source md5 rank
+    # window mixture_apply pays + a broadcast slot join
+    "mixture_upsample": {"documents": ["doc_id"]},
+    # streaming_ivfpq_probe is NOT probed (streaming family policy);
+    # ann_ivfpq_persisted_probe above carries the composed index's claim.
 }
 
 
