@@ -95,6 +95,11 @@ PROBES = [
     # stage-attributed breakdown below
     ("curate_corpus_gopher", "curate_corpus_gopher", "rekey"),
     ("curate_corpus_c4", "curate_corpus_c4", "rekey"),
+    # round-14: the composed training-set build next to its curation
+    # stage — its marginal beyond curate_corpus's is the mixture/pack/
+    # shuffle tail, which is bounded (broadcast quota, constant-150-row
+    # windows), so the two totals should converge as the corpus grows
+    ("prepare_training_set", "prepare_training_set", "rekey"),
 ]
 
 # Stage-isolated sub-plans of the curation passes (gate / dedup window /
@@ -280,6 +285,13 @@ def main() -> None:
         "(its residual slope is the per-day partial build, one linear",
         "pass); the gap widens with every further ×k, which is the",
         "certified-swap claim measured rather than argued.",
+        f"prepare_training_set {ratio('prepare_training_set')}× — the",
+        "composed training-set build rides its curation stage (the",
+        "mixture/pack/shuffle tail is bounded: broadcast quota,",
+        "constant-150-row windows) and lands BELOW curate_corpus's own",
+        "ratio because its output is the 150-row manifest, not the",
+        "corpus-sized verdict table curate_corpus materializes and sorts",
+        "into its sink.",
         "",
         "### Stage-attributed curation breakdown (round-12 VERDICT item 5)",
         "",
