@@ -1218,17 +1218,21 @@ def ann_ivfpq_persisted_probe(spark, sf_dir, topk: int = 10,
 
 
 def _ivfpq_probe(spark, vecs, base: str, n_codes: int, rerank: int,
-                 topk: int, queries=None):
+                 topk: int, queries=None, n_probe: int = IVF_PROBE):
     """Phase-2 of the composed IVF+PQ index — the recurring per-batch
     cost, callable on its own against pre-staged artifacts
     (scripts/scale_probe.py times it separately from the build;
     `streaming_ivfpq_probe` runs it per micro-batch with that batch's
     ``queries`` frame (qid, qe) — default is the standard 5-query
-    batch).
+    batch). ``n_probe`` (visited cells per query) and ``rerank`` are
+    the two knobs of the recall/cost tradeoff — more probes read more
+    code partitions, deeper rerank exact-scores more candidates; the
+    measured curve is in PLANS.md and its monotonicity is pinned in
+    tests/test_similarity_recall.py.
 
     Query routing replays from the persisted centroids — same ranking
     as the inline IVF (round-6dp sim desc, cell asc), a 16-row
-    broadcast and a ≤ queries×IVF_PROBE collect (bounded control
+    broadcast and a ≤ queries×n_probe collect (bounded control
     plane, like the codebook fetch)."""
     if queries is None:
         queries = vecs.where(F.col("vec_id") < 5) \
@@ -1240,7 +1244,7 @@ def _ivfpq_probe(spark, vecs, base: str, n_codes: int, rerank: int,
                   .crossJoin(F.broadcast(cent))
                   .select("qid", "cell", sim.alias("sim"))
                   .withColumn("rn", F.row_number().over(wq))
-                  .where(F.col("rn") <= IVF_PROBE)
+                  .where(F.col("rn") <= n_probe)
                   .select("qid", "cell").collect())
     visited = sorted({int(r["cell"]) for r in qcell_rows})
     qcells = spark.createDataFrame(

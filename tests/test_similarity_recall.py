@@ -316,3 +316,50 @@ def test_ann_ivfpq_recall_floor(spark):
     # query silently degenerate to pure IVF
     ivf_ids = sorted((r.qid, r.vec_id) for r in ivf)
     assert sorted((r.qid, r.vec_id) for r in approx) != ivf_ids
+
+
+def test_ann_ivfpq_probe_knob_monotone_and_degenerates_to_flat_pq(spark):
+    """The composed index's two knobs behave like the textbook says:
+    with rerank deep enough to absorb the candidates (200), recall@10
+    rises monotonically with probe width (measured 0.56 → 0.76 → 0.86
+    at 3/6/16 probes on this fixture — deterministic, content-addressed
+    seeds); and at FULL probe width the composition degenerates to
+    exactly the flat PQ scan (`ann_pq_topk`'s rows, verbatim) — every
+    cell is visited, the multi-assignment dedup collapses, and the ADC
+    scores are identical by construction. (At rerank 50 the curve is
+    deliberately NOT monotone — more probes add ADC-noise candidates
+    that displace true neighbors within the fixed cut; documented in
+    PLANS.md, which is why the probe-width pin holds rerank at 200.)"""
+    from pyspark.sql import functions as F
+
+    from spark_sentiment_spark.plans.registry import (REGISTRY, all_queries,
+                                                      load, release_caches)
+    from spark_sentiment_spark.plans.similarity_queries import (
+        PQ_K, _as_double, _ivfpq_probe, _ivfpq_stage_index, _norm)
+
+    all_queries()
+    exact_by_q: dict = {}
+    for r in REGISTRY["knn_cosine_topk"].fn(spark, SF_DIR).collect():
+        exact_by_q.setdefault(r.qid, set()).add(r.vec_id)
+    flat = [tuple(r) for r in
+            REGISTRY["ann_pq_topk"].fn(spark, SF_DIR).collect()]
+
+    emb = load(spark, SF_DIR, "embeddings")
+    e = _as_double("embedding")
+    unit = F.transform(e, lambda x: x / _norm(e))
+    vecs = emb.select("vec_id", unit.alias("e"))
+    base, n_codes = _ivfpq_stage_index(spark, vecs)
+
+    def recall(rows):
+        by_q: dict = {}
+        for r in rows:
+            by_q.setdefault(r.qid, set()).add(r.vec_id)
+        return sum(len(exact_by_q[q] & by_q.get(q, set()))
+                   / len(exact_by_q[q]) for q in exact_by_q) / len(exact_by_q)
+
+    got = {p: _ivfpq_probe(spark, vecs, base, n_codes, 200, 10, n_probe=p)
+           .collect() for p in (3, 6, PQ_K)}
+    release_caches()
+    assert recall(got[3]) <= recall(got[6]) <= recall(got[PQ_K])
+    assert recall(got[PQ_K]) >= 0.8
+    assert [tuple(r) for r in got[PQ_K]] == flat  # full width == flat PQ
