@@ -130,6 +130,15 @@ def pack_sequences_spans(spark, sf_dir):
     anyway; the only shuffle is the per-source running-sum window
     `pack_sequences` already pays."""
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return _pack_spans(docs)
+
+
+def _pack_spans(docs, budget: int = PACK_BUDGET):
+    """The span projection over any (doc_id, source, text) frame —
+    shared by the registered query and the hypothesis property test
+    (tests/test_properties.py drives it on GENERATED corpora against a
+    sequential Python packer, so the tiling invariants hold for every
+    corpus shape, not just the fixture)."""
     n_tok = _n_tokens_col()
     w = (Window.partitionBy("source").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -138,18 +147,18 @@ def pack_sequences_spans(spark, sf_dir):
              .withColumn("cum", F.sum("n_tokens").over(w))
              .withColumn("start", F.col("cum") - F.col("n_tokens"))
              .withColumn("w", F.explode(F.sequence(
-                 F.floor(F.col("start") / PACK_BUDGET),
-                 F.floor((F.col("cum") - 1) / PACK_BUDGET)))))
-    seg_start = F.greatest(F.col("start"), F.col("w") * PACK_BUDGET)
+                 F.floor(F.col("start") / budget),
+                 F.floor((F.col("cum") - 1) / budget)))))
+    seg_start = F.greatest(F.col("start"), F.col("w") * budget)
     seg_end = F.least(F.col("cum") - 1,
-                      (F.col("w") + 1) * F.lit(PACK_BUDGET) - 1)
+                      (F.col("w") + 1) * F.lit(budget) - 1)
     return (spans.select(
                 "doc_id", "source", "n_tokens",
                 F.col("w").cast("bigint").alias("window_id"),
                 (seg_start - F.col("start")).cast("bigint")
                 .alias("tok_start"),
                 (seg_end - seg_start + 1).cast("bigint").alias("seg_len"),
-                (seg_start - F.col("w") * PACK_BUDGET).cast("bigint")
+                (seg_start - F.col("w") * budget).cast("bigint")
                 .alias("pos_in_window"))
             .orderBy("source", "window_id", "pos_in_window", "doc_id"))
 

@@ -876,3 +876,39 @@ def test_curate_gopher_gate_stage_agrees_with_quality_gopher_rules(spark):
         else:
             assert reason in ("duplicate", "contaminated", "kept"), \
                 (doc_id, reason)
+
+
+@PROP
+@given(rows=docs_strategy, budget=st.sampled_from([1, 4, 16]))
+def test_pack_spans_match_sequential_packer(spark, rows, budget):
+    """The span table against a sequential Python packer on GENERATED
+    corpora: for every document, the emitted segments are exactly the
+    slices a one-token-at-a-time concat-and-chunk writer produces —
+    same windows, same in-document offsets, same in-window positions —
+    and per-window segments tile gaplessly."""
+    from spark_sentiment_spark.plans.pipeline_queries import _pack_spans
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = [(r["doc_id"], r["source"], r["window_id"], r["tok_start"],
+            r["seg_len"], r["pos_in_window"])
+           for r in _pack_spans(df.where(F.col("text").isNotNull()),
+                                budget=budget).collect()]
+
+    # sequential reference: walk each shard's docs in doc_id order,
+    # emitting a segment each time the window boundary is crossed
+    want = []
+    by_src: dict = {}
+    for doc_id, text, source in sorted(rows, key=lambda t: (t[2], t[0])):
+        if text is None:
+            continue
+        toks = len(text.strip().split()) if text.strip() else 1
+        start = by_src.get(source, 0)
+        by_src[source] = start + toks
+        off = 0
+        while off < toks:
+            g = start + off                      # global token offset
+            w = g // budget
+            take = min(toks - off, (w + 1) * budget - g)
+            want.append((doc_id, source, w, off, take, g - w * budget))
+            off += take
+    assert sorted(got) == sorted(want)
