@@ -912,3 +912,67 @@ def test_pack_spans_match_sequential_packer(spark, rows, budget):
             want.append((doc_id, source, w, off, take, g - w * budget))
             off += take
     assert sorted(got) == sorted(want)
+
+
+@PROP
+@given(rows=docs_strategy, budget=st.sampled_from([7, 40, 90]))
+def test_mixture_upsample_invariants_on_generated_corpora(spark, rows,
+                                                          budget):
+    """Order-robust upsampling invariants on GENERATED corpora (exact
+    quota values are float-sum-order sensitive, so the property pins
+    the integer contract instead): the budget is consumed exactly
+    whenever any source survives the live filter; within a source the
+    picks are 1..q gapless; each doc's repeat count is floor or ceil of
+    q/n; epoch == (pick-1) div n; and the pick→doc mapping follows the
+    md5 rank cyclically."""
+    import hashlib
+    from collections import Counter
+
+    from spark_sentiment_spark.plans.corpus_queries import (
+        _md5_ranked, _mixture_quotas)
+    from spark_sentiment_spark.plans.pipeline_queries import _n_tokens_col
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    live = (df.where(F.col("text").isNotNull() & (F.trim("text") != ""))
+            .select("doc_id", "source", _n_tokens_col().alias("n_tokens")))
+    quota = _mixture_quotas(live, budget)
+    ks = (quota.where(F.col("q") >= 1)
+          .select("source", "n_docs",
+                  F.explode(F.sequence(F.lit(1).cast("long"),
+                                       F.col("q"))).alias("k")))
+    slots = ks.select(
+        "source", "n_docs", "k",
+        (((F.col("k") - 1) % F.col("n_docs")) + 1).alias("pick_t"))
+    out = (_md5_ranked(live).withColumnRenamed("pick", "pick_t")
+           .join(F.broadcast(slots), ["source", "pick_t"])
+           .select("doc_id", "source", F.col("k").alias("pick"),
+                   F.floor((F.col("k") - 1) / F.col("n_docs"))
+                   .cast("bigint").alias("epoch"))
+           .collect())
+
+    live_rows = [(d, s, t) for d, t, s in rows
+                 if t is not None and t.strip() != ""]
+    if not live_rows:
+        assert out == []
+        return
+    assert len(out) == budget  # uncapped quotas sum to the budget
+
+    docs_by_src: dict = {}
+    for d, s, _t in live_rows:
+        docs_by_src.setdefault(s, []).append(d)
+    per_src_q = Counter(r.source for r in out)
+    for s, q in per_src_q.items():
+        mine = sorted(r.pick for r in out if r.source == s)
+        assert mine == list(range(1, q + 1)), s   # gapless slots
+        n = len(docs_by_src[s])
+        reps = Counter(r.doc_id for r in out if r.source == s)
+        for d, c in reps.items():
+            assert c in (q // n, q // n + (1 if q % n else 0)), (s, d)
+        # md5-cyclic mapping: slot k -> md5 rank ((k-1) mod n) + 1
+        rank = {d: i + 1 for i, d in enumerate(sorted(
+            docs_by_src[s],
+            key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d)))}
+        for r in out:
+            if r.source == s:
+                assert rank[r.doc_id] == ((r.pick - 1) % n) + 1
+                assert r.epoch == (r.pick - 1) // n
