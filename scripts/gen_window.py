@@ -104,6 +104,37 @@ UPGRADED_SINCE_ROW = {
     "langid_stopword": 13,
     "langid_confusion": 13,
     "langid_kappa": 13,
+    # round 14: the full-catalog sf0.1 oracle sweep (driver checks
+    # sf0.01) found four latent SF-dependent divergences; three of the
+    # fixes touch queries outside the frozen r14 window, so their green
+    # rows no longer certify the live code and the r15 cut re-verifies:
+    # ann_lsh_topk's static P=6 twin got the adaptive prm CTE (valid
+    # only for n <= 1024 before; the plan auto-scales to P=7 at sf0.1's
+    # 2000 embeddings), dedup_semantic's static k=8 twin got the same
+    # treatment (the plan auto-scales to k=31 at sf0.1), and
+    # q1_pricing_summary's money sums moved to exact per-row fixed-point
+    # (order-sensitive round(sum(double),2) rounded a cent apart at
+    # sf0.1's ~2.8e9 totals). events_rolling_1h's microsecond-exact
+    # frame-key fix shares the sweep but sits in the r14 window, which
+    # certifies it. All four re-verified at sf0.001/0.01/0.1 on landing.
+    "ann_lsh_topk": 14,
+    "dedup_semantic": 14,
+    "q1_pricing_summary": 14,
+    # round 14, same sweep's CLASS fix: the remaining order-sensitive
+    # round(sum(double-money), 2) sites converted to the exact
+    # DECIMAL(27,s) per-row idiom tpch_shapes.py already used
+    # (boundary-proximity audit in PLANS.md: one q3 order-group sits
+    # EXACTLY on a half-cent boundary, q5's closest group within
+    # summation noise of one). Values identical on the fixtures; all
+    # re-verified at sf0.001/0.01/0.1 on landing; the r15 cut
+    # re-verifies. The in-window q11-q16/q19/q20 were already decimal.
+    "q3_shipping_priority": 14,
+    "q5_local_supplier": 14,
+    "q6_forecast_revenue": 14,
+    "q10_returned_items": 14,
+    "agg_global_stats": 14,
+    "scalar_math_funcs": 14,
+    "q17_small_qty_revenue": 14,
 }
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -471,8 +471,8 @@ SELECT event_id, user_id,
        CAST(count(*) OVER w AS BIGINT) AS n_1h,
        round(avg(value) OVER w, 6) AS avg_1h
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """
 
@@ -481,7 +481,14 @@ ORDER BY event_id
 def events_rolling_1h(spark, sf_dir):
     """Trailing 1-hour rolling stats per user — a RANGE frame keyed on
     event time (every row's frame is [ts-1h, ts], irregular row counts),
-    not a ROWS frame. One shuffle on user_id + one sort; at 100 TB the
+    not a ROWS frame. The frame key is MICROSECOND-exact (unix_micros /
+    epoch_us): the fixture timestamps carry sub-second parts, and the
+    original whole-second key (unix_timestamp vs DuckDB's fractional
+    epoch()) made the two engines disagree on membership for gaps in
+    (3600, 3601) s — truncation admitted a row the fractional key
+    excludes. Caught by the round-14 full-catalog sf0.1 sweep (one
+    collision at 100k events; sf0.01's 10k never hit the boundary).
+    One shuffle on user_id + one sort; at 100 TB the
     frame evaluation is streaming within each sorted partition, state
     bounded by the hour of data per user."""
     from pyspark.sql.window import Window
@@ -489,8 +496,8 @@ def events_rolling_1h(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, Window.currentRow)
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
     )
     return (
         ev.select(

@@ -1382,17 +1382,37 @@ SEMDEDUP_K = 8
 SEMDEDUP_TAU = 0.4
 SEMDEDUP_PROBE = 2
 
+#: target mean cell occupancy: k grows as n/TARGET past the floor, so the
+#: within-cell quadratic stays bounded as the corpus grows (SemDeDup's
+#: k ~ n/100k at web scale). The SQL twin computes the SAME rule in its
+#: prm CTE, so the two sides cannot drift on the cell count.
+SEMDEDUP_CELL_TARGET = 64
+
+# The seed count is NOT a literal: the prm CTE computes the same adaptive
+# rule the Spark plan uses — k = max(SEMDEDUP_K, n // SEMDEDUP_CELL_TARGET)
+# — from the table's own row count, so plan and oracle agree at EVERY sf
+# (the round-7 adaptive-planes fix applied here: the static k=8 twin was
+# valid only for n <= 8*64 and silently diverged at sf0.1's 2000
+# embeddings, where the plan auto-scales to k=31 — caught by the round-14
+# full-catalog sf0.1 sweep). Integer floor-division on both sides.
 SEMDEDUP_SQL = f"""
-WITH c AS (
+WITH prm AS (
+  SELECT GREATEST({SEMDEDUP_K},
+                  CAST(count(*) AS BIGINT) // {SEMDEDUP_CELL_TARGET}) AS k
+  FROM embeddings
+), c AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
 ), un AS (
   SELECT vec_id,
          list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
   FROM c
+), seed_rank AS (
+  SELECT vec_id, u,
+         row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
+  FROM un
 ), seeds AS (
-  SELECT vec_id, u
-  FROM un ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-  LIMIT {SEMDEDUP_K}
+  SELECT vec_id, u FROM seed_rank, prm WHERE srn <= prm.k
 ), cent AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, u AS cu
   FROM seeds
@@ -1420,13 +1440,6 @@ SELECT a.vec_id,
 FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
 ORDER BY a.vec_id
 """
-
-
-#: target mean cell occupancy: k grows as n/TARGET past the floor, so the
-#: within-cell quadratic stays bounded as the corpus grows (SemDeDup's
-#: k ~ n/100k at web scale; 64 keeps the fixture in the k=8 regime the
-#: SQL twin hard-codes — valid for n <= 8*64).
-SEMDEDUP_CELL_TARGET = 64
 
 
 @register("dedup_semantic", sql=SEMDEDUP_SQL, bench=True,

@@ -24,16 +24,42 @@ from spark_sentiment_spark.plans.registry import (load, register,
 
 # --- TPC-H-style aggregations ----------------------------------------------
 
+# Money sums in this module are EXACT fixed-point (round-14 class fix):
+# the fixture's prices/discounts/taxes are exact 2-dp decimals, so each
+# row's disc_price is an exact 4-dp and charge an exact 6-dp decimal —
+# per-row decimal/integer quantization followed by an exact sum makes
+# group totals order-INDEPENDENT. The old round(sum(double), 2) was
+# order-sensitive: a ~2.8e9 total accumulates ~1e-4 of summation-order
+# noise, and when the true total sits within that band of a half-cent
+# the two engines round a cent apart (hit once by the round-14
+# full-catalog sf0.1 sweep in q1, with q5 measured 6.4e-4 from its
+# boundary and one q3 order-group landing EXACTLY on one — ~3% odds per
+# 1e9-scale group). q1 uses explicit integer scaling (DuckDB sums to
+# HUGEINT, Spark to DECIMAL(38,0)); the other money queries use the
+# DECIMAL(27,s) per-row cast idiom tpch_shapes.py adopted in earlier
+# rounds (q7/q9/q14/q15/q19/q20) — this module lagged that conversion.
+# The exact total converts to double losslessly at the 11-12
+# significant digits a cents value needs. o_totalprice/acctbal sums
+# stay plain doubles: their measured boundary distances are 0.49-0.5
+# (totals land mid-cell at every fixture SF) and their magnitudes keep
+# noise orders below a half-cent; the ordered running-total window is
+# inherently order-pinned on both engines.
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                     AS sum_qty,
-       round(sum(l_extendedprice), 2)                                AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)             AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 6)                                     AS avg_qty,
-       round(avg(l_extendedprice), 6)                                AS avg_price,
-       round(avg(l_discount), 6)                                     AS avg_disc,
-       count(*)                                                      AS count_order
+       round(sum(l_quantity), 2)                                AS sum_qty,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100, 2)                          AS sum_base_price,
+       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                           AS BIGINT)) AS DOUBLE) / 10000, 2)   AS sum_disc_price,
+       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax) * 1000000)
+                           AS BIGINT)) AS DOUBLE) / 1000000, 2) AS sum_charge,
+       round(avg(l_quantity), 6)                                AS avg_qty,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100 / count(*), 6)               AS avg_price,
+       round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
+                  AS DOUBLE) / 100 / count(*), 6)               AS avg_disc,
+       count(*)                                                 AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -45,18 +71,30 @@ ORDER BY l_returnflag, l_linestatus
 def q1_pricing_summary(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+
+    def fp_sum(col, scale):
+        # per-row exact fixed-point, summed as DECIMAL(38,0) (exact,
+        # overflow-safe at any SF), back to double for the cents value
+        return (F.sum(F.round(col * scale).cast("decimal(38,0)"))
+                .cast("double") / scale)
+
+    cnt = F.count(F.lit(1))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(fp_sum(F.col("l_extendedprice"), 100), 2)
+            .alias("sum_base_price"),
+            F.round(fp_sum(disc_price, 10_000), 2).alias("sum_disc_price"),
+            F.round(fp_sum(charge, 1_000_000), 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.round(fp_sum(F.col("l_extendedprice"), 100) / cnt, 6)
+            .alias("avg_price"),
+            F.round(fp_sum(F.col("l_discount"), 100) / cnt, 6)
+            .alias("avg_disc"),
+            cnt.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -64,7 +102,8 @@ def q1_pricing_summary(spark, sf_dir):
 
 Q3_SQL = """
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))),
+             2)::DOUBLE AS revenue,
        strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate,
        o_orderpriority
 FROM customer
@@ -94,8 +133,10 @@ def q3_shipping_priority(spark, sf_dir):
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"))
+        .agg(F.round(F.sum((F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")))
+                           .cast("decimal(27,4)")), 2)
+             .cast("double").alias("revenue"))
         .select(
             "l_orderkey", "revenue",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -107,7 +148,9 @@ def q3_shipping_priority(spark, sf_dir):
 
 
 Q5_SQL = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))),
+             2)::DOUBLE AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -141,14 +184,17 @@ def q5_local_supplier(spark, sf_dir):
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"))
+        .agg(F.round(F.sum((F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")))
+                           .cast("decimal(27,4)")), 2)
+             .cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
 
 Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(27,4))),
+             2)::DOUBLE AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -167,14 +213,16 @@ def q6_forecast_revenue(spark, sf_dir):
             & F.col("l_discount").between(0.03, 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
-             .alias("revenue"))
+        .agg(F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+                           .cast("decimal(27,4)")), 2)
+             .cast("double").alias("revenue"))
     )
 
 
 Q10_SQL = """
 SELECT c_custkey, c_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))),
+             2)::DOUBLE AS revenue,
        round(any_value(c_acctbal), 2) AS acctbal
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -196,8 +244,10 @@ def q10_returned_items(spark, sf_dir):
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-            .alias("revenue"),
+            F.round(F.sum((F.col("l_extendedprice")
+                           * (1 - F.col("l_discount")))
+                          .cast("decimal(27,4)")), 2)
+            .cast("double").alias("revenue"),
             F.round(F.any_value(F.col("c_acctbal")), 2).alias("acctbal"),
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -341,8 +391,10 @@ def agg_cube(spark, sf_dir):
 STATS_SQL = """
 SELECT count(*)                                   AS n_rows,
        CAST(count(DISTINCT l_partkey) AS BIGINT)  AS n_parts,
-       round(sum(l_extendedprice), 2)             AS sum_price,
-       round(avg(l_extendedprice), 6)             AS avg_price,
+       round(sum(CAST(l_extendedprice AS DECIMAL(27,2))), 2)::DOUBLE
+                                                  AS sum_price,
+       round(sum(CAST(l_extendedprice AS DECIMAL(27,2)))::DOUBLE
+             / count(*), 6)                       AS avg_price,
        round(min(l_extendedprice), 2)             AS min_price,
        round(max(l_extendedprice), 2)             AS max_price,
        round(stddev_samp(l_extendedprice), 4)     AS sd_price
@@ -356,8 +408,10 @@ def agg_global_stats(spark, sf_dir):
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_partkey").alias("n_parts"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(27,2)")), 2)
+        .cast("double").alias("sum_price"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(27,2)"))
+                .cast("double") / F.count(F.lit(1)), 6).alias("avg_price"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
@@ -666,11 +720,14 @@ def scalar_string_funcs(spark, sf_dir):
 
 MATH_SQL = """
 SELECT l_linenumber,
-       round(sum(l_extendedprice * l_tax), 2)              AS tax_amount,
-       round(sum(abs(l_discount - 0.05)), 4)               AS disc_dev,
+       round(sum(CAST(l_extendedprice * l_tax AS DECIMAL(27,4))), 2)::DOUBLE
+                                                           AS tax_amount,
+       round(sum(CAST(abs(l_discount - 0.05) AS DECIMAL(27,2))), 4)::DOUBLE
+                                                           AS disc_dev,
        CAST(sum(CAST(ceil(l_quantity) AS BIGINT)) AS BIGINT)  AS qty_ceil,
        CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty_floor,
-       round(sum(pow(l_discount, 2)), 6)                   AS disc_sq
+       round(sum(CAST(pow(l_discount, 2) AS DECIMAL(27,4))), 6)::DOUBLE
+                                                           AS disc_sq
 FROM lineitem
 GROUP BY l_linenumber
 ORDER BY l_linenumber
@@ -683,12 +740,17 @@ def scalar_math_funcs(spark, sf_dir):
     return (
         li.groupBy("l_linenumber")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_tax")), 2)
-            .alias("tax_amount"),
-            F.round(F.sum(F.abs(F.col("l_discount") - 0.05)), 4).alias("disc_dev"),
+            F.round(F.sum((F.col("l_extendedprice") * F.col("l_tax"))
+                          .cast("decimal(27,4)")), 2)
+            .cast("double").alias("tax_amount"),
+            F.round(F.sum(F.abs(F.col("l_discount") - 0.05)
+                          .cast("decimal(27,2)")), 4)
+            .cast("double").alias("disc_dev"),
             F.sum(F.ceil("l_quantity").cast("long")).alias("qty_ceil"),
             F.sum(F.floor("l_quantity").cast("long")).alias("qty_floor"),
-            F.round(F.sum(F.pow("l_discount", F.lit(2))), 6).alias("disc_sq"),
+            F.round(F.sum(F.pow("l_discount", F.lit(2))
+                          .cast("decimal(27,4)")), 6)
+            .cast("double").alias("disc_sq"),
         )
         .orderBy("l_linenumber")
     )
@@ -791,7 +853,8 @@ WITH pa AS (
   FROM lineitem GROUP BY l_partkey
 )
 SELECT count(*)                                          AS n_small,
-       round(sum(l_extendedprice) / 7.0, 2)              AS avg_yearly
+       round(sum(CAST(l_extendedprice AS DECIMAL(27,2)))::DOUBLE / 7.0, 2)
+                                                         AS avg_yearly
 FROM lineitem JOIN pa ON l_partkey = pk
 WHERE l_quantity < 0.5 * avg_qty
 """
@@ -811,7 +874,9 @@ def q17_small_qty_revenue(spark, sf_dir):
     return (li.join(per_part, F.col("l_partkey") == F.col("pk"))
             .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
             .agg(F.count(F.lit(1)).alias("n_small"),
-                 F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")))
+                 F.round(F.sum(F.col("l_extendedprice")
+                               .cast("decimal(27,2)"))
+                         .cast("double") / 7.0, 2).alias("avg_yearly")))
 
 
 Q18_SQL = """

@@ -400,11 +400,24 @@ ANN_LSH_DIM = 64
 # 0.515 vs 0.535 — above the 0.45 floor; SimHash ships ±1 entries, so
 # the family tolerates non-spherical directions). Sign(dot) parity
 # across engines holds because a flip needs |dot| within last-ulp of 0
-# (~1e-15 against typical |dot| ≈ 0.3). The P=6 literal below matches
-# the adaptive-planes rule for n <= 16·2^6 = 1024, which covers every
-# oracle SF; larger corpora change P and fall back to the recall test.
+# (~1e-15 against typical |dot| ≈ 0.3). The plane count is NOT a
+# literal (round-14 fix, the same prm treatment _MP_CANDIDATE_CTE got
+# in round 7): the prm CTE computes the SAME adaptive rule the Spark
+# plan uses — P = max(ANN_LSH_PLANES, ceil(log2(n/16))) — from the
+# table's own row count, so plan and oracle agree at EVERY sf. The old
+# P=6 literal was valid only for n <= 16·2^6 = 1024 and silently
+# diverged at sf0.1's 2000 embeddings (P=7 in the plan vs 6 in the
+# twin — different buckets, different candidates), caught by the
+# round-14 full-catalog sf0.1 sweep. The ceil boundary is engine-safe
+# because it lands only on exact powers of two, where double log2 is
+# exact in both engines.
 ANN_LSH_SQL = f"""
-WITH e AS (
+WITH prm AS (
+  SELECT GREATEST({ANN_LSH_PLANES},
+                  CAST(ceil(log2(GREATEST(count(*), 1) / 16.0)) AS INTEGER))
+           AS np
+  FROM embeddings
+), e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), pw AS (
   SELECT j // {ANN_LSH_DIM} AS jp,
@@ -413,7 +426,8 @@ WITH e AS (
                              || (j % {ANN_LSH_DIM})), 1, 6))::INTEGER
            / 16777216.0 - 0.5 AS w
   FROM (SELECT unnest(generate_series(
-          0, {ANN_LSH_TABLES * ANN_LSH_PLANES * ANN_LSH_DIM} - 1)) AS j)
+          0, (SELECT {ANN_LSH_TABLES} * np * {ANN_LSH_DIM} FROM prm)
+             - 1)) AS j)
 ), planes AS (
   SELECT jp, list(w ORDER BY d) AS pvec FROM pw GROUP BY jp
 ), dots AS (
@@ -421,11 +435,12 @@ WITH e AS (
          list_dot_product(e.v, planes.pvec) AS dp
   FROM e CROSS JOIN planes
 ), buckets AS (
-  SELECT vec_id, jp // {ANN_LSH_PLANES} AS t,
+  SELECT vec_id, jp // (SELECT np FROM prm) AS t,
          sum(CASE WHEN dp > 0
-             THEN 1 << ({ANN_LSH_PLANES} - 1 - (jp % {ANN_LSH_PLANES}))
+             THEN 1 << ((SELECT np FROM prm) - 1
+                        - (jp % (SELECT np FROM prm)))
              ELSE 0 END) AS bucket
-  FROM dots GROUP BY vec_id, jp // {ANN_LSH_PLANES}
+  FROM dots GROUP BY vec_id, jp // (SELECT np FROM prm)
 ), cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM buckets a JOIN buckets b
