@@ -40,7 +40,7 @@ WINDOW_SIZE = 50
 # globbing ALL history made the frozen window churn the moment
 # CORRECTNESS_r06.json appeared in the working tree). Bump this constant when
 # deliberately cutting the next rotation, then re-run this script.
-WINDOW_ROUND = 14
+WINDOW_ROUND = 15
 
 # Queries whose plan or oracle changed after their latest green row (the
 # row no longer certifies the current code), keyed by the ROUND of the

@@ -161,80 +161,82 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # catalog entries, so ordering is an explicit, audited decision rather
 # than an accident of import order.
 #
-# The round-14 window is COMPUTED, not hand-maintained: `python
+# The round-15 window is COMPUTED, not hand-maintained: `python
 # scripts/gen_window.py` derives it from the registry and the
 # CORRECTNESS_r*.json history for rounds strictly before WINDOW_ROUND
-# (=14, so the list stays frozen when the driver lands the current
+# (=15, so the list stays frozen when the driver lands the current
 # round's artifact mid-round), and tests/test_registry_window.py asserts
 # this committed list matches that computation. Cut 2026-08-16 at
-# round-14 start, matching the round-13 verdict accounting: the 5
-# round-13 additions (never driver-checked; all independently re-verified
-# at sf0.01 by the round-13 judge) take the priority slots, PLUS the four
-# round-13 single-eval perf-fix queries as upgraded-since-row slots
-# (quality_gate's verdict moved behind _gopher_feats' inner projection;
-# langid_stopword/confusion/kappa's vote chain behind an inner scored
-# projection — values byte-identical, oracles re-verified at two SFs, but
-# their green rows no longer hash the live source). That leaves 41
-# backfill slots: 41 of the 46 remaining r9-stale rows (round asc, name
-# asc). Rows-only queries never take a slot. Round-14 additions land
-# BELOW the window (normal rotation reaches them at the round-15 cut).
-# After this round the stale set is ~5 r9 rows + ~50 r10 rows + this
-# round's additions; the full-refresh cycle stays ~2 rounds at window 50
-# if catalog growth holds at <=8/round.
+# round-15 start, matching the round-14 verdict accounting: the 5
+# round-14 additions (never driver-checked; all independently re-verified
+# at sf0.01 by the round-14 judge) take the priority slots, PLUS the ten
+# queries upgraded after their latest green row — ann_lsh_topk and
+# dedup_semantic's static oracle literals replaced by adaptive prm CTEs,
+# and the eight money-sum queries moved to the exact DECIMAL(27,s)
+# per-row idiom after the sf0.1 sweep caught the order-sensitive
+# round(sum(double),2) class (all re-verified at sf0.001/0.01/0.1 on
+# landing, but their green rows no longer hash the live source). That
+# leaves 35 backfill slots: the 3 remaining r9-stale rows
+# (token_hapax_rate, window_dist_funcs, zorder_probe) + 32 of the r10
+# rows (round asc, name asc). Rows-only queries never take a slot.
+# Round-15 additions land BELOW the window (normal rotation reaches them
+# at the round-16 cut). After this round the stale set is ~18 r10 rows +
+# r11+ rows + this round's additions; the full-refresh cycle stays ~2
+# rounds at window 50 if catalog growth holds at <=8/round.
 _WINDOW_PRIORITY = [
-    # — never driver-checked (round-13 additions, judge-verified green) —
-    "ann_pq_persisted_probe",
-    "curate_corpus_staged",
-    "search_bm25_persisted_probe",
-    "streaming_bm25_probe",
-    "streaming_pq_probe",
+    # — never driver-checked (round-14 additions, judge-verified green) —
+    "ann_ivfpq_persisted_probe",
+    "mixture_upsample",
+    "pack_sequences_spans",
+    "prepare_training_set",
+    "streaming_ivfpq_probe",
     # — upgraded after latest row —
-    "quality_gate",  # r12
-    "langid_stopword",  # r9
-    "langid_confusion",  # r12
-    "langid_kappa",  # r9
+    "ann_lsh_topk",  # r10
+    "dedup_semantic",  # r13
+    "q1_pricing_summary",  # r13
+    "q3_shipping_priority",  # r13
+    "q5_local_supplier",  # r13
+    "q6_forecast_revenue",  # r13
+    "q10_returned_items",  # r13
+    "agg_global_stats",  # r11
+    "scalar_math_funcs",  # r13
+    "q17_small_qty_revenue",  # r13
     # — oldest-stale backfill —
-    "doc_chunks",  # r9
-    "doc_fingerprints",  # r9
-    "embedding_kmeans_iter",  # r9
-    "events_asof_cogroup",  # r9
-    "events_asof_join",  # r9
-    "events_funnel",  # r9
-    "events_gap_fill",  # r9
-    "events_gap_percentiles",  # r9
-    "events_json_extract",  # r9
-    "events_props_map",  # r9
-    "events_range_join",  # r9
-    "events_retention_cohorts",  # r9
-    "events_rfm_scores",  # r9
-    "events_rolling_1h",  # r9
-    "events_sessionize",  # r9
-    "events_sliding_hour",  # r9
-    "events_tumbling_hour",  # r9
-    "events_user_lifecycle",  # r9
-    "events_user_rates",  # r9
-    "graph_triangle_count",  # r9
-    "io_csv_roundtrip",  # r9
-    "io_json_roundtrip",  # r9
-    "io_schema_evolution",  # r9
-    "join_bucketed",  # r9
-    "knn_classify_ivf",  # r9
-    "link_parts_fuzzy",  # r9
-    "mixture_apply",  # r9
-    "multimodal_decode_features",  # r9
-    "multimodal_frame_sample",  # r9
-    "multimodal_ppm_decode",  # r9
-    "multimodal_wav_decode",  # r9
-    "pareto_revenue_share",  # r9
-    "q11_nation_concentration",  # r9
-    "q12_priority_classes",  # r9
-    "q13_customer_distribution",  # r9
-    "q14_promo_revenue",  # r9
-    "q15_top_supplier",  # r9
-    "q16_supplier_variety",  # r9
-    "q19_disjunctive_brackets",  # r9
-    "q20_part_suppliers",  # r9
-    "token_burstiness",  # r9
+    "token_hapax_rate",  # r9
+    "window_dist_funcs",  # r9
+    "zorder_probe",  # r9
+    "agg_hll_sketch",  # r10
+    "ann_ivf_topk",  # r10
+    "ann_pq_topk",  # r10
+    "audit_referential",  # r10
+    "cap_per_source",  # r10
+    "corr_matrix",  # r10
+    "curriculum_buckets",  # r10
+    "decontaminate_minhash",  # r10
+    "dedup_char_ngrams",  # r10
+    "dedup_cluster_canonical",  # r10
+    "dedup_cluster_stats",  # r10
+    "dedup_clusters",  # r10
+    "dedup_containment_prefix",  # r10
+    "dedup_embedding_cosine",  # r10
+    "dedup_exact",  # r10
+    "dedup_keep_best",  # r10
+    "dedup_minhash_bucketed_probe",  # r10
+    "dedup_simjoin_prefix",  # r10
+    "events_cdc_state",  # r10
+    "events_daily_rollup",  # r10
+    "events_daily_uniques_hll",  # r10
+    "events_funnel_windowed",  # r10
+    "events_rolling_distinct",  # r10
+    "events_scd2_merge_delta",  # r10
+    "events_seasonal_anomaly",  # r10
+    "events_stickiness",  # r10
+    "graph_degree_assortativity",  # r10
+    "io_partitioned_prune",  # r10
+    "orders_basket_lift",  # r10
+    "q22_dormant_customers",  # r10
+    "q8_market_share",  # r10
+    "q9_product_profit",  # r10
 ]
 
 
