@@ -1019,7 +1019,8 @@ def _pq_adc_topk(codes, probes, vecs, n_codes: int, rerank: int, topk: int,
 IVFPQ_RERANK = 50
 
 
-def _ivfpq_sql(topk: int = 10, rerank: int = IVFPQ_RERANK) -> str:
+def _ivfpq_sql(topk: int = 10, rerank: int = IVFPQ_RERANK,
+               extra_cols: str = "") -> str:
     """The composed oracle: ANN_IVF_SQL's coarse chain (seeds → cells →
     multi-assignment → query probes) spliced with _pq_sql's fine chain
     (codebooks → encode → fixed-point ADC tables), candidates restricted
@@ -1112,7 +1113,7 @@ WITH c AS (
   JOIN un q ON cand.qid = q.vec_id
   JOIN un v ON cand.vec_id = v.vec_id
 )
-SELECT qid, vec_id, round(cos, 6) AS cosine, CAST(rn AS BIGINT) AS rn
+SELECT qid, vec_id, round(cos, 6) AS cosine, CAST(rn AS BIGINT) AS rn{extra_cols}
 FROM (
   SELECT qid, vec_id, cos,
          row_number() OVER (PARTITION BY qid
@@ -1125,8 +1126,26 @@ ORDER BY qid, rn
 
 ANN_IVFPQ_SQL = _ivfpq_sql()
 
+# The compaction oracle: the probe result verbatim (compaction moves
+# bytes, never rows) PLUS the layout's part-file counts computed by the
+# same rule the writer follows — round-14 lesson: counts are a prm-style
+# adaptive rule over the data, never static literals. Each append batch
+# (vec_id % N_COMPACT_BATCHES) hash-clusters on cell before the
+# partitionBy-cell write, so a cell directory gains exactly ONE file per
+# batch that contains >=1 row assigned to it: files_before = distinct
+# (batch, cell) pairs over the assignment table; the compact pass
+# rewrites each cell to one file: files_after = distinct cells.
+N_COMPACT_BATCHES = 4
 
-def _ivfpq_stage_index(spark, vecs):
+ANN_IVFPQ_COMPACT_SQL = _ivfpq_sql(extra_cols=f""",
+       (SELECT count(*) FROM (
+          SELECT DISTINCT vec_id % {N_COMPACT_BATCHES} AS b, cell
+          FROM assigned) fb) AS files_before,
+       (SELECT count(DISTINCT cell) FROM assigned) AS files_after""")
+
+
+def _ivfpq_stage_index(spark, vecs, code_batches: int = 1,
+                       prefix: str = "ivfpq_index_"):
     """Phase-1 composed IVF+PQ index builder: ONE corpus pass computes
     both quantizer layers — multi-assignment coarse cells (the
     `ann_ivf_topk` machinery) and M 4-bit PQ codes (the `_pq_encoder`
@@ -1135,10 +1154,21 @@ def _ivfpq_stage_index(spark, vecs):
     listing already prunes to visited cells), centroids/ (K rows, probe
     routing replays from the artifact), codebook/ (M×K codewords for
     ADC tables). Returns (base, n_codes); n_codes == 0 marks an empty
-    corpus (nothing staged)."""
+    corpus (nothing staged).
+
+    ``code_batches > 1`` writes the code table as that many successive
+    partitionBy-cell APPENDs (slice b = vec_id % code_batches), each
+    hash-clustered on cell so a cell directory gains exactly one file
+    per batch touching it — the micro-batch ingest shape that fragments
+    cell partitions and that `ann_ivfpq_compacted_probe`'s maintenance
+    pass exists to clean up. The staged ROWS are identical either way
+    (quantizer artifacts come from the full corpus in both paths; only
+    the code write is sliced), which is what makes compact-then-probe
+    comparable to the one-shot index."""
     import tempfile
 
-    from spark_sentiment_spark.plans.registry import track_staging_dir
+    from spark_sentiment_spark.plans.registry import (track_persist,
+                                                      track_staging_dir)
 
     n_codes, cbmat, codebooks = _pq_seed_codebooks(vecs)
     if n_codes == 0:
@@ -1156,10 +1186,25 @@ def _ivfpq_stage_index(spark, vecs):
              .where(F.col("rn") <= IVF_ASSIGN)
              .select("vec_id", "cell"))
 
-    base = track_staging_dir(tempfile.mkdtemp(prefix="ivfpq_index_"))
-    (cells.join(vecs.select("vec_id", _encode("e").alias("codes")), "vec_id")
-     .repartition(8, F.col("cell"))
-     .write.mode("overwrite").partitionBy("cell").parquet(base + "/codes"))
+    base = track_staging_dir(tempfile.mkdtemp(prefix=prefix))
+    coded = cells.join(vecs.select("vec_id", _encode("e").alias("codes")),
+                       "vec_id")
+    if code_batches == 1:
+        (coded.repartition(8, F.col("cell"))
+         .write.mode("overwrite").partitionBy("cell")
+         .parquet(base + "/codes"))
+    else:
+        # One narrow (vec_id, cell, codes) frame serves every batch
+        # write — unpersisted, each append re-runs the assignment
+        # cross-join AND the Arrow encode over the whole corpus
+        # (round-14 plan-audit gotcha #3: k references re-expand the
+        # DAG k times).
+        coded = track_persist(coded)
+        for b in range(code_batches):
+            (coded.where(F.col("vec_id") % code_batches == b)
+             .repartition(F.col("cell"))
+             .write.mode("overwrite" if b == 0 else "append")
+             .partitionBy("cell").parquet(base + "/codes"))
     cent.write.mode("overwrite").parquet(base + "/centroids")
     spark.createDataFrame(
         [(int(m), int(k), [float(x) for x in codebooks[m, k]])
@@ -1233,7 +1278,8 @@ def ann_ivfpq_persisted_probe(spark, sf_dir, topk: int = 10,
 
 
 def _ivfpq_probe(spark, vecs, base: str, n_codes: int, rerank: int,
-                 topk: int, queries=None, n_probe: int = IVF_PROBE):
+                 topk: int, queries=None, n_probe: int = IVF_PROBE,
+                 codes_subdir: str = "codes"):
     """Phase-2 of the composed IVF+PQ index — the recurring per-batch
     cost, callable on its own against pre-staged artifacts
     (scripts/scale_probe.py times it separately from the build;
@@ -1271,7 +1317,9 @@ def _ivfpq_probe(spark, vecs, base: str, n_codes: int, rerank: int,
 
     # The visited-cell predicate prunes the partitioned code table at the
     # directory level — the probe never reads an unvisited cell's codes.
-    codes = (spark.read.parquet(base + "/codes")
+    # ``codes_subdir`` lets a maintenance pass (compaction) stage a
+    # rewritten layout next to the original and serve probes from it.
+    codes = (spark.read.parquet(f"{base}/{codes_subdir}")
              .where(F.col("cell").isin(visited)))
     cand = (codes.join(F.broadcast(qcells), "cell")
             .where(F.col("vec_id") != F.col("qid"))
@@ -1281,6 +1329,89 @@ def _ivfpq_probe(spark, vecs, base: str, n_codes: int, rerank: int,
             .join(F.broadcast(probes), "qid"))
     return _pq_adc_topk(codes, probes, vecs, n_codes, rerank, topk,
                         cand=cand)
+
+
+def _count_cell_parts(codes_dir: str) -> int:
+    """Part files across the cell=*/ directories of a partitioned code
+    table — driver-side listing of the staging dir (control-plane
+    metadata, same as io_compact_small_files' counter)."""
+    import glob
+
+    return len(glob.glob(f"{codes_dir}/cell=*/*.parquet"))
+
+
+@register("ann_ivfpq_compacted_probe", sql=ANN_IVFPQ_COMPACT_SQL,
+          tags=("similarity", "layout", "pipeline"))
+def ann_ivfpq_compacted_probe(spark, sf_dir, topk: int = 10,
+                              rerank: int = IVFPQ_RERANK):
+    """Index MAINTENANCE for the composed IVFPQ layout — the pass that
+    completes the artifact lifecycle build → append → COMPACT → probe.
+    The append contract (pinned in test_round14_queries) lets newly
+    indexed vectors land in their cells' partitions batch after batch,
+    but every micro-batch leaves one more small file per touched cell —
+    the classic lake-layout failure mode: at 100 TB a hot cell
+    accumulates thousands of KB-scale files and every probe pays
+    per-file open/footer costs plus driver listing time
+    (io_compact_small_files documents the same economics for fact
+    tables). The fix is the same nightly treatment: rewrite each cell's
+    fragments to right-sized files WITHOUT changing the partitionBy-cell
+    layout, so directory-level pruning — the whole point of the
+    composed index — keeps working on the compacted table (pinned in
+    tests/test_plan_shape.py).
+
+    Demonstrated end-to-end: the index is built with its code table
+    written as N_COMPACT_BATCHES=4 successive partitionBy-cell appends
+    (slice b = vec_id % 4, each hash-clustered on cell, so a cell dir
+    gains exactly one file per batch touching it); the compact pass
+    reads the fragmented table, re-clusters on cell (one round-robin
+    exchange — the exchange IS the rewrite), and rewrites one file per
+    cell; the probe then runs against the COMPACTED layout. Compaction
+    moves bytes, never rows, so the oracle is the composed IVFPQ probe
+    SQL verbatim plus the two file counts — computed by the writer's
+    own rule (distinct (batch, cell) pairs before; distinct cells
+    after) from the oracle's assignment CTE, never static literals
+    (the round-14 adaptive-rule lesson), and cross-checked against the
+    ACTUAL directory listings on the Spark side, so a writer producing
+    any other fragmentation hash-mismatches. Production picks files per
+    cell as ceil(cell_bytes / target_file_size); the demo's corpus
+    makes that 1, same pinning rationale as io_compact_small_files'
+    repartition(4).
+
+    Scale: compaction is one linear pass over the code table (already
+    32x-compressed vs the embeddings), shuffling on the cell key it is
+    already partitioned by; it runs per-cell-independent, so a
+    maintenance service compacts only cells whose file count crossed a
+    threshold. Probe cost afterwards returns to the one-shot-index
+    baseline: probe/K of the cells, one file each."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = _as_double("embedding")
+    unit = F.transform(e, lambda x: x / _norm(e))
+    vecs = emb.select("vec_id", unit.alias("e"))
+
+    # ---- build + append: the fragmented micro-batch layout -------------
+    base, n_codes = _ivfpq_stage_index(spark, vecs,
+                                       code_batches=N_COMPACT_BATCHES,
+                                       prefix="ivfpq_compact_")
+    if n_codes == 0:
+        return spark.createDataFrame(
+            [], "qid long, vec_id long, cosine double, rn long, "
+                "files_before long, files_after long")
+    files_before = _count_cell_parts(base + "/codes")
+
+    # ---- compact: rewrite each cell's fragments, keep the layout --------
+    (spark.read.parquet(base + "/codes")
+     .repartition(F.col("cell"))
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(base + "/codes_compact"))
+    files_after = _count_cell_parts(base + "/codes_compact")
+
+    # ---- probe the compacted index --------------------------------------
+    res = _ivfpq_probe(spark, vecs, base, n_codes, rerank, topk,
+                       codes_subdir="codes_compact")
+    return (res
+            .withColumn("files_before",
+                        F.lit(files_before).cast("bigint"))
+            .withColumn("files_after", F.lit(files_after).cast("bigint")))
 
 
 # --- Multi-probe hyperplane LSH near-dup pairs ------------------------------

@@ -715,6 +715,34 @@ def test_ivfpq_probe_prunes_to_visited_cells_no_python(spark):
     assert plan.count("WindowGroupLimit") >= 2  # rerank + topk both limited
 
 
+def test_compacted_ivfpq_layout_still_directory_prunes(spark):
+    """ann_ivfpq_compacted_probe: compaction must not cost the index its
+    reason to exist — the probe over the REWRITTEN code table must still
+    carry the visited-cell predicate as a PARTITION filter (directory
+    pruning), read from the codes_compact layout (not the fragmented
+    original), keep zero Python nodes in the probe plan, and find
+    exactly one part file per cell directory after the rewrite."""
+    import glob
+
+    from spark_sentiment_spark.plans.registry import release_caches
+    from spark_sentiment_spark.plans.similarity_queries import PQ_K
+
+    plan = _plan(spark, "ann_ivfpq_compacted_probe")
+    assert "Python" not in plan            # no re-encode in the probe
+    assert "codes_compact" in plan         # probes the REWRITTEN layout
+    m = re.search(r"codes_compact[^\n]*PartitionFilters: \[cell#\d+ INSET"
+                  r" ([\d, ]+)", plan)
+    assert m, "visited-cell predicate did not reach the compacted scan"
+    visited = {int(x) for x in m.group(1).split(",") if x.strip()}
+    assert 0 < len(visited) < PQ_K, sorted(visited)
+    base = next(seg for seg in plan.split("file:")[1:]
+                if "ivfpq_compact_" in seg).split("/codes", 1)[0]
+    per_cell = [len(glob.glob(d + "/*.parquet"))
+                for d in glob.glob(base + "/codes_compact/cell=*")]
+    release_caches()
+    assert per_cell and set(per_cell) == {1}, per_cell
+
+
 def test_prepare_training_set_caches_survivors_no_python(spark):
     """prepare_training_set: the curated-survivor frame must be served
     from ONE persisted narrow relation (3 InMemoryTableScan references
