@@ -55,15 +55,23 @@ REST_HEAVY = [
 # (35s) ride along with the oracle shards (separate pytest processes,
 # so a file just adds its own time), bringing rest-heavy back to ~290s
 # behind rest's ~310-330s straggler.
+# Round-15 rebalance: round14/round15 query files (two-SF compares +
+# staged-index probes, ~60s/~40s) moved from "rest" (the 357s straggler
+# this round) onto the ~120-175s oracle shards — rest back to ~260s
+# behind rest-heavy's ~300s.
 SHARDS = [
-    ("oracle-0/2", ["tests/test_oracle.py", "tests/test_streaming.py"],
+    ("oracle-0/2", ["tests/test_oracle.py", "tests/test_streaming.py",
+                    "tests/test_round14_queries.py"],
      {"SPARK_GRAFT_ORACLE_SHARD": "0/2"}),
-    ("oracle-1/2", ["tests/test_oracle.py", "tests/test_round10_queries.py"],
+    ("oracle-1/2", ["tests/test_oracle.py", "tests/test_round10_queries.py",
+                    "tests/test_round15_queries.py"],
      {"SPARK_GRAFT_ORACLE_SHARD": "1/2"}),
     ("rest-heavy", REST_HEAVY, {}),
     ("rest", ["tests", "--ignore=tests/test_oracle.py",
               "--ignore=tests/test_streaming.py",
               "--ignore=tests/test_round10_queries.py",
+              "--ignore=tests/test_round14_queries.py",
+              "--ignore=tests/test_round15_queries.py",
               *[f"--ignore={f}" for f in REST_HEAVY]], {}),
 ]
 
