@@ -257,6 +257,13 @@ PROBES = {
     "mixture_upsample": {"documents": ["doc_id"]},
     # streaming_ivfpq_probe is NOT probed (streaming family policy);
     # ann_ivfpq_persisted_probe above carries the composed index's claim.
+    # round-15 addition: the maintenance pass, write-inclusive — the
+    # 4-batch fragmented build (same one-pass encode, 4 cell-clustered
+    # appends) + the compact rewrite (one linear pass over the
+    # 32x-compressed codes) + the probe; slope should track the
+    # write-inclusive persisted probe's encode-bound shape, with the
+    # compact pass adding a code-table-linear (i.e. small) increment.
+    "ann_ivfpq_compacted_probe": {"embeddings": ["vec_id"]},
 }
 
 
