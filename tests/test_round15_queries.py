@@ -77,3 +77,67 @@ def test_compaction_file_counts_follow_the_writer_rule(spark):
     assert row["files_before"] == expect_before
     assert row["files_after"] == expect_after
     assert comp_rows == frag_rows
+
+
+def test_fragmented_write_rule_when_a_batch_misses_cells(spark):
+    """The file-count rule's non-trivial branch: at the shipped SFs every
+    append batch happens to touch every cell (files_before = 4 x 16), so
+    the real-data pin never exercises a batch MISSING a cell. A 24-vector
+    corpus makes each ~6-vector batch cover at most 12 of the 16 cells
+    (2 assignments each), forcing missing (batch, cell) pairs — the
+    directory listing must then equal the distinct-(batch, cell) rule
+    (no empty part files for untouched cells), compaction must still
+    yield one file per NON-EMPTY cell, and the probe over the fragmented
+    table must equal the probe over the one-shot index on the same
+    corpus (append-contract identity on a corpus where the batch split
+    is genuinely uneven)."""
+    import glob
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from spark_sentiment_spark.plans.registry import release_caches
+    from spark_sentiment_spark.plans.similarity_queries import (
+        IVFPQ_RERANK, N_COMPACT_BATCHES, _ivfpq_probe, _ivfpq_stage_index)
+
+    def vec(i):
+        # deterministic unit vector per id (md5-derived, engine-free)
+        raw = [int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:6], 16)
+               / 0xFFFFFF - 0.5 for d in range(64)]
+        n = math.sqrt(sum(x * x for x in raw))
+        return [x / n for x in raw]
+
+    vecs = spark.createDataFrame([(i, vec(i)) for i in range(24)],
+                                 "vec_id long, e array<double>")
+
+    base, n_codes = _ivfpq_stage_index(spark, vecs,
+                                       code_batches=N_COMPACT_BATCHES,
+                                       prefix="ivfpq_edge_")
+    assert n_codes == 16
+    codes = spark.read.parquet(base + "/codes")
+    expect_before = (codes.select(
+        (F.col("vec_id") % N_COMPACT_BATCHES).alias("b"), "cell")
+        .distinct().count())
+    n_cells = codes.select("cell").distinct().count()
+    # the edge is real: some (batch, cell) pair is missing
+    assert expect_before < N_COMPACT_BATCHES * n_cells
+    assert len(glob.glob(base + "/codes/cell=*/*.parquet")) == expect_before
+
+    (spark.read.parquet(base + "/codes")
+     .repartition(F.col("cell"))
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(base + "/codes_compact"))
+    assert len(glob.glob(base + "/codes_compact/cell=*/*.parquet")) \
+        == n_cells
+
+    frag = [tuple(r) for r in _ivfpq_probe(
+        spark, vecs, base, n_codes, IVFPQ_RERANK, 10).collect()]
+    comp = [tuple(r) for r in _ivfpq_probe(
+        spark, vecs, base, n_codes, IVFPQ_RERANK, 10,
+        codes_subdir="codes_compact").collect()]
+    one_shot_base, _ = _ivfpq_stage_index(spark, vecs)
+    one = [tuple(r) for r in _ivfpq_probe(
+        spark, vecs, one_shot_base, n_codes, IVFPQ_RERANK, 10).collect()]
+    release_caches()
+    assert frag == comp == one and one
