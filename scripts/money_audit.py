@@ -153,10 +153,40 @@ def strip_top_limit(sql: str) -> str:
     return re.sub(r"\bLIMIT\s+\d+\s*;?\s*$", "", sql.rstrip(), flags=re.I)
 
 
+def site_inventory() -> list[dict]:
+    """Static (no-SQL-execution) inventory of every round(sum(...)) oracle
+    site: [{query, alias, idiom, digits}], sorted. Snapshotted to
+    scripts/money_sites.json by --snapshot; tests/test_registry_window.py
+    compares the live inventory to the snapshot so a NEW rounded-sum site
+    (or an idiom downgrade on an existing one) fails the fast loop with a
+    pointer to run the full distance audit — the gate runs continuously,
+    not only at round close."""
+    from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
+    all_queries()
+    inv = []
+    for name, q in REGISTRY.items():
+        if q.sql is None:
+            continue
+        for k, (start, end, expr, digits) in enumerate(find_sites(q.sql)):
+            inv.append({"query": name,
+                        "alias": site_alias(q.sql, end) or f"site{k}",
+                        "idiom": classify(expr), "digits": digits})
+    return sorted(inv, key=lambda r: (r["query"], r["alias"], r["digits"]))
+
+
+SNAPSHOT_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "money_sites.json")
+
+
 def main() -> None:
     from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
     from tests.oracle_utils import duck_connection
     all_queries()
+    if "--snapshot" in sys.argv:
+        with open(SNAPSHOT_PATH, "w") as fh:
+            json.dump(site_inventory(), fh, indent=1)
+        print(f"# wrote {SNAPSHOT_PATH}")
+        return
 
     cons = {d: duck_connection(d) for d in SF_DIRS}
     rows, n_bad = [], 0

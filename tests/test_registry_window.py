@@ -125,3 +125,22 @@ def test_doc_counters_match_registry():
     assert (f"({total} queries, {total - rows_only} oracle-backed"
             in survey), (
         f"SURVEY.md §7.4 note != {total}/{total - rows_only}")
+
+
+def test_money_sites_match_audited_snapshot():
+    """Round-15 money gate, continuous form: the full boundary-distance
+    audit (scripts/money_audit.py, PLANS.md table) runs at round close;
+    this pin makes the inventory part run every fast loop. A NEW
+    round(sum(...)) oracle site, or an idiom change on an existing one
+    (e.g. an exact decimal sum downgraded to a raw double sum), fails
+    here until the distance audit is re-run and the snapshot rewritten
+    (`python scripts/money_audit.py` — must exit 0 — then `--snapshot`)."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from money_audit import SNAPSHOT_PATH, site_inventory
+
+    live = site_inventory()
+    snap = json.load(open(SNAPSHOT_PATH))
+    assert live == snap, (
+        "round(sum(...)) oracle sites drifted from scripts/money_sites.json"
+        " — run `python scripts/money_audit.py` (exit 0 required), then"
+        " `--snapshot` to re-baseline")
