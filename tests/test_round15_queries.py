@@ -141,3 +141,59 @@ def test_fragmented_write_rule_when_a_batch_misses_cells(spark):
         spark, vecs, one_shot_base, n_codes, IVFPQ_RERANK, 10).collect()]
     release_caches()
     assert frag == comp == one and one
+
+
+def test_compaction_hot_cell_splits_by_max_records_per_file(spark):
+    """The 100 TB skew answer, demonstrated: one task per cell is right
+    until a hot cell's codes outgrow a single right-sized file — then
+    production sets spark.sql.files.maxRecordsPerFile on the compact
+    write, and the writer splits each cell's single-task output into
+    ceil(cell_rows / target) files deterministically (no salting, no
+    second shuffle, layout and pruning unchanged). Pin exactly that:
+    compact the fragmented demo index with a small target, assert the
+    per-cell file counts equal the ceil rule, and the probe over the
+    split layout is row-identical to the single-file compact."""
+    import glob
+    import math
+
+    from pyspark.sql import functions as F
+
+    from spark_sentiment_spark.plans.registry import (REGISTRY, all_queries,
+                                                      release_caches)
+    from spark_sentiment_spark.plans.similarity_queries import (
+        IVFPQ_RERANK, _as_double, _ivfpq_probe, _ivfpq_stage_index, _norm,
+        N_COMPACT_BATCHES)
+
+    all_queries()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    e = _as_double("embedding")
+    unit = F.transform(e, lambda x: x / _norm(e))
+    vecs = emb.select("vec_id", unit.alias("e"))
+    base, n_codes = _ivfpq_stage_index(spark, vecs,
+                                       code_batches=N_COMPACT_BATCHES,
+                                       prefix="ivfpq_split_")
+    codes = spark.read.parquet(base + "/codes")
+    per_cell = {r["cell"]: r["n"] for r in
+                codes.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    target = max(2, max(per_cell.values()) // 3)  # force >=2 files somewhere
+
+    (codes.repartition(F.col("cell"))
+     .write.mode("overwrite").partitionBy("cell")
+     .option("maxRecordsPerFile", target)
+     .parquet(base + "/codes_split"))
+    for cell, n in per_cell.items():
+        got = len(glob.glob(f"{base}/codes_split/cell={cell}/*.parquet"))
+        assert got == math.ceil(n / target), (cell, n, target, got)
+    assert any(math.ceil(n / target) >= 2 for n in per_cell.values())
+
+    (codes.repartition(F.col("cell"))
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(base + "/codes_compact"))
+    split = [tuple(r) for r in _ivfpq_probe(
+        spark, vecs, base, n_codes, IVFPQ_RERANK, 10,
+        codes_subdir="codes_split").collect()]
+    single = [tuple(r) for r in _ivfpq_probe(
+        spark, vecs, base, n_codes, IVFPQ_RERANK, 10,
+        codes_subdir="codes_compact").collect()]
+    release_caches()
+    assert split == single and single
