@@ -1375,7 +1375,10 @@ def ann_ivfpq_compacted_probe(spark, sf_dir, topk: int = 10,
     any other fragmentation hash-mismatches. Production picks files per
     cell as ceil(cell_bytes / target_file_size); the demo's corpus
     makes that 1, same pinning rationale as io_compact_small_files'
-    repartition(4).
+    repartition(4) — and the hot-cell case (a skewed cell too big for
+    one file) is demonstrated with `maxRecordsPerFile` on the same
+    write, ceil-rule file counts and probe identity pinned in
+    tests/test_round15_queries.py.
 
     Scale: compaction is one linear pass over the code table (already
     32x-compressed vs the embeddings), shuffling on the cell key it is
