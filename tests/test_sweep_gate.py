@@ -1,0 +1,65 @@
+"""The standing sf0.1 sweep gate's slice computation (scripts/sweep_sf01.py)
+is what guarantees full-catalog coverage every 3 rounds — pin its two
+load-bearing properties so a refactor can't silently shrink coverage:
+the bucket function is a stable pure function of the name (literals
+pinned), and a query whose fn-source+oracle hash drifted from the cut
+snapshot is always swept regardless of bucket."""
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _mod():
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import sweep_sf01
+    return sweep_sf01
+
+
+def test_bucket_is_stable_and_total():
+    """Pinned literals: if the bucket function ever changes (different
+    hash, different modulus), these fail and the rotation documentation
+    in PLANS.md is stale. Every name lands in exactly one of 3 buckets."""
+    m = _mod()
+    assert m.bucket("q1_pricing_summary") == 1
+    assert m.bucket("dedup_exact") == 0
+    assert m.bucket("ann_ivfpq_persisted_probe") == 0
+    assert m.bucket("events_sessionize") == 2
+    assert all(m.bucket(f"name{i}") in (0, 1, 2) for i in range(50))
+
+
+def test_slice_covers_bucket_and_edits():
+    """The round's slice = (its bucket) ∪ (new since cut) ∪ (edited since
+    cut). Simulate an edit by perturbing the snapshot for one
+    out-of-bucket oracle query: it must join the slice as
+    'edited since cut'."""
+    from gen_window import HASHES_PATH, WINDOW_ROUND
+
+    m = _mod()
+    names, reasons = m.compute_slice()
+    want = WINDOW_ROUND % 3
+    snapshot = json.load(open(HASHES_PATH))
+    # every in-bucket snapshotted query is in the slice
+    for n in snapshot:
+        if m.bucket(n) == want:
+            assert n in reasons, n
+    # pick an out-of-bucket query and perturb its snapshot hash in a copy
+    victim = next(n for n in snapshot if m.bucket(n) != want)
+    assert victim not in reasons or reasons[victim] != f"bucket {want}"
+    orig = json.load(open(HASHES_PATH))
+    try:
+        perturbed = dict(orig)
+        perturbed[victim] = "0" * 16
+        with open(HASHES_PATH, "w") as fh:
+            json.dump(perturbed, fh)
+        _, reasons2 = m.compute_slice()
+        assert reasons2.get(victim) == "edited since cut"
+    finally:
+        with open(HASHES_PATH, "w") as fh:
+            json.dump(orig, fh, indent=1, sort_keys=True)
+    # registry names absent from the snapshot (registered post-cut)
+    # classify as new
+    assert all(r in (f"bucket {want}", "new since cut", "edited since cut")
+               for r in reasons.values())
