@@ -1020,7 +1020,7 @@ IVFPQ_RERANK = 50
 
 
 def _ivfpq_sql(topk: int = 10, rerank: int = IVFPQ_RERANK,
-               extra_cols: str = "") -> str:
+               extra_cols: str = "", cand_pred: str = "") -> str:
     """The composed oracle: ANN_IVF_SQL's coarse chain (seeds → cells →
     multi-assignment → query probes) spliced with _pq_sql's fine chain
     (codebooks → encode → fixed-point ADC tables), candidates restricted
@@ -1092,7 +1092,7 @@ WITH c AS (
 ), cellcand AS (
   SELECT DISTINCT q.qid, a.vec_id
   FROM qprobes q JOIN assigned a ON q.cell = a.cell
-  WHERE a.vec_id <> q.qid
+  WHERE a.vec_id <> q.qid{cand_pred}
 ), adc AS (
   SELECT cc.qid, cc.vec_id, sum(qt.ip_fp) AS adc_fp
   FROM cellcand cc
@@ -1279,7 +1279,7 @@ def ann_ivfpq_persisted_probe(spark, sf_dir, topk: int = 10,
 
 def _ivfpq_probe(spark, vecs, base: str, n_codes: int, rerank: int,
                  topk: int, queries=None, n_probe: int = IVF_PROBE,
-                 codes_subdir: str = "codes"):
+                 codes_subdir: str = "codes", tombstones=None):
     """Phase-2 of the composed IVF+PQ index — the recurring per-batch
     cost, callable on its own against pre-staged artifacts
     (scripts/scale_probe.py times it separately from the build;
@@ -1321,6 +1321,14 @@ def _ivfpq_probe(spark, vecs, base: str, n_codes: int, rerank: int,
     # rewritten layout next to the original and serve probes from it.
     codes = (spark.read.parquet(f"{base}/{codes_subdir}")
              .where(F.col("cell").isin(visited)))
+    if tombstones is not None:
+        # Logical deletes applied at scan time: a broadcast LEFT ANTI
+        # against the (small) delete set — the deletion-vector pattern;
+        # the code table itself is never shuffled or rewritten here
+        # (the physical rewrite is the purge pass, pinned identical in
+        # tests/test_round15_queries.py).
+        codes = codes.join(F.broadcast(tombstones.select("vec_id")),
+                           "vec_id", "left_anti")
     cand = (codes.join(F.broadcast(qcells), "cell")
             .where(F.col("vec_id") != F.col("qid"))
             # multi-assignment means a candidate can match a query via
@@ -1329,6 +1337,72 @@ def _ivfpq_probe(spark, vecs, base: str, n_codes: int, rerank: int,
             .join(F.broadcast(probes), "qid"))
     return _pq_adc_topk(codes, probes, vecs, n_codes, rerank, topk,
                         cand=cand)
+
+
+# Deterministic delete set for the tombstone demo: every 7th vector by
+# id, residue 6 so the 5 query vectors (vec_id < 5) are never deleted —
+# queries come from the probe batch, not the index, so deleting one
+# would only change which qids appear, muddying the demo.
+TOMB_MOD, TOMB_RES = 7, 6
+
+ANN_IVFPQ_TOMBSTONE_SQL = _ivfpq_sql(
+    cand_pred=f"\n    AND a.vec_id % {TOMB_MOD} <> {TOMB_RES}")
+
+
+@register("ann_ivfpq_tombstone_probe", sql=ANN_IVFPQ_TOMBSTONE_SQL,
+          tags=("similarity", "layout", "pipeline"))
+def ann_ivfpq_tombstone_probe(spark, sf_dir, topk: int = 10,
+                              rerank: int = IVFPQ_RERANK):
+    """DELETES for the composed IVFPQ index — the lifecycle leg after
+    build → append → compact: takedowns (rights removal, dedup purges,
+    contamination pulls) must leave the index without a rebuild, and a
+    training-data pipeline needs that to be auditable. Two standard
+    phases, both demonstrated:
+
+    * LOGICAL tombstones (this query): the delete set — vectors with
+      vec_id % 7 == 6, a deterministic ~14% of the corpus — is applied
+      at PROBE time as a broadcast LEFT ANTI join on the pruned code
+      scan (the deletion-vector pattern Delta/Iceberg use): the
+      quantizer artifacts and the cell-partitioned code table stay
+      byte-untouched, a deleted vector simply stops being a candidate.
+      The rest of the probe is the unmodified `_ivfpq_probe` chain —
+      routing from persisted centroids, directory-pruned code scan,
+      integer-ADC, exact re-rank.
+    * PHYSICAL purge (pinned in tests/test_round15_queries.py): the
+      code table anti-join-rewritten without the deleted rows, same
+      partitionBy-cell layout, same quantizers — and the probe over the
+      purged layout is row-identical to the tombstone probe, which is
+      the purge contract (rewrite when tombstones accumulate, probe
+      results never change).
+
+    The quantizers are deliberately NOT retrained on the surviving
+    corpus: content-addressed seeds over the full corpus keep every
+    engine replaying the same cells/codebook, and retraining on every
+    takedown is exactly what a production index avoids (FAISS
+    remove_ids keeps the trained quantizer too). Oracle: the composed
+    IVFPQ SQL with the delete predicate on the candidate CTE — the only
+    place a tombstone can act, since deleted vectors still contributed
+    to neither queries (vec_id < 5 are never deleted by construction)
+    nor the frozen quantizers.
+
+    Scale: the delete set is takedown-sized (thousands), broadcast to
+    the probe's pruned scan — zero shuffle of the code table; the purge
+    is one linear anti-join pass over the compressed codes, per-cell
+    independent like compaction. No Python anywhere."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = _as_double("embedding")
+    unit = F.transform(e, lambda x: x / _norm(e))
+    vecs = emb.select("vec_id", unit.alias("e"))
+
+    base, n_codes = _ivfpq_stage_index(spark, vecs)
+    if n_codes == 0:
+        return spark.createDataFrame(
+            [], "qid long, vec_id long, cosine double, rn long")
+
+    tomb = (vecs.where((F.col("vec_id") % TOMB_MOD) == TOMB_RES)
+            .select("vec_id"))
+    return _ivfpq_probe(spark, vecs, base, n_codes, rerank, topk,
+                        tombstones=tomb)
 
 
 def _count_cell_parts(codes_dir: str) -> int:

@@ -743,6 +743,28 @@ def test_compacted_ivfpq_layout_still_directory_prunes(spark):
     assert per_cell and set(per_cell) == {1}, per_cell
 
 
+def test_tombstone_probe_broadcast_anti_join_still_prunes(spark):
+    """ann_ivfpq_tombstone_probe: logical deletes must stay scan-side
+    cheap — the delete set applies as a BROADCAST LeftAnti on the
+    already-pruned code scan (never a shuffle of the code table), the
+    visited-cell partition filter survives the added join, and the
+    probe plan keeps zero Python nodes."""
+    from spark_sentiment_spark.plans.registry import release_caches
+    from spark_sentiment_spark.plans.similarity_queries import PQ_K
+
+    plan = _plan(spark, "ann_ivfpq_tombstone_probe")
+    assert "Python" not in plan
+    assert re.search(r"BroadcastHashJoin \[vec_id#\d+L?\], \[vec_id#\d+L?\],"
+                     r" LeftAnti", plan), "tombstones not a broadcast anti"
+    assert "SortMergeJoin" not in plan
+    m = re.search(r"ivfpq_index_[^\n]*PartitionFilters: \[cell#\d+ INSET"
+                  r" ([\d, ]+)", plan)
+    assert m, "visited-cell predicate lost under the tombstone join"
+    visited = {int(x) for x in m.group(1).split(",") if x.strip()}
+    release_caches()
+    assert 0 < len(visited) < PQ_K, sorted(visited)
+
+
 def test_prepare_training_set_caches_survivors_no_python(spark):
     """prepare_training_set: the curated-survivor frame must be served
     from ONE persisted narrow relation (3 InMemoryTableScan references

@@ -197,3 +197,53 @@ def test_compaction_hot_cell_splits_by_max_records_per_file(spark):
         codes_subdir="codes_compact").collect()]
     release_caches()
     assert split == single and single
+
+
+def test_tombstone_probe_equals_physical_purge(spark):
+    """The delete lifecycle's two phases must agree: the LOGICAL
+    tombstone probe (broadcast anti-join at scan time, index untouched)
+    and the PHYSICAL purge (code table anti-join-rewritten without the
+    deleted rows, same partitionBy-cell layout, same frozen quantizers)
+    must return row-identical results — the purge contract that lets a
+    maintenance service rewrite whenever tombstones accumulate without
+    changing any probe's answer. Also pins that deleted vectors are
+    gone from the purged table and never appear in either result."""
+    from pyspark.sql import functions as F
+
+    from spark_sentiment_spark.plans.registry import (REGISTRY, all_queries,
+                                                      release_caches)
+    from spark_sentiment_spark.plans.similarity_queries import (
+        IVFPQ_RERANK, TOMB_MOD, TOMB_RES, _as_double, _ivfpq_probe,
+        _ivfpq_stage_index, _norm)
+
+    all_queries()
+    tomb_rows = _probe_rows(
+        REGISTRY["ann_ivfpq_tombstone_probe"].fn(spark, SF_DIR))
+    assert tomb_rows and all(v % TOMB_MOD != TOMB_RES
+                             for _, v, _, _ in tomb_rows)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    e = _as_double("embedding")
+    unit = F.transform(e, lambda x: x / _norm(e))
+    vecs = emb.select("vec_id", unit.alias("e"))
+    base, n_codes = _ivfpq_stage_index(spark, vecs, prefix="ivfpq_purge_")
+    tomb = (vecs.where((F.col("vec_id") % TOMB_MOD) == TOMB_RES)
+            .select("vec_id"))
+    codes = spark.read.parquet(base + "/codes")
+    (codes.join(tomb, "vec_id", "left_anti")
+     .repartition(F.col("cell"))
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(base + "/codes_purged"))
+    purged = spark.read.parquet(base + "/codes_purged")
+    assert purged.where((F.col("vec_id") % TOMB_MOD) == TOMB_RES).count() == 0
+    n_del = codes.select("vec_id").distinct() \
+        .where((F.col("vec_id") % TOMB_MOD) == TOMB_RES).count()
+    assert n_del > 0  # the delete set is non-empty at this SF
+    assert purged.count() == codes.count() - codes.where(
+        (F.col("vec_id") % TOMB_MOD) == TOMB_RES).count()
+
+    purge_rows = [tuple(r) for r in _ivfpq_probe(
+        spark, vecs, base, n_codes, IVFPQ_RERANK, 10,
+        codes_subdir="codes_purged").collect()]
+    release_caches()
+    assert purge_rows == tomb_rows
