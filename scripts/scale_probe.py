@@ -264,6 +264,11 @@ PROBES = {
     # write-inclusive persisted probe's encode-bound shape, with the
     # compact pass adding a code-table-linear (i.e. small) increment.
     "ann_ivfpq_compacted_probe": {"embeddings": ["vec_id"]},
+    # round-15 addition: the delete leg — one-shot build + a probe whose
+    # only extra node is the broadcast LeftAnti delete filter; slope
+    # should match the write-inclusive persisted probe's (the ~14%
+    # delete set shrinks the candidate pool, it never adds work).
+    "ann_ivfpq_tombstone_probe": {"embeddings": ["vec_id"]},
 }
 
 
