@@ -40,7 +40,17 @@ WINDOW_SIZE = 50
 # globbing ALL history made the frozen window churn the moment
 # CORRECTNESS_r06.json appeared in the working tree). Bump this constant when
 # deliberately cutting the next rotation, then re-run this script.
-WINDOW_ROUND = 15
+WINDOW_ROUND = 16
+
+# Rows-only queries never take a slot on their own (their weaker
+# rows-only check adds no oracle signal), EXCEPT a one-time explicit
+# routing so the driver record is complete. Round-15 VERDICT item 3:
+# mlib_score_documents is the only rows-only query never driver-routed
+# (the other three have no_oracle rows on record) — window it once at
+# the r16 cut. Keyed by the round it should be windowed; the entry is
+# consumed at exactly that cut (after it earns its row, `latest` has it
+# and the guard below keeps it out of later windows).
+FORCE_ROWS_ONLY = {"mlib_score_documents": 16}
 
 # Queries whose plan or oracle changed after their latest green row (the
 # row no longer certifies the current code), keyed by the ROUND of the
@@ -193,16 +203,23 @@ def compute_window() -> tuple[list[str], dict]:
     upgraded = [n for n, rnd in UPGRADED_SINCE_ROW.items()
                 if rnd < WINDOW_ROUND
                 and n in oracle_names and n in latest and latest[n] < rnd]
+    # One-time rows-only routing (see FORCE_ROWS_ONLY): only at its
+    # designated cut, only while it still has no driver row of any kind.
+    forced = sorted(n for n, rnd in FORCE_ROWS_ONLY.items()
+                    if rnd == WINDOW_ROUND
+                    and n in REGISTRY and REGISTRY[n].sql is None
+                    and n not in latest)
     stale = sorted(((latest[n], n) for n in oracle_names
                     if n in latest and n not in upgraded),
                    key=lambda t: (t[0], t[1]))
 
-    window = never + upgraded
+    window = never + upgraded + forced
     backfill = [n for _, n in stale][: max(0, WINDOW_SIZE - len(window))]
     window += backfill
     info = {
         "never": never,
         "upgraded": upgraded,
+        "forced": forced,
         "backfill": backfill,
         "latest": latest,
     }
@@ -220,11 +237,12 @@ if __name__ == "__main__":
         print(f"# wrote {HASHES_PATH}")
     window, info = compute_window()
     print(f"# {len(info['never'])} never-checked + {len(info['upgraded'])} "
-          f"upgraded-since-row + {len(info['backfill'])} oldest-stale "
-          f"backfill = {len(window)}")
+          f"upgraded-since-row + {len(info['forced'])} forced-rows-only + "
+          f"{len(info['backfill'])} oldest-stale backfill = {len(window)}")
     print("_WINDOW_PRIORITY = [")
     for section, names in (("never driver-checked", info["never"]),
                            ("upgraded after latest row", info["upgraded"]),
+                           ("forced rows-only (one-time)", info["forced"]),
                            ("oldest-stale backfill", info["backfill"])):
         print(f"    # — {section} —")
         for n in names:

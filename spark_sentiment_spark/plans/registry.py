@@ -161,82 +161,81 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # catalog entries, so ordering is an explicit, audited decision rather
 # than an accident of import order.
 #
-# The round-15 window is COMPUTED, not hand-maintained: `python
+# The round-16 window is COMPUTED, not hand-maintained: `python
 # scripts/gen_window.py` derives it from the registry and the
 # CORRECTNESS_r*.json history for rounds strictly before WINDOW_ROUND
-# (=15, so the list stays frozen when the driver lands the current
+# (=16, so the list stays frozen when the driver lands the current
 # round's artifact mid-round), and tests/test_registry_window.py asserts
 # this committed list matches that computation. Cut 2026-08-16 at
-# round-15 start, matching the round-14 verdict accounting: the 5
-# round-14 additions (never driver-checked; all independently re-verified
-# at sf0.01 by the round-14 judge) take the priority slots, PLUS the ten
-# queries upgraded after their latest green row — ann_lsh_topk and
-# dedup_semantic's static oracle literals replaced by adaptive prm CTEs,
-# and the eight money-sum queries moved to the exact DECIMAL(27,s)
-# per-row idiom after the sf0.1 sweep caught the order-sensitive
-# round(sum(double),2) class (all re-verified at sf0.001/0.01/0.1 on
-# landing, but their green rows no longer hash the live source). That
-# leaves 35 backfill slots: the 3 remaining r9-stale rows
-# (token_hapax_rate, window_dist_funcs, zorder_probe) + 32 of the r10
-# rows (round asc, name asc). Rows-only queries never take a slot.
-# Round-15 additions land BELOW the window (normal rotation reaches them
-# at the round-16 cut). After this round the stale set is ~18 r10 rows +
-# r11+ rows + this round's additions; the full-refresh cycle stays ~2
+# round-16 start, matching the round-15 verdict accounting: the 2
+# round-15 lifecycle additions (ann_ivfpq_compacted_probe /
+# ann_ivfpq_tombstone_probe — never driver-checked; both independently
+# re-verified at sf0.01 by the round-15 judge and at sf0.1 on landing)
+# take the priority slots; the upgraded-since-row class is EMPTY (the
+# r15 window certified all ten of last round's upgrades); ONE forced
+# rows-only slot routes mlib_score_documents through the driver once
+# (round-15 VERDICT item 3 — the only rows-only query with no driver
+# no_oracle row on record; gen_window.FORCE_ROWS_ONLY documents the
+# one-time policy exception). That leaves 47 backfill slots: the 16
+# remaining r10-stale rows (newest driver row 5 rounds old) + 31 of the
+# r11 rows (round asc, name asc). After this round the stale set is the
+# ~18 remaining r11 rows + r12+ rows; the full-refresh cycle stays ~2
 # rounds at window 50 if catalog growth holds at <=8/round.
 _WINDOW_PRIORITY = [
-    # — never driver-checked (round-14 additions, judge-verified green) —
-    "ann_ivfpq_persisted_probe",
-    "mixture_upsample",
-    "pack_sequences_spans",
-    "prepare_training_set",
-    "streaming_ivfpq_probe",
-    # — upgraded after latest row —
-    "ann_lsh_topk",  # r10
-    "dedup_semantic",  # r13
-    "q1_pricing_summary",  # r13
-    "q3_shipping_priority",  # r13
-    "q5_local_supplier",  # r13
-    "q6_forecast_revenue",  # r13
-    "q10_returned_items",  # r13
-    "agg_global_stats",  # r11
-    "scalar_math_funcs",  # r13
-    "q17_small_qty_revenue",  # r13
+    # — never driver-checked (round-15 additions, judge-verified green) —
+    "ann_ivfpq_compacted_probe",
+    "ann_ivfpq_tombstone_probe",
+    # — upgraded after latest row — (empty this cut)
+    # — forced rows-only (one-time; see gen_window.FORCE_ROWS_ONLY) —
+    "mlib_score_documents",
     # — oldest-stale backfill —
-    "token_hapax_rate",  # r9
-    "window_dist_funcs",  # r9
-    "zorder_probe",  # r9
-    "agg_hll_sketch",  # r10
-    "ann_ivf_topk",  # r10
-    "ann_pq_topk",  # r10
-    "audit_referential",  # r10
-    "cap_per_source",  # r10
-    "corr_matrix",  # r10
-    "curriculum_buckets",  # r10
-    "decontaminate_minhash",  # r10
-    "dedup_char_ngrams",  # r10
-    "dedup_cluster_canonical",  # r10
-    "dedup_cluster_stats",  # r10
-    "dedup_clusters",  # r10
-    "dedup_containment_prefix",  # r10
-    "dedup_embedding_cosine",  # r10
-    "dedup_exact",  # r10
-    "dedup_keep_best",  # r10
-    "dedup_minhash_bucketed_probe",  # r10
-    "dedup_simjoin_prefix",  # r10
-    "events_cdc_state",  # r10
-    "events_daily_rollup",  # r10
-    "events_daily_uniques_hll",  # r10
-    "events_funnel_windowed",  # r10
-    "events_rolling_distinct",  # r10
-    "events_scd2_merge_delta",  # r10
-    "events_seasonal_anomaly",  # r10
-    "events_stickiness",  # r10
-    "graph_degree_assortativity",  # r10
-    "io_partitioned_prune",  # r10
-    "orders_basket_lift",  # r10
-    "q22_dormant_customers",  # r10
-    "q8_market_share",  # r10
-    "q9_product_profit",  # r10
+    "quality_outlier_trim",  # r10
+    "quality_repetition",  # r10
+    "quality_scores",  # r10
+    "quality_zscore_by_lang",  # r10
+    "sample_stratified",  # r10
+    "streaming_minhash_probe",  # r10
+    "streaming_stateful_counts",  # r10
+    "streaming_static_enrich",  # r10
+    "streaming_tumbling_hour",  # r10
+    "streaming_volume_anomaly",  # r10
+    "text_stats_by_lang",  # r10
+    "text_tfidf_topk",  # r10
+    "token_counts",  # r10
+    "token_pmi_bigrams",  # r10
+    "wordlist_extraction",  # r10
+    "wordscore_sentiment",  # r10
+    "agg_by_month",  # r11
+    "agg_case_bucket",  # r11
+    "agg_cube",  # r11
+    "agg_grouping_sets",  # r11
+    "agg_having",  # r11
+    "agg_histogram",  # r11
+    "agg_percentiles",  # r11
+    "agg_pivot",  # r11
+    "agg_rollup",  # r11
+    "contrastive_pairs",  # r11
+    "corpus_token_entropy",  # r11
+    "dedup_incremental",  # r11
+    "dedup_incremental_bloom",  # r11
+    "dedup_jaccard_pairs",  # r11
+    "dedup_minhash_lsh",  # r11
+    "dedup_prefix",  # r11
+    "dedup_simhash",  # r11
+    "dedup_winnowing_pairs",  # r11
+    "doc_winnowing",  # r11
+    "events_rfm_distributed",  # r11
+    "events_rollup_incremental",  # r11
+    "events_scd2_history",  # r11
+    "fuzzy_lexicon_match",  # r11
+    "io_compact_small_files",  # r11
+    "io_orc_roundtrip",  # r11
+    "join_skew_salted",  # r11
+    "langid_char_ngram",  # r11
+    "multimodal_fingerprints",  # r11
+    "multimodal_phash_dedup",  # r11
+    "ngram_novelty",  # r11
+    "packing_efficiency",  # r11
 ]
 
 
