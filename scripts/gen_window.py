@@ -149,15 +149,20 @@ UPGRADED_SINCE_ROW = {
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Snapshot of every oracle-backed query's (fn source + oracle sql) hash,
+# Snapshot of every registered query's (fn source + oracle sql) hash,
 # written at window-cut time. tests/test_registry_window.py compares the
 # live hashes against this file: a query whose hash drifted must either sit
 # in the current window (its upcoming driver row certifies the new code) or
 # carry an UPGRADED_SINCE_ROW entry >= WINDOW_ROUND — closing the round-6
 # ADVICE gap where a mid-round semantic edit could silently keep its stale
-# green row. Limitation: the hash covers the registered fn body and the SQL
-# string, not helper modules the fn calls; deep-helper edits still need a
-# manual UPGRADED_SINCE_ROW entry.
+# green row. As of round 16 the snapshot also covers rows-only queries
+# (sql hashed as "") so scripts/sweep_sf01.py's bucket rotation and
+# new/edited-since-cut detection include them — round-15 ADVICE: a new
+# rows-only query previously never got an sf0.1 smoke run. They remain
+# ineligible for window slots (compute_window filters on q.sql). The
+# hash covers the registered fn body and the SQL string, not helper
+# modules the fn calls; deep-helper edits still need a manual
+# UPGRADED_SINCE_ROW entry.
 HASHES_PATH = os.path.join(REPO, "scripts", "window_source_hashes.json")
 
 
@@ -167,14 +172,12 @@ def source_hashes() -> dict[str, str]:
     all_queries()
     out = {}
     for name, q in sorted(REGISTRY.items()):
-        if q.sql is None:
-            continue
         try:
             src = inspect.getsource(q.fn)
         except (OSError, TypeError):
             src = repr(q.fn)
         out[name] = hashlib.sha256(
-            (src + "\x00" + q.sql).encode()).hexdigest()[:16]
+            (src + "\x00" + (q.sql or "")).encode()).hexdigest()[:16]
     return out
 
 

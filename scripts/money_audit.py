@@ -129,24 +129,58 @@ def site_alias(sql: str, end: int) -> str | None:
 
 
 def is_predicate_context(sql: str, start: int) -> bool:
-    """True when the nearest preceding clause keyword is WHERE/HAVING/ON —
-    i.e. the rounded value filters rows, so an in-place rewrite would change
-    the audited row set. CASE WHEN inside a select item is NOT a predicate
-    (SQL clause order puts a select-list site before its own FROM/ON/WHERE
-    text, so the nearest-keyword rule stays correct inside CTE chains)."""
+    """True when the nearest preceding clause keyword AT OR ABOVE the
+    site's paren depth is WHERE/HAVING/ON — i.e. the rounded value filters
+    rows, so an in-place rewrite would change the audited row set. CASE
+    WHEN inside a select item is NOT a predicate (SQL clause order puts a
+    select-list site before its own FROM/ON/WHERE text, so the
+    nearest-keyword rule stays correct inside CTE chains). Keywords nested
+    DEEPER than the site are ignored (round-15 ADVICE: a scalar subquery's
+    WHERE earlier in the same select list — `(SELECT … WHERE …) AS x,
+    round(sum(…))` — misclassified the following select-list site as
+    predicate context, forcing a spurious MANUAL)."""
+    depths, depth = [0] * start, 0
+    for i in range(start):
+        depths[i] = depth
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+    site_depth = depth
     last_kw, last_pos = "select", -1
     for kw in ("select", "where", "having", r"group\s+by", r"order\s+by",
                r"\bon\b"):
         for m in re.finditer(kw, sql[:start], re.I):
+            if depths[m.start()] > site_depth:
+                continue  # inside a subexpression nested deeper than the site
             if m.start() > last_pos:
                 last_pos, last_kw = m.start(), kw
     return last_kw in ("where", "having", r"\bon\b")
 
 
 def alias_in_predicate(sql: str, alias: str) -> bool:
-    pat = (rf"\b{alias}\b\s*(=|<>|!=|>=|<=|>|<|\bIN\b)"
-           rf"|(=|<>|!=|>=|<=|>|<)\s*\(?\s*SELECT[^)]*\b{alias}\b")
-    return re.search(pat, sql, re.I) is not None
+    """True when the site's alias feeds a comparison elsewhere — directly
+    (`alias <op>`) or anywhere inside a comparison's scalar subquery
+    (`<op> (SELECT … alias …)`, e.g. q15's `revenue = (SELECT
+    max(revenue)…)`). The subquery scan takes the balanced-paren extent
+    (round-15 ADVICE: the old `[^)]*` could not span nested parentheses,
+    so an alias after a nested closing paren — `= (SELECT max(round(…))
+    … alias)` — was missed: a false SAFE for a DOUBLE site)."""
+    if re.search(rf"\b{alias}\b\s*(=|<>|!=|>=|<=|>|<|\bIN\b)", sql, re.I):
+        return True
+    for m in re.finditer(r"(=|<>|!=|>=|<=|>|<|\bIN\b)\s*\(\s*SELECT\b",
+                         sql, re.I):
+        i = sql.index("(", m.end(1))
+        depth, j = 1, i + 1
+        while depth and j < len(sql):
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        if re.search(rf"\b{alias}\b", sql[i:j], re.I):
+            return True
+    return False
 
 
 def strip_top_limit(sql: str) -> str:

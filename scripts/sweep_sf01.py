@@ -15,6 +15,10 @@ Slice policy (deterministic, documented in PLANS.md each round):
     scripts/window_source_hashes.json) or EDITED since it (live
     fn-source+oracle hash differs from the snapshot) — the queries most
     likely to carry a fresh SF-dependent divergence are always swept.
+  Rows-only queries participate in both rules as of round 16 (the
+  snapshot hashes them with sql="") and get the rows-only smoke run —
+  round-15 ADVICE: a new rows-only query previously escaped sf0.1
+  entirely, contradicting the full-coverage claim above.
 
 Usage:
   python scripts/sweep_sf01.py                # this round's slice at sf0.1
@@ -48,7 +52,7 @@ def compute_slice() -> tuple[list[str], dict[str, str]]:
     """Return (sorted slice names, {name: reason}) for WINDOW_ROUND."""
     from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
     all_queries()
-    live = source_hashes()  # oracle-backed names -> hash
+    live = source_hashes()  # every registered name -> hash (rows-only incl.)
     snapshot = json.load(open(HASHES_PATH)) if os.path.exists(HASHES_PATH) else {}
     want = WINDOW_ROUND % 3
     reasons: dict[str, str] = {}

@@ -30,11 +30,12 @@ def test_bucket_is_stable_and_total():
     assert all(m.bucket(f"name{i}") in (0, 1, 2) for i in range(50))
 
 
-def test_slice_covers_bucket_and_edits():
+def test_slice_covers_bucket_and_edits(tmp_path, monkeypatch):
     """The round's slice = (its bucket) ∪ (new since cut) ∪ (edited since
-    cut). Simulate an edit by perturbing the snapshot for one
-    out-of-bucket oracle query: it must join the slice as
-    'edited since cut'."""
+    cut). Simulate an edit by perturbing a COPY of the snapshot at a tmp
+    path and pointing the sweep module at it (round-15 ADVICE: rewriting
+    the committed snapshot in place left it perturbed on disk after a
+    hard kill mid-test, and raced any parallel pytest reader)."""
     from gen_window import HASHES_PATH, WINDOW_ROUND
 
     m = _mod()
@@ -48,18 +49,39 @@ def test_slice_covers_bucket_and_edits():
     # pick an out-of-bucket query and perturb its snapshot hash in a copy
     victim = next(n for n in snapshot if m.bucket(n) != want)
     assert victim not in reasons or reasons[victim] != f"bucket {want}"
-    orig = json.load(open(HASHES_PATH))
-    try:
-        perturbed = dict(orig)
-        perturbed[victim] = "0" * 16
-        with open(HASHES_PATH, "w") as fh:
-            json.dump(perturbed, fh)
-        _, reasons2 = m.compute_slice()
-        assert reasons2.get(victim) == "edited since cut"
-    finally:
-        with open(HASHES_PATH, "w") as fh:
-            json.dump(orig, fh, indent=1, sort_keys=True)
+    perturbed = dict(snapshot)
+    perturbed[victim] = "0" * 16
+    copy_path = tmp_path / "window_source_hashes.json"
+    copy_path.write_text(json.dumps(perturbed))
+    # compute_slice resolves HASHES_PATH from sweep_sf01's module globals
+    # (bound there by `from scripts.gen_window import HASHES_PATH`), so
+    # patching that binding is sufficient; the committed file is untouched.
+    monkeypatch.setattr(m, "HASHES_PATH", str(copy_path))
+    _, reasons2 = m.compute_slice()
+    assert reasons2.get(victim) == "edited since cut"
     # registry names absent from the snapshot (registered post-cut)
     # classify as new
     assert all(r in (f"bucket {want}", "new since cut", "edited since cut")
                for r in reasons.values())
+
+
+def test_rows_only_queries_participate_in_rotation():
+    """Round-15 ADVICE: rows-only queries were excluded from both the
+    bucket rotation and new/edited detection, so a new rows-only query
+    never got an sf0.1 smoke run. Pin that every registered name —
+    oracle-backed or not — is snapshotted (so edits/new registrations
+    are caught) and that in-bucket rows-only names join the slice."""
+    from gen_window import HASHES_PATH, WINDOW_ROUND
+
+    m = _mod()
+    sys.path.insert(0, REPO)
+    from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
+    all_queries()
+    snapshot = json.load(open(HASHES_PATH))
+    assert set(snapshot) == set(REGISTRY)
+    _, reasons = m.compute_slice()
+    want = WINDOW_ROUND % 3
+    rows_only_in_bucket = [n for n, q in REGISTRY.items()
+                           if q.sql is None and m.bucket(n) == want]
+    for n in rows_only_in_bucket:
+        assert n in reasons, n
