@@ -59,9 +59,13 @@ REST_HEAVY = [
 # staged-index probes, ~60s/~40s) moved from "rest" (the 357s straggler
 # this round) onto the ~120-175s oracle shards — rest back to ~260s
 # behind rest-heavy's ~300s.
+# Round-16: the round16 query file (~2 min: staged-index lifecycle runs
+# + a drifted-occupancy corpus) rides oracle-0/2 like the round14/15
+# files did, keeping "rest" off the straggler path.
 SHARDS = [
     ("oracle-0/2", ["tests/test_oracle.py", "tests/test_streaming.py",
-                    "tests/test_round14_queries.py"],
+                    "tests/test_round14_queries.py",
+                    "tests/test_round16_queries.py"],
      {"SPARK_GRAFT_ORACLE_SHARD": "0/2"}),
     ("oracle-1/2", ["tests/test_oracle.py", "tests/test_round10_queries.py",
                     "tests/test_round15_queries.py"],
@@ -72,6 +76,7 @@ SHARDS = [
               "--ignore=tests/test_round10_queries.py",
               "--ignore=tests/test_round14_queries.py",
               "--ignore=tests/test_round15_queries.py",
+              "--ignore=tests/test_round16_queries.py",
               *[f"--ignore={f}" for f in REST_HEAVY]], {}),
 ]
 

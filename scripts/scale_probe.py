@@ -269,6 +269,13 @@ PROBES = {
     # should match the write-inclusive persisted probe's (the ~14%
     # delete set shrinks the candidate pool, it never adds work).
     "ann_ivfpq_tombstone_probe": {"embeddings": ["vec_id"]},
+    # round-16 addition: the refresh leg — stale build + a one-column
+    # decision scan over the compressed codes + (always triggered on the
+    # shipped corpora) a survivor rebuild + probe; write-inclusive slope
+    # should track ~2x the persisted probe's encode-bound shape (two
+    # builds over 1x + 0.857x of the corpus), the decision scan itself
+    # a negligible column-pruned increment.
+    "ann_ivfpq_refresh_probe": {"embeddings": ["vec_id"]},
 }
 
 

@@ -765,6 +765,32 @@ def test_tombstone_probe_broadcast_anti_join_still_prunes(spark):
     assert 0 < len(visited) < PQ_K, sorted(visited)
 
 
+def test_refresh_probe_serves_rebuilt_index_pruned_no_python(spark):
+    """ann_ivfpq_refresh_probe (triggered on the shipped corpus): the
+    probe must serve from the REBUILT artifacts (ivfpq_refreshed_*, the
+    survivor-trained quantizers), keep the visited-cell predicate as a
+    directory-level partition filter on the rebuilt code table, and
+    stay Python-free with no sort-merge join — the same probe-plan
+    contract every other index leg pins."""
+    from spark_sentiment_spark.plans.registry import release_caches
+    from spark_sentiment_spark.plans.similarity_queries import PQ_K
+
+    plan = _plan(spark, "ann_ivfpq_refresh_probe")
+    assert "Python" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ivfpq_refreshed_" in plan      # the rebuilt index, not the stale
+    # the survivor index's 5 queries visit ~10 cells: at <=10 values the
+    # predicate renders `IN (a,b,...)`, above that `INSET a, b, ...` —
+    # accept both so occupancy shifts don't flake the pin
+    m = re.search(r"ivfpq_refreshed_[^\n]*PartitionFilters: \[cell#\d+ "
+                  r"(?:INSET ([\d, ]+)|IN \(([\d,]+)\))", plan)
+    assert m, "visited-cell predicate did not reach the rebuilt scan"
+    visited = {int(x) for x in (m.group(1) or m.group(2)).split(",")
+               if x.strip()}
+    release_caches()
+    assert 0 < len(visited) < PQ_K, sorted(visited)
+
+
 def test_prepare_training_set_caches_survivors_no_python(spark):
     """prepare_training_set: the curated-survivor frame must be served
     from ONE persisted narrow relation (3 InMemoryTableScan references

@@ -71,14 +71,16 @@ def test_rows_only_queries_participate_in_rotation():
     never got an sf0.1 smoke run. Pin that every registered name —
     oracle-backed or not — is snapshotted (so edits/new registrations
     are caught) and that in-bucket rows-only names join the slice."""
-    from gen_window import HASHES_PATH, WINDOW_ROUND
+    from gen_window import WINDOW_ROUND, source_hashes
 
     m = _mod()
     sys.path.insert(0, REPO)
     from spark_sentiment_spark.plans.registry import REGISTRY, all_queries
     all_queries()
-    snapshot = json.load(open(HASHES_PATH))
-    assert set(snapshot) == set(REGISTRY)
+    # the LIVE hash set covers every registered name (rows-only hashed
+    # with sql=""); names registered after the cut are simply absent
+    # from the committed snapshot and classify as "new since cut"
+    assert set(source_hashes()) == set(REGISTRY)
     _, reasons = m.compute_slice()
     want = WINDOW_ROUND % 3
     rows_only_in_bucket = [n for n, q in REGISTRY.items()
