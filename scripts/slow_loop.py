@@ -10,12 +10,22 @@ Composition of the slow set (round 16): ~134 rotated-out oracle sweep
 params in tests/test_oracle.py (certified queries rotated out of the
 per-commit loop — the dominant cost, and already splittable with the
 md5-deterministic SPARK_GRAFT_ORACLE_SHARD partition fast_loop uses) +
-8 heavy integration tests across six other files. Three shards:
+8 heavy integration tests across six other files. Four shards (the
+first cut ran rest as ONE shard and measured it the 397 s straggler
+behind two ~95 s oracle shards; test_empty_tables — a full-catalog
+degenerate-corpus sweep per test, ~90% of rest's wall — splits one
+test per shard. NB: -k matches the whole node id INCLUDING the
+filename, so the selectors below use the test-function substrings, not
+"empty_tables", which matches both via the module name):
 
-  1. tests/test_oracle.py -m slow with SPARK_GRAFT_ORACLE_SHARD=0/2
-  2. tests/test_oracle.py -m slow with SPARK_GRAFT_ORACLE_SHARD=1/2
-  3. every other slow-marked test (mllib grid sweep, recall floors,
-     property checks, empty-table edge cases)
+  1. oracle sweep with SPARK_GRAFT_ORACLE_SHARD=0/2 + the six small
+     heavy files (mllib grid sweep, recall floors, property checks,
+     BPE oracles, analyze roundtrip)
+  2. oracle sweep with SPARK_GRAFT_ORACLE_SHARD=1/2
+  3. the empty-corpus catalog sweep
+  4. the single-row-corpus catalog sweep (the slowest single test —
+     quantizers/trainers on degenerate input pay fixed overhead per
+     catalog entry)
 
 Each shard gets its own warehouse/Derby home via
 SPARK_GRAFT_TEST_SHARD_DIR (embedded Derby allows one metastore per
@@ -39,11 +49,14 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 SHARDS = [
-    ("slow-oracle-0/2", ["tests/test_oracle.py"],
+    ("slow-oracle-0/2+rest", ["tests", "--ignore=tests/test_empty_tables.py"],
      {"SPARK_GRAFT_ORACLE_SHARD": "0/2"}),
     ("slow-oracle-1/2", ["tests/test_oracle.py"],
      {"SPARK_GRAFT_ORACLE_SHARD": "1/2"}),
-    ("slow-rest", ["tests", "--ignore=tests/test_oracle.py"], {}),
+    ("slow-empty", ["tests/test_empty_tables.py",
+                    "-k", "survives_empty"], {}),
+    ("slow-single", ["tests/test_empty_tables.py",
+                     "-k", "survives_single_row"], {}),
 ]
 
 
