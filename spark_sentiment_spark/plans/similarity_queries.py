@@ -1606,6 +1606,13 @@ def ann_ivfpq_refresh_probe(spark, sf_dir, topk: int = 10,
         survivors = vecs.where((F.col("vec_id") % TOMB_MOD) != TOMB_RES)
         base2, n_codes2 = _ivfpq_stage_index(spark, survivors,
                                              prefix="ivfpq_refreshed_")
+        if n_codes2 == 0:
+            # full takedown: every indexed vector deleted — nothing to
+            # retrain on and nothing to probe (engine-grade degenerate
+            # contract, pinned in tests/test_round16_queries.py)
+            return spark.createDataFrame(
+                [], "qid long, vec_id long, cosine double, rn long, "
+                    "tomb_rows long, indexed_rows long, refreshed long")
         res = _ivfpq_probe(spark, survivors, base2, n_codes2, rerank, topk)
     else:
         res = _ivfpq_probe(spark, vecs, base, n_codes, rerank, topk,

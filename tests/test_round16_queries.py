@@ -189,3 +189,30 @@ def test_refresh_rebalances_drifted_occupancy(spark):
     assert stale_max >= 2 * fresh_max, (stale_max, fresh_max)
     assert stale_max > 0.25, stale_max   # the hot cell really is hot
     assert fresh_max < 0.15, fresh_max   # and the refresh really fixes it
+
+
+def test_full_takedown_returns_empty_with_stable_schema(spark, tmp_path):
+    """Degenerate triggered branch: a corpus where EVERY vector is
+    deleted (all vec_ids ≡ TOMB_RES mod TOMB_MOD) fires the rule with
+    nothing left to retrain on — the query must return an empty frame
+    with the stable 7-column schema instead of crashing on an empty
+    survivor index (the engine-grade contract test_empty_tables pins
+    for zero-row inputs, here for the all-tombstoned shape)."""
+    from spark_sentiment_spark.plans.registry import (REGISTRY, all_queries,
+                                                      release_caches)
+    from spark_sentiment_spark.plans.similarity_queries import (TOMB_MOD,
+                                                                TOMB_RES)
+
+    all_queries()
+    rows = [(TOMB_RES + i * TOMB_MOD,
+             [float((i * 7 + d) % 13) / 13.0 for d in range(64)])
+            for i in range(4)]
+    (spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+     .write.parquet(str(tmp_path / "embeddings.parquet")))
+    df = REGISTRY["ann_ivfpq_refresh_probe"].fn(spark, str(tmp_path))
+    out = df.collect()
+    release_caches()
+    assert out == []
+    assert [f.name for f in df.schema.fields] == [
+        "qid", "vec_id", "cosine", "rn",
+        "tomb_rows", "indexed_rows", "refreshed"]
