@@ -6,6 +6,11 @@ cover — plus (optionally) the whole catalog.
 Usage:
   python scripts/driver_replica.py            # window (first 50) at sf0.01
   python scripts/driver_replica.py --all      # full catalog at sf0.01
+  python scripts/driver_replica.py --only a,b # just the named queries
+                                              # (unknown names error out —
+                                              # a typo'd flag must not
+                                              # silently fall back to the
+                                              # window, round-16 lesson)
 """
 
 from __future__ import annotations
@@ -28,7 +33,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 def main() -> None:
     all_queries()
     names = list(REGISTRY)
-    if "--all" not in sys.argv:
+    if "--only" in sys.argv:
+        wanted = sys.argv[sys.argv.index("--only") + 1].split(",")
+        unknown = [n for n in wanted if n not in REGISTRY]
+        if unknown:
+            sys.exit(f"--only names not in the registry: {unknown}")
+        names = wanted
+    elif "--all" not in sys.argv:
         names = names[:50]
     spark = get_spark(master="local[32]", shuffle_partitions=32,
                       extra_conf={"spark.ui.enabled": "false",
