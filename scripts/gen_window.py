@@ -40,7 +40,7 @@ WINDOW_SIZE = 50
 # globbing ALL history made the frozen window churn the moment
 # CORRECTNESS_r06.json appeared in the working tree). Bump this constant when
 # deliberately cutting the next rotation, then re-run this script.
-WINDOW_ROUND = 16
+WINDOW_ROUND = 17
 
 # Rows-only queries never take a slot on their own (their weaker
 # rows-only check adds no oracle signal), EXCEPT a one-time explicit

@@ -161,81 +161,79 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # catalog entries, so ordering is an explicit, audited decision rather
 # than an accident of import order.
 #
-# The round-16 window is COMPUTED, not hand-maintained: `python
+# The round-17 window is COMPUTED, not hand-maintained: `python
 # scripts/gen_window.py` derives it from the registry and the
 # CORRECTNESS_r*.json history for rounds strictly before WINDOW_ROUND
-# (=16, so the list stays frozen when the driver lands the current
+# (=17, so the list stays frozen when the driver lands the current
 # round's artifact mid-round), and tests/test_registry_window.py asserts
 # this committed list matches that computation. Cut 2026-08-16 at
-# round-16 start, matching the round-15 verdict accounting: the 2
-# round-15 lifecycle additions (ann_ivfpq_compacted_probe /
-# ann_ivfpq_tombstone_probe — never driver-checked; both independently
-# re-verified at sf0.01 by the round-15 judge and at sf0.1 on landing)
-# take the priority slots; the upgraded-since-row class is EMPTY (the
-# r15 window certified all ten of last round's upgrades); ONE forced
-# rows-only slot routes mlib_score_documents through the driver once
-# (round-15 VERDICT item 3 — the only rows-only query with no driver
-# no_oracle row on record; gen_window.FORCE_ROWS_ONLY documents the
-# one-time policy exception). That leaves 47 backfill slots: the 16
-# remaining r10-stale rows (newest driver row 5 rounds old) + 31 of the
-# r11 rows (round asc, name asc). After this round the stale set is the
-# ~18 remaining r11 rows + r12+ rows; the full-refresh cycle stays ~2
-# rounds at window 50 if catalog growth holds at <=8/round.
+# round-17 start, matching the round-16 verdict accounting: the single
+# round-16 addition (ann_ivfpq_refresh_probe — never driver-checked;
+# independently re-verified at sf0.01 by the round-16 judge and at sf0.1
+# twice on landing) takes the priority slot; the upgraded-since-row and
+# forced-rows-only classes are EMPTY (the r16 window certified the r15
+# upgrades, and mlib_score_documents' one-time FORCE_ROWS_ONLY routing
+# was consumed at the r16 cut — all 4 rows-only queries now have driver
+# no_oracle rows on record). That leaves 49 backfill slots: the 18
+# remaining r11-stale rows (newest driver row 5 rounds old at this cut)
+# + 31 of the r12 rows (round asc, name asc). After this round the
+# stale set is the ~17 remaining r12 rows + r13+ rows; the full-refresh
+# cycle stays ~2 rounds at window 50 with the catalog held flat.
 _WINDOW_PRIORITY = [
-    # — never driver-checked (round-15 additions, judge-verified green) —
-    "ann_ivfpq_compacted_probe",
-    "ann_ivfpq_tombstone_probe",
+    # — never driver-checked (round-16 addition, judge-verified green) —
+    "ann_ivfpq_refresh_probe",
     # — upgraded after latest row — (empty this cut)
-    # — forced rows-only (one-time; see gen_window.FORCE_ROWS_ONLY) —
-    "mlib_score_documents",
+    # — forced rows-only — (empty this cut; r16 entry consumed)
     # — oldest-stale backfill —
-    "quality_outlier_trim",  # r10
-    "quality_repetition",  # r10
-    "quality_scores",  # r10
-    "quality_zscore_by_lang",  # r10
-    "sample_stratified",  # r10
-    "streaming_minhash_probe",  # r10
-    "streaming_stateful_counts",  # r10
-    "streaming_static_enrich",  # r10
-    "streaming_tumbling_hour",  # r10
-    "streaming_volume_anomaly",  # r10
-    "text_stats_by_lang",  # r10
-    "text_tfidf_topk",  # r10
-    "token_counts",  # r10
-    "token_pmi_bigrams",  # r10
-    "wordlist_extraction",  # r10
-    "wordscore_sentiment",  # r10
-    "agg_by_month",  # r11
-    "agg_case_bucket",  # r11
-    "agg_cube",  # r11
-    "agg_grouping_sets",  # r11
-    "agg_having",  # r11
-    "agg_histogram",  # r11
-    "agg_percentiles",  # r11
-    "agg_pivot",  # r11
-    "agg_rollup",  # r11
-    "contrastive_pairs",  # r11
-    "corpus_token_entropy",  # r11
-    "dedup_incremental",  # r11
-    "dedup_incremental_bloom",  # r11
-    "dedup_jaccard_pairs",  # r11
-    "dedup_minhash_lsh",  # r11
-    "dedup_prefix",  # r11
-    "dedup_simhash",  # r11
-    "dedup_winnowing_pairs",  # r11
-    "doc_winnowing",  # r11
-    "events_rfm_distributed",  # r11
-    "events_rollup_incremental",  # r11
-    "events_scd2_history",  # r11
-    "fuzzy_lexicon_match",  # r11
-    "io_compact_small_files",  # r11
-    "io_orc_roundtrip",  # r11
-    "join_skew_salted",  # r11
-    "langid_char_ngram",  # r11
-    "multimodal_fingerprints",  # r11
-    "multimodal_phash_dedup",  # r11
-    "ngram_novelty",  # r11
-    "packing_efficiency",  # r11
+    "pii_redaction",  # r11
+    "quality_bigram_backoff",  # r11
+    "quantile_histogram_by_lang",  # r11
+    "quantile_histogram_sketch",  # r11
+    "search_boolean_and",  # r11
+    "search_phrase",  # r11
+    "skew_profile",  # r11
+    "streaming_conversions",  # r11
+    "streaming_dedup",  # r11
+    "streaming_hll_distinct",  # r11
+    "streaming_scd2_merge",  # r11
+    "streaming_sliding_hour",  # r11
+    "token_cms_topk",  # r11
+    "token_counts_regex",  # r11
+    "token_pagerank",  # r11
+    "vocab_growth_curve",  # r11
+    "wordlist_extraction_scaled",  # r11
+    "zorder_layout",  # r11
+    "agg_mad_by_group",  # r12
+    "boilerplate_ngrams",  # r12
+    "bpe_merges",  # r12
+    "bpe_token_counts",  # r12
+    "clean_text",  # r12
+    "corpus_dsir_weights",  # r12
+    "decontaminate_ngram",  # r12
+    "decontaminate_semantic",  # r12
+    "dedup_embedding_multiprobe",  # r12
+    "dedup_sentence_exact",  # r12
+    "dedup_span_excise",  # r12
+    "dedup_tfidf_cosine",  # r12
+    "dedup_winnowing_incremental",  # r12
+    "distinct_pairs",  # r12
+    "doc_rolling_hash",  # r12
+    "drift_psi",  # r12
+    "embedding_centroids",  # r12
+    "embedding_norm_stats",  # r12
+    "embedding_outliers",  # r12
+    "embedding_quantize",  # r12
+    "events_attribution",  # r12
+    "events_dedup_latest",  # r12
+    "events_heatmap",  # r12
+    "events_rfm_cutpoints",  # r12
+    "events_session_sequences",  # r12
+    "events_stickiness_hll",  # r12
+    "events_transitions",  # r12
+    "events_volume_anomaly",  # r12
+    "hybrid_search_rrf",  # r12
+    "knn_cosine_topk",  # r12
+    "merge_upsert",  # r12
 ]
 
 
