@@ -34,7 +34,15 @@ def main() -> None:
     all_queries()
     names = list(REGISTRY)
     if "--only" in sys.argv:
-        wanted = sys.argv[sys.argv.index("--only") + 1].split(",")
+        # round-16 ADVICE: a malformed invocation of the flag that exists to
+        # prevent silently running the wrong query set must itself fail
+        # loudly — missing value and --only+--all are both usage errors.
+        if "--all" in sys.argv:
+            sys.exit("usage: --only and --all are mutually exclusive")
+        idx = sys.argv.index("--only")
+        if idx + 1 >= len(sys.argv):
+            sys.exit("usage: --only name1,name2 (missing value)")
+        wanted = sys.argv[idx + 1].split(",")
         unknown = [n for n in wanted if n not in REGISTRY]
         if unknown:
             sys.exit(f"--only names not in the registry: {unknown}")

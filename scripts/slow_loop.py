@@ -22,10 +22,13 @@ filename, so the selectors below use the test-function substrings, not
      heavy files (mllib grid sweep, recall floors, property checks,
      BPE oracles, analyze roundtrip)
   2. oracle sweep with SPARK_GRAFT_ORACLE_SHARD=1/2
-  3. the empty-corpus catalog sweep
-  4. the single-row-corpus catalog sweep (the slowest single test —
+  3. the empty-corpus catalog sweep (-k survives_empty)
+  4. everything ELSE in test_empty_tables.py (-k "not survives_empty" —
+     today exactly the single-row-corpus sweep, the slowest single test:
      quantizers/trainers on degenerate input pay fixed overhead per
-     catalog entry)
+     catalog entry). Complement-based so a future slow test added to the
+     file lands in a shard instead of silently vanishing (round-16
+     ADVICE); tests/test_slow_loop_coverage.py pins union == serial.
 
 Each shard gets its own warehouse/Derby home via
 SPARK_GRAFT_TEST_SHARD_DIR (embedded Derby allows one metastore per
@@ -55,8 +58,15 @@ SHARDS = [
      {"SPARK_GRAFT_ORACLE_SHARD": "1/2"}),
     ("slow-empty", ["tests/test_empty_tables.py",
                     "-k", "survives_empty"], {}),
-    ("slow-single", ["tests/test_empty_tables.py",
-                     "-k", "survives_single_row"], {}),
+    # COMPLEMENT of the shard above, not a second positive substring —
+    # round-16 ADVICE: two positive -k selectors would silently drop a
+    # future slow test in this file that matches neither, while shard 1
+    # ignores the whole file. With `not survives_empty` the two shards
+    # partition the file by construction (today this shard is exactly the
+    # single-row sweep); tests/test_slow_loop_coverage.py pins the
+    # union-equals-serial invariant across all shards.
+    ("slow-single+rest", ["tests/test_empty_tables.py",
+                          "-k", "not survives_empty"], {}),
 ]
 
 

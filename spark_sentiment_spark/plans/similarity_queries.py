@@ -1550,7 +1550,9 @@ def ann_ivfpq_refresh_probe(spark, sf_dir, topk: int = 10,
       re-derive — no new SQL machinery) plus the decision metrics as
       scalar subqueries over the raw table (equal to the index-derived
       counts because every indexed vector holds exactly one distinct
-      vec_id in the code table).
+      vec_id in the code table — an assumption the decision pass PINS
+      by comparing against the corpus row count and failing loudly on
+      a duplicate vec_id or non-encodable row; round-16 ADVICE).
     * SERVE STALE when not triggered: the unmodified tombstone-probe
       path (broadcast LEFT ANTI on the pruned scan). Pinned on the same
       corpus with a raised threshold in tests/test_round16_queries.py:
@@ -1599,6 +1601,22 @@ def ann_ivfpq_refresh_probe(spark, sf_dir, topk: int = 10,
                                  True)).alias("d"))
              .first())
     indexed_rows, tomb_rows = int(stats["n"]), int(stats["d"])
+    # Round-16 ADVICE: the decision counts distinct vec_id in the staged
+    # code table while the oracle's scalar subqueries count raw embeddings
+    # rows — equal ONLY if vec_id is unique in the corpus and every row is
+    # indexed. Pin that assumption loudly instead of letting a duplicate
+    # vec_id or non-encodable row surface as a plausible-looking metadata
+    # mismatch far from the probe rows. One column-pruned count(*) over
+    # the corpus (parquet footer metadata at any scale); every violation
+    # class breaks the total equality (a duplicate drops distinct-vs-raw
+    # by one, an unindexed row drops the code-table side by one).
+    corpus_rows = vecs.count()
+    if indexed_rows != corpus_rows:
+        raise ValueError(
+            f"refresh decision invariant violated: {indexed_rows} distinct "
+            f"vec_id in the staged code table vs {corpus_rows} corpus rows "
+            "(duplicate vec_id or non-encodable row) — the oracle counts "
+            "corpus rows, so serving this decision would silently diverge")
     refreshed = tomb_rows * 100 >= indexed_rows * refresh_pct
 
     # ---- act: retrain on survivors, or keep serving the stale index -----

@@ -216,3 +216,26 @@ def test_full_takedown_returns_empty_with_stable_schema(spark, tmp_path):
     assert [f.name for f in df.schema.fields] == [
         "qid", "vec_id", "cosine", "rn",
         "tomb_rows", "indexed_rows", "refreshed"]
+
+
+def test_duplicate_vec_id_corpus_fails_loudly(spark, tmp_path):
+    """Round-16 ADVICE pin: the refresh decision counts distinct vec_id
+    in the staged code table while the oracle counts raw embeddings
+    rows — equal only if vec_id is unique and every row is indexed. A
+    corpus violating that must raise at decision time (loud, named
+    invariant) instead of serving decision metadata that would
+    hash-mismatch the oracle far from the probe rows."""
+    import pytest
+
+    from spark_sentiment_spark.plans.registry import (REGISTRY, all_queries,
+                                                      release_caches)
+
+    all_queries()
+    rows = [(i, [float((i * 7 + d) % 13) / 13.0 for d in range(64)])
+            for i in range(24)]
+    rows.append(rows[0])  # duplicate vec_id 0: raw count 25, distinct 24
+    (spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+     .write.parquet(str(tmp_path / "embeddings.parquet")))
+    with pytest.raises(ValueError, match="refresh decision invariant"):
+        REGISTRY["ann_ivfpq_refresh_probe"].fn(spark, str(tmp_path))
+    release_caches()
