@@ -145,6 +145,39 @@ UPGRADED_SINCE_ROW = {
     "agg_global_stats": 14,
     "scalar_math_funcs": 14,
     "q17_small_qty_revenue": 14,
+    # round 18 (optimization round): plan-shape restructures, outputs
+    # byte-identical and oracle re-verified at sf0.001/0.01/0.1 on
+    # landing (OPTIMIZATION_r18.md has the before/after plans + bench
+    # evidence); the next cut re-verifies via fresh driver rows.
+    # — shared-branch persists replacing repeated fact scans:
+    "contrastive_pairs": 18,     # ranked/sizes persisted: 4 scans -> 1
+    "vocab_coverage": 18,        # token counts persisted: 2 explodes -> 1
+    "agg_hll_sketch": 18,        # sketch+exact from one distinct-key frame
+    "events_daily_uniques_hll": 18,  # same, per-day
+    "agg_hll_merge_shards": 18,  # same, 3 scans -> 1
+    "events_sliding_users_hll": 18,  # both tiers from distinct minute-user
+    # — deep-helper edits (fn hash unchanged; manual entries per the
+    #   HASHES_PATH note): _curation_verdicts' inline dedup rank became
+    #   one window over the gate frame (kills the pushed-down duplicate
+    #   feature evaluation + second corpus scan). events_stickiness_hll
+    #   (helper _stickiness_hll_core: DAU now derived from the persisted
+    #   partials) sits in the r17 window and is certified by its
+    #   upcoming r18 row.
+    "curate_corpus": 18,
+    "curate_corpus_gopher": 18,
+    "curate_corpus_c4": 18,
+    "curate_corpus_staged": 18,
+    # — more shared-branch persists (same round-18 sweep; in-window
+    #   vocab_growth_curve / quantile_histogram_* / events_stickiness_hll
+    #   share the sweep but are certified by their r18 window rows):
+    "dedup_incremental": 18,       # hashed frame persisted: 2 scans -> 1
+    "dedup_incremental_bloom": 18,  # same + incoming persisted
+    "q15_top_supplier": 18,        # revenue agg persisted: 2 scans -> 1
+    "events_stickiness": 18,       # user-day frame persisted: 3 scans -> 1
+    "events_seasonal_anomaly": 18,  # grids from persisted cells: 3 -> 1
+    "token_pmi_bigrams": 18,       # count tables persisted: 5 explodes -> 2
+    "snapshot_diff": 18,           # (doc_id, h1, h2) persisted: 3 scans -> 1
+    "decontaminate_minhash": 18,   # shingle table persisted: 3 explodes -> 1
 }
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -175,7 +175,14 @@ def token_pmi_bigrams(spark, sf_dir):
         docs.where(F.col("text").isNotNull() & (F.trim("text") != ""))
         .select(_tokens_col().alias("l"))
     )
-    bg = (
+    # Round-18 optimization (guide §2.4): both count tables are persisted.
+    # `bg` feeds the n_bi scalar and the main projection, `uni` feeds the
+    # n_uni scalar and BOTH probe sides — unpersisted that was five plan
+    # branches, each re-scanning and re-exploding the corpus. The tables
+    # are vocabulary-sized (bounded on a web corpus relative to the token
+    # stream), so the cache is cheap and the corpus tokenizes exactly
+    # twice (bigram pass + unigram pass) instead of five times.
+    bg = track_persist(
         t.where(F.size("l") > 1)
         .select(F.explode(F.expr(
             "zip_with(slice(l, 1, size(l)-1), slice(l, 2, size(l)-1),"
@@ -183,8 +190,9 @@ def token_pmi_bigrams(spark, sf_dir):
         .select("bg.w1", "bg.w2")
         .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     )
-    uni = (t.select(F.explode("l").alias("w"))
-           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    uni = track_persist(
+        t.select(F.explode("l").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
     n_bi = bg.agg(F.sum("c12").alias("n_bi"))
     n_uni = uni.agg(F.sum("c").alias("n_uni"))
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
@@ -345,12 +353,21 @@ def contrastive_pairs(spark, sf_dir):
     wl = Window.partitionBy("label").orderBy("h", "vec_id")
     wl_full = wl.rowsBetween(Window.unboundedPreceding,
                              Window.unboundedFollowing)
-    ranked = base.select(
+    # Round-18 optimization (guide §2.4): `ranked` is consumed twice (the
+    # anchor side and the rank-matched negative side) and `sizes` twice
+    # (the next-label window and the s2 modulus side) — as four plan
+    # branches that each re-scanned the embeddings table and re-ran the
+    # fan-out exchange (plans/r18/contrastive_pairs_before.txt: 4 scans,
+    # 4 fan-out exchanges, 2 label-window exchanges). Persisting the
+    # narrow ranked frame (vec_id, label, r, pos_id) collapses that to
+    # ONE scan + ONE window pass; `sizes` is a bounded per-label count
+    # over the persisted frame instead of a third scan.
+    ranked = track_persist(base.select(
         "vec_id", "label",
         F.row_number().over(wl).alias("r"),
         F.coalesce(F.lead("vec_id").over(wl),
-                   F.first("vec_id").over(wl_full)).alias("pos_id"))
-    sizes = base.groupBy("label").agg(F.count(F.lit(1)).alias("s"))
+                   F.first("vec_id").over(wl_full)).alias("pos_id")))
+    sizes = ranked.groupBy("label").agg(F.count(F.lit(1)).alias("s"))
     wlab = Window.orderBy("label")  # bounded: one row per label
     wlab_full = wlab.rowsBetween(Window.unboundedPreceding,
                                  Window.unboundedFollowing)
@@ -998,9 +1015,15 @@ def vocab_growth_curve(spark, sf_dir):
                     16, 10).cast("int"))
     tok = docs.select(shard.alias("shard"),
                       F.explode(_tokens_col()).alias("w"))
-    occ = tok.groupBy("shard").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
-    news = (tok.groupBy("w").agg(F.min("shard").alias("shard"))
+    # Round-18 optimization (guide §2.3/§2.4): one persisted (shard, type)
+    # count table feeds both outputs — token mass per shard is sum(c),
+    # first-seen types are min(shard) per type — instead of two
+    # independent corpus explodes. The table is ≤ 16×|vocabulary| rows.
+    sw = track_persist(tok.groupBy("shard", "w")
+                       .agg(F.count(F.lit(1)).alias("c")))
+    occ = sw.groupBy("shard").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"))
+    news = (sw.groupBy("w").agg(F.min("shard").alias("shard"))
             .groupBy("shard").agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_new")))
     grid = spark.range(16).select(F.col("id").cast("int").alias("shard"))

@@ -707,7 +707,10 @@ def decontaminate_minhash(spark, sf_dir):
     # Exact Jaccard verify on candidates only. The shingle inverted index
     # is reused from the exact formulation; the semi-join-shaped candidate
     # restriction keeps the intersect-count join bounded by |candidates|.
-    tok = _shingled(docs).distinct()
+    # Round-18 optimization (guide §2.4): the distinct shingle table
+    # feeds three branches (sizes + both intersect sides) — persist it
+    # so the corpus is shingled once instead of three times.
+    tok = track_persist(_shingled(docs).distinct())
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ta, ea = tok.alias("ta"), tok.alias("ea")
     inter = (cand

@@ -2065,17 +2065,24 @@ def events_seasonal_anomaly(spark, sf_dir):
     that bounded cell table, so the anomaly pass costs one scan plus
     cell-sized work regardless of event volume."""
     ev = load(spark, sf_dir, "events")
-    cells = (ev.groupBy("event_type",
-                        F.date_trunc("day", "ts").alias("day"),
-                        F.hour("ts").cast("bigint").alias("hod"))
-             .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
-    days = ev.select(F.date_trunc("day", "ts").alias("day")).distinct()
-    types = ev.select("event_type").distinct()
+    # Round-18 optimization (guide §2.4/§8): the day grid and the type
+    # grid derive from the bounded cell table instead of two extra full
+    # events scans, and `cells`/`filled` (both |types|×|days|×24-bounded)
+    # are persisted because each feeds two branches (grid + fill;
+    # baseline + final join). One fact scan total.
+    cells = track_persist(
+        ev.groupBy("event_type",
+                   F.date_trunc("day", "ts").alias("day"),
+                   F.hour("ts").cast("bigint").alias("hod"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    days = cells.select("day").distinct()
+    types = cells.select("event_type").distinct()
     hods = spark.range(24).select(F.col("id").cast("bigint").alias("hod"))
     grid = types.crossJoin(days).crossJoin(F.broadcast(hods))
-    filled = (grid.join(cells, ["event_type", "day", "hod"], "left")
-              .select("event_type", "day", "hod",
-                      F.coalesce(F.col("n"), F.lit(0)).alias("n")))
+    filled = track_persist(
+        grid.join(cells, ["event_type", "day", "hod"], "left")
+        .select("event_type", "day", "hod",
+                F.coalesce(F.col("n"), F.lit(0)).alias("n")))
     base = (filled.groupBy("event_type", "hod")
             .agg(F.count(F.lit(1)).cast("bigint").alias("nd"),
                  F.sum("n").cast("bigint").alias("s"),
@@ -2130,8 +2137,13 @@ def events_stickiness(spark, sf_dir):
     counts the sketch swap is `events_sliding_users_hll` (mergeable
     28-day HLL per day) with this exact form as its oracle."""
     ev = load(spark, sf_dir, "events")
-    ud = (ev.select("user_id", F.date_trunc("day", "ts").alias("d"))
-          .distinct())
+    # Round-18 optimization (guide §2.4/§8): the user-day frame feeds
+    # three branches (day grid, DAU, the MAU range join) — unpersisted,
+    # each was its own full events scan + distinct. Persist the narrow
+    # (user, day) pairs: one scan, one distinct.
+    ud = track_persist(
+        ev.select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct())
     days = ud.select("d").distinct()
     dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
     mau = (days.alias("g")

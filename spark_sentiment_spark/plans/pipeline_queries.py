@@ -264,9 +264,16 @@ def vocab_coverage(spark, sf_dir):
     corpus-sized ever passes through a single partition.
     """
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    counts = (docs
-              .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
-              .groupBy("token").agg(F.count("*").alias("cnt")))
+    # Round-18 optimization (guide §2.4): `counts` feeds BOTH the corpus
+    # total and the top-k — unpersisted, those were two independent plan
+    # branches, each re-scanning and re-exploding the whole corpus
+    # (plans/r18/vocab_coverage_before.txt: 2 scans, 2 Generates, 2 count
+    # aggs). The term-count table is |vocabulary| narrow rows (bounded —
+    # vocab << corpus at any scale), so persisting it halves the token
+    # pass at 100 TB for a trivially bounded cache.
+    counts = track_persist(
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .groupBy("token").agg(F.count("*").alias("cnt")))
     total = counts.agg(F.sum("cnt").cast("double").alias("total"))
     top = counts.orderBy(F.desc("cnt"), "token").limit(VOCAB_TOPK)
     w = (Window.orderBy(F.desc("cnt"), "token")
@@ -416,11 +423,17 @@ def dedup_incremental(spark, sf_dir):
     a co-partitioned anti-join. At 100 TB the corpus index is a bucketed
     table on `h` (sources/bucketing.py), making the corpus side shuffle-free
     on every nightly batch.
+
+    Round-18 optimization (guide §2.4/§8): the corpus-index side and the
+    incoming-batch side slice the same hashed frame — left unpersisted
+    they were two independent corpus scans, each paying the md5 prefix
+    hash over the full text. The narrow (doc_id, hash, slice) frame is
+    persisted: one scan, one hash pass.
     """
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    hashed = docs.select(
+    hashed = track_persist(docs.select(
         "doc_id", _prefix_hash_col().alias("prefix_hash"),
-        (F.col("doc_id") % 5).alias("__m"))
+        (F.col("doc_id") % 5).alias("__m")))
     corpus = (hashed.where(F.col("__m") != 4)
               .select("prefix_hash").distinct())
     w = Window.partitionBy("prefix_hash").orderBy("doc_id")
@@ -820,19 +833,46 @@ def _curation_verdicts(docs, gate, ranked=None, cont=None):
     two passes differ ONLY in their gate stage. `curate_corpus_staged`
     passes prebuilt `ranked`/`cont` frames assembled from its persisted
     artifacts (its gate frame then carries no text column and `docs` is
-    unused); the defaults build both inline."""
-    if ranked is None:
-        ranked = _dedup_ranked(gate)
+    unused); the defaults build both inline.
+
+    Round-18 optimization (guide §2.4/§4.4-adjacent): the inline dedup
+    rank is ONE window over the gate frame itself, not a separate
+    `_dedup_ranked` branch joined back on doc_id. The old two-branch
+    shape made Catalyst push the `q_keep` filter of the rank branch down
+    to a SECOND scan of `documents` as a filter over the raw feature
+    expressions — the entire gate feature tree (split/trim/transform
+    per rule) re-evaluated per row, with no subexpression elimination in
+    interpreted mode (captured in plans/r18/curate_corpus_gopher_before
+    .txt, operator (9)). Partitioning the window by (prefix_hash,
+    qualifies) instead of filtering gives every gate-surviving doc the
+    exact rank it had among survivors of its prefix group (row_number
+    within the qualifies=true slice is unaffected by the false slice),
+    while non-survivors' ranks are never consulted — the verdict CASE
+    decides those rows on q_keep before reaching the rank test. One
+    scan, one feature evaluation, one narrow window shuffle
+    (doc_id, flags, hash, length), no join-back."""
     if cont is None:
         cont = _contaminated(docs)
+
+    if ranked is None:
+        qual = F.col("q_keep") & (F.col("doc_id") >= 5)
+        w = (Window.partitionBy("prefix_hash", "__qual")
+             .orderBy(F.desc("__tlen"), "doc_id"))
+        base = (gate.select("doc_id", "q_keep", "q_reason",
+                            _prefix_hash_col().alias("prefix_hash"),
+                            F.length("text").alias("__tlen"),
+                            qual.alias("__qual"))
+                .withColumn("rn", F.row_number().over(w))
+                .select("doc_id", "q_keep", "q_reason", "rn"))
+    else:
+        base = gate.join(ranked, "doc_id", "left")
 
     reason = (F.when(F.col("doc_id") < 5, "benchmark")
               .when(~F.col("q_keep"), F.col("q_reason"))
               .when(F.col("rn") > 1, "duplicate")
               .when(F.col("is_cont"), "contaminated")
               .otherwise("kept"))
-    return (gate.join(ranked, "doc_id", "left")
-            .join(cont, "doc_id", "left")
+    return (base.join(cont, "doc_id", "left")
             .select("doc_id", reason.alias("reason"))
             .select("doc_id", (F.col("reason") == "kept").alias("keep"),
                     "reason")
@@ -993,7 +1033,11 @@ def merge_upsert(spark, sf_dir):
     One shuffle per side on the key; with both sides bucketed on the key
     (sources/bucketing.py) the nightly upsert is shuffle-free, which is
     the 100 TB snapshot-maintenance pattern."""
-    docs = load(spark, sf_dir, "documents")
+    # Round-18 optimization (guide §2.4): base and both update slices
+    # project the same two columns — persist the narrow frame so the
+    # table is scanned once instead of three times.
+    docs = track_persist(
+        load(spark, sf_dir, "documents").select("doc_id", "lang"))
     base = docs.select("doc_id", "lang", F.lit("v1").alias("version"))
     updates = (docs.where(F.col("doc_id") % 7 == 0)
                .select("doc_id", F.upper("lang").alias("lang"),
@@ -1352,15 +1396,19 @@ def dedup_incremental_bloom(spark, sf_dir):
     broadcast — the bypass fraction is what keeps nightly ingest from
     re-shuffling the whole corpus index."""
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    hashed = docs.select(
+    # Round-18 optimization, same as dedup_incremental: persist the
+    # narrow hashed frame (2 corpus scans -> 1). `incoming` is also
+    # persisted — the bloom split consumes it twice (~might / might).
+    hashed = track_persist(docs.select(
         "doc_id", _prefix_hash_col().alias("prefix_hash"),
-        (F.col("doc_id") % 5).alias("__m"))
+        (F.col("doc_id") % 5).alias("__m")))
     corpus = (hashed.where(F.col("__m") != 4)
               .select("prefix_hash").distinct())
     w = Window.partitionBy("prefix_hash").orderBy("doc_id")
-    incoming = (hashed.where(F.col("__m") == 4)
-                .withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") == 1))
+    incoming = track_persist(
+        hashed.where(F.col("__m") == 4)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1))
 
     might = bloom_might_contain(
         F.col("prefix_hash"), bloom_build(corpus, "prefix_hash"))
@@ -1820,9 +1868,14 @@ def quality_bigram_backoff(spark, sf_dir):
         " (a, b) -> struct(a AS w1, b AS w2))")
     is_train = F.col("doc_id") % 5 != 4
 
-    train_uni = (toks.where(is_train)
-                 .select(F.explode("l").alias("w"))
-                 .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    # Round-18 optimization (guide §2.4): the unigram table feeds three
+    # consumers (the (N,V) scalar and both probe sides) — persist the
+    # vocab-bounded counts so the unigram explode+aggregate over the
+    # cached token arrays runs once instead of three times.
+    train_uni = track_persist(
+        toks.where(is_train)
+        .select(F.explode("l").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
     train_bi = (toks.where(is_train & (F.size("l") > 1))
                 .select(F.explode(bg_expr).alias("bg"))
                 .select("bg.w1", "bg.w2")
@@ -2131,17 +2184,24 @@ def snapshot_diff(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     h1 = F.md5(F.concat(F.col("lang"), F.lit("|"),
                         F.coalesce(F.col("text"), F.lit(""))))
-    v1 = docs.select("doc_id", h1.alias("h"))
     lang2 = F.when(F.col("doc_id") % 7 == 0, F.upper("lang")) \
              .otherwise(F.col("lang"))
     h2 = F.md5(F.concat(lang2, F.lit("|"),
                         F.coalesce(F.col("text"), F.lit(""))))
-    v2 = (docs.where(F.col("doc_id") % 11 != 0)
-          .select("doc_id", h2.alias("h"))
+    # Round-18 optimization (guide §2.4/§8): both snapshots slice one
+    # persisted (doc_id, h1, h2) frame — the old three-branch shape
+    # scanned the table three times and ran the content md5 over the
+    # full text in each branch. One scan, both hashes in one pass,
+    # 32-byte rows in the cache.
+    hashes = track_persist(
+        docs.select("doc_id", h1.alias("h1"), h2.alias("h2")))
+    v1 = hashes.select("doc_id", F.col("h1").alias("h"))
+    v2 = (hashes.where(F.col("doc_id") % 11 != 0)
+          .select("doc_id", F.col("h2").alias("h"))
           .unionByName(
-              docs.where(F.col("doc_id") % 13 == 0)
+              hashes.where(F.col("doc_id") % 13 == 0)
               .select((F.col("doc_id") + 1000000).alias("doc_id"),
-                      h1.alias("h"))))
+                      F.col("h1").alias("h"))))
     j = v1.alias("a").join(v2.alias("b"),
                            F.col("a.doc_id") == F.col("b.doc_id"),
                            "full_outer")

@@ -118,11 +118,33 @@ def register(name: str, sql: str | None = None, bench: bool = False,
 # Fact/corpus tables get fanned out to the session's parallelism after the
 # scan. The testdata ships one single-row-group file per table, so the scan
 # is a single input split — without this, every narrow CPU-heavy stage
-# (regex cleaning, explode, partial aggregation) runs on ONE core. On a real
-# multi-file 100 TB table the scan already yields thousands of splits and
-# this repartition is a cheap width-normalizer; dimension tables stay
-# unrepartitioned so they remain broadcast candidates.
+# (regex cleaning, explode, partial aggregation) runs on ONE core.
+# Round-18 optimization (guide §2.4/§2.5): the fan-out is HASH-keyed on the
+# table's natural key instead of round-robin. Two measured effects:
+# (1) keyless repartition(n) pays a local sort of its input before the
+#     exchange (spark.sql.execution.sortBeforeRepartition, on by default so
+#     retried tasks reproduce the same row→partition assignment) — on the
+#     single 600k-row lineitem split that sort is single-threaded and cost
+#     0.58s/scan vs 0.25s for the hash shuffle (min-of-7, sf0.1; see
+#     OPTIMIZATION_r18.md);
+# (2) the hash partitioning is visible to Catalyst, so downstream joins,
+#     aggregations and windows keyed on the same column (or a superset —
+#     HashPartitioning(k) satisfies ClusteredDistribution(k, …)) reuse this
+#     exchange instead of adding their own (events_sessionize's user_id
+#     window, text explode→(doc_id, term) aggregations, …).
+# Dimension tables stay unrepartitioned so they remain broadcast candidates.
 _FACT_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
+
+# Natural fan-out keys: high-cardinality (well above 32 partitions at every
+# SF), uniform in the fixtures, and chosen to match the dominant downstream
+# clustering (l_orderkey joins, per-user windows, per-doc / per-vector aggs).
+_FACT_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "user_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -152,9 +174,29 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # UTC the cast is a pure type change, wall-clock identical to the
         # (timezone-naive) DuckDB oracle's read.
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    if table in _FACT_TABLES:
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+    if table in _FACT_TABLES and _fanout_needed(spark):
+        df = df.repartition(spark.sparkContext.defaultParallelism,
+                            F.col(_FACT_KEYS[table]))
     return df
+
+
+def _fanout_needed(spark: SparkSession) -> bool:
+    """Whether load() should fan the fact scan out to defaultParallelism.
+
+    The repartition exists to width-normalize the SINGLE-split local
+    testdata files; on a real multi-file 100 TB table the scan already
+    yields thousands of splits and a repartition there would shuffle the
+    whole table for nothing (a constant tuned for local mode — the exact
+    anti-pattern guide §2 warns about). Default: fan out only under a
+    local[*] master; override with spark.spark_sentiment.load.fanout =
+    always|never|auto for clusters that do want it (e.g. few-large-file
+    inputs)."""
+    mode = spark.conf.get("spark.spark_sentiment.load.fanout", "auto")
+    if mode == "always":
+        return True
+    if mode == "never":
+        return False
+    return spark.sparkContext.master.startswith("local")
 
 
 # The external correctness harness records rows for only the FIRST 50

@@ -98,18 +98,25 @@ def agg_hll_sketch(spark, sf_dir):
     O(1) state per executor, mergeable across 1000 nodes; at 100 TB you
     keep only that branch and drop the exact COUNT(DISTINCT) twin (a
     full shuffle) that exists here to measure the sketch's error."""
-    li = load(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("k"),
-        F.md5(F.col("l_orderkey").cast("string")).alias("h"))
-    buckets = (li.select(F.expr(_HLL_BUCKET).alias("bucket"),
-                         F.expr(_HLL_RHO).alias("rho"))
+    # Round-18 optimization (guide §2.4): sketch side and exact twin both
+    # derive from ONE persisted distinct-key frame instead of two
+    # independent scans of the fact table (max(rho) over duplicate keys
+    # equals max(rho) over distinct keys; countDistinct(k) equals
+    # count(*) over the distinct frame). md5 is computed on distinct
+    # keys only.
+    dk = track_persist(
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("k")).distinct())
+    keyed = dk.withColumn("h", F.md5(F.col("k").cast("string")))
+    buckets = (keyed.select(F.expr(_HLL_BUCKET).alias("bucket"),
+                            F.expr(_HLL_RHO).alias("rho"))
                .groupBy("bucket").agg(F.max("rho").alias("mj")))
     sketch = buckets.agg(
         (F.sum(F.expr(_HLL_POW2)).cast("bigint")
          + (F.lit(_HLL_M) - F.count(F.lit(1)))
          * F.lit(2 ** (_HLL_BITS + 1))).alias("s"),
         F.count(F.lit(1)).cast("bigint").alias("n_buckets"))
-    exact = li.agg(F.countDistinct("k").cast("bigint").alias("n_exact"))
+    exact = dk.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
     est = F.round(F.lit(float(_HLL_A)) / F.col("s").cast("double"), 2)
     return (sketch.crossJoin(F.broadcast(exact))
             .select("n_exact", est.alias("n_est"), "n_buckets",
@@ -512,10 +519,16 @@ def quantile_histogram_sketch(spark, sf_dir):
     plan changes at 100 TB; contrast with exact percentiles, whose
     value-ranked cumulative window grows with the distinct-value
     count."""
-    docs = load(spark, sf_dir, "documents").select("n_chars")
-    bounds = docs.agg(F.min("n_chars").alias("min_v"),
-                      F.max("n_chars").alias("max_v"),
-                      F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    # Round-18 optimization (guide §2.4/§8): the bounds pass and the
+    # binning pass both read the same single-column projection, and the
+    # 1-row bounds frame feeds three consumers (bin expr, rank targets,
+    # final edges) — persist both so the table is scanned once and the
+    # min/max/count aggregate runs once instead of three times.
+    docs = track_persist(load(spark, sf_dir, "documents").select("n_chars"))
+    bounds = track_persist(
+        docs.agg(F.min("n_chars").alias("min_v"),
+                 F.max("n_chars").alias("max_v"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_rows")))
     hist = (docs.crossJoin(F.broadcast(bounds))
             .select(F.expr(_QH_BIN).alias("bin"))
             .groupBy("bin").agg(F.count(F.lit(1)).cast("bigint").alias("c")))
@@ -674,10 +687,14 @@ def events_daily_uniques_hll(spark, sf_dir):
     Scale: a (day, bucket) aggregate — group count x 256 rows — then a
     day-level fold; no distinct-key shuffle on the sketch path."""
     ev = load(spark, sf_dir, "events")
-    keyed = ev.select(
+    # Round-18 optimization (guide §2.4): one persisted distinct
+    # (day, user) frame feeds both the per-day registers and the exact
+    # per-day twin — the old two-branch shape scanned the events table
+    # twice and re-shuffled raw keys for the grouped countDistinct.
+    ud = track_persist(ev.select(
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
-        F.col("user_id").alias("k"),
-        F.md5(F.col("user_id").cast("string")).alias("h"))
+        F.col("user_id").alias("k")).distinct())
+    keyed = ud.withColumn("h", F.md5(F.col("k").cast("string")))
     buckets = (keyed.select("day", F.expr(_HLL_BUCKET).alias("bucket"),
                             F.expr(_HLL_RHO).alias("rho"))
                .groupBy("day", "bucket").agg(F.max("rho").alias("mj")))
@@ -686,8 +703,8 @@ def events_daily_uniques_hll(spark, sf_dir):
          + (F.lit(_HLL_M) - F.count(F.lit(1)))
          * F.lit(2 ** (_HLL_BITS + 1))).alias("s"),
         F.count(F.lit(1)).cast("bigint").alias("n_buckets"))
-    exact = keyed.groupBy("day").agg(
-        F.countDistinct("k").cast("bigint").alias("n_exact"))
+    exact = ud.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"))
     return (exact.join(sketch, "day")
             .select("day", "n_exact",
                     F.round(F.lit(float(_HLL_A))
@@ -752,10 +769,14 @@ def quantile_histogram_by_lang(spark, sf_dir):
     Scale: one bounded per-lang bounds aggregate joined back (broadcast
     at any realistic language count), one (lang, bin) aggregate, windows
     partitioned by lang over <=128 rows each."""
-    docs = load(spark, sf_dir, "documents").select("lang", "n_chars")
-    bounds = docs.groupBy("lang").agg(
+    # Round-18 optimization: same persist treatment as
+    # quantile_histogram_sketch — one table scan, one bounded per-lang
+    # bounds aggregate shared by its three consumers.
+    docs = track_persist(
+        load(spark, sf_dir, "documents").select("lang", "n_chars"))
+    bounds = track_persist(docs.groupBy("lang").agg(
         F.min("n_chars").alias("min_v"), F.max("n_chars").alias("max_v"),
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")))
     hist = (docs.join(F.broadcast(bounds), "lang")
             .select("lang", F.expr(_QH_BIN).alias("bin"))
             .groupBy("lang", "bin")
@@ -873,11 +894,20 @@ def events_sliding_users_hll(spark, sf_dir):
     grid, each minute/event explodes into its two covering windows) —
     no engine-specific window-function semantics anywhere."""
     ev = load(spark, sf_dir, "events")
-    keyed = ev.select(
+    # Round-18 optimization (guide §2.3/§2.4): both tiers — the HLL
+    # partials AND the exact error side — derive from the distinct
+    # (minute, user) pairs, persisted once. Before, the exact side
+    # re-scanned the raw events table and exploded EVERY EVENT into its
+    # two covering windows; minutes are whole and windows are 30-min
+    # aligned, so ts-windowing and minute-windowing select identical
+    # user sets (ts ∈ [w, w+1h) ⟺ minute(ts) ∈ [w, w+1h)), and max(rho)
+    # over duplicate user-minutes equals max(rho) over raw events. One
+    # fact scan instead of two, and the window fan-out runs over
+    # |minute×user| pairs instead of raw event volume.
+    um = track_persist(ev.select(
         F.expr("timestamp_seconds((unix_seconds(ts) div 60) * 60)")
-        .alias("minute"),
-        "ts", "user_id",
-        F.md5(F.col("user_id").cast("string")).alias("h"))
+        .alias("minute"), "user_id").distinct())
+    keyed = um.withColumn("h", F.md5(F.col("user_id").cast("string")))
     mp = (keyed.select("minute", F.expr(_HLL_BUCKET).alias("bucket"),
                        F.expr(_HLL_RHO).alias("rho"))
           .groupBy("minute", "bucket").agg(F.max("rho").alias("mj")))
@@ -899,9 +929,10 @@ def events_sliding_users_hll(spark, sf_dir):
          + (F.lit(_HLL_M) - F.count(F.lit(1)))
          * F.lit(2 ** (_HLL_BITS + 1))).alias("s"))
 
-    ew = (ev.select(two_windows("ts"), "ts", "user_id")
-          .where((F.col("ts") >= F.col("w"))
-                 & (F.col("ts") < F.col("w") + F.expr("INTERVAL 1 HOUR"))))
+    ew = (um.select(two_windows("minute"), "minute", "user_id")
+          .where((F.col("minute") >= F.col("w"))
+                 & (F.col("minute") < F.col("w")
+                    + F.expr("INTERVAL 1 HOUR"))))
     exact = ew.groupBy("w").agg(
         F.countDistinct("user_id").cast("bigint").alias("n_exact"))
 
@@ -982,9 +1013,15 @@ def agg_hll_merge_shards(spark, sf_dir):
     the same two-tier shape as `events_sliding_users_hll`'s minute
     partials. Everything after the scan is constant-size."""
     ev = load(spark, sf_dir, "events")
-    keyed = ev.select(
-        (F.col("event_id") % 8).alias("shard"), "user_id",
-        F.md5(F.col("user_id").cast("string")).alias("h"))
+    # Round-18 optimization (guide §2.4): the shard registers, the direct
+    # registers AND the exact twin all derive from one persisted distinct
+    # (shard, user) frame — the old three-branch shape scanned the events
+    # table three times. max(rho) is duplicate-invariant, and the exact
+    # distinct-user count over (shard, user) pairs equals the one over
+    # raw events.
+    su = track_persist(ev.select(
+        (F.col("event_id") % 8).alias("shard"), "user_id").distinct())
+    keyed = su.withColumn("h", F.md5(F.col("user_id").cast("string")))
     shard_buckets = (keyed
                      .select("shard", F.expr(_HLL_BUCKET).alias("bucket"),
                              F.expr(_HLL_RHO).alias("rho"))
@@ -1007,8 +1044,8 @@ def agg_hll_merge_shards(spark, sf_dir):
 
     est_m = estimate(merged_buckets)
     est_d = estimate(direct_buckets)
-    exact = keyed.agg(F.countDistinct("user_id").cast("bigint")
-                      .alias("n_exact"))
+    exact = su.agg(F.countDistinct("user_id").cast("bigint")
+                   .alias("n_exact"))
     shards = shard_buckets.agg(F.countDistinct("shard").cast("bigint")
                                .alias("n_shards"))
     return (exact.crossJoin(F.broadcast(shards))
@@ -1205,10 +1242,18 @@ def _stickiness_hll_core(ud):
     (tests/test_round11_queries.py) while the registered query feeds it
     the events table."""
     keyed = ud.withColumn("h", F.md5(F.col("user_id").cast("string")))
+    # Round-18 optimization (guide §2.4): the partials carry a per-bucket
+    # distinct-user count (nb) alongside max-rho. Each distinct (d, user)
+    # row lands in exactly one (d, bucket) group, so sum(nb) per day IS
+    # the exact DAU — dau_exact below reads the persisted |days|×256-row
+    # partials instead of re-scanning the events table and re-running the
+    # (d, user) distinct (one full fact scan + a round-robin exchange + a
+    # 2-exchange distinct removed; see plans/r18/events_stickiness_hll_*).
     daypart = track_persist(
         keyed.select("d", F.expr(_HLL_BUCKET).alias("bucket"),
                      F.expr(_HLL_RHO).alias("rho"))
-        .groupBy("d", "bucket").agg(F.max("rho").alias("mj")))
+        .groupBy("d", "bucket").agg(F.max("rho").alias("mj"),
+                                    F.count(F.lit(1)).alias("nb")))
     days = daypart.select("d").distinct()
     mau_part = (days.alias("g")
                 .join(daypart.alias("p"),
@@ -1226,8 +1271,8 @@ def _stickiness_hll_core(ud):
 
     mau_sk = sk(mau_part, "s_mau")
     dau_sk = sk(daypart, "s_dau")
-    dau_exact = ud.groupBy("d").agg(
-        F.count(F.lit(1)).cast("bigint").alias("dau"))
+    dau_exact = daypart.groupBy("d").agg(
+        F.sum("nb").cast("bigint").alias("dau"))
     a = F.lit(float(_HLL_A))
     # stickiness = (A/s_dau)/(A/s_mau) = s_mau/s_dau; BIGINT ppm would
     # overflow (s <= 256 * 2^41 = 2^49, x 10^6 > 2^63), so this is the

@@ -390,12 +390,18 @@ def q15_top_supplier(spark, sf_dir):
         & (F.col("l_shipdate") < _ts("1997-04-01"))
     )
     supp = load(spark, sf_dir, "supplier")
+    from spark_sentiment_spark.plans.registry import track_persist
+
     # Rounding BEFORE the max comparison keeps the tie test deterministic
     # across summation orders (Spark partial aggs vs DuckDB single-threaded).
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(_rev().cast("decimal(27,4)")), 2).cast("double")
-        .alias("total_revenue")
-    )
+    # Round-18 optimization (guide §2.4): `revenue` feeds both the join
+    # and the scalar max — unpersisted, each branch re-scanned and
+    # re-aggregated lineitem. The per-supplier aggregate is bounded
+    # (|suppliers| rows), so persisting it halves the fact work.
+    revenue = track_persist(
+        li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            F.round(F.sum(_rev().cast("decimal(27,4)")), 2).cast("double")
+            .alias("total_revenue")))
     best = revenue.agg(F.max("total_revenue").alias("best_revenue"))
     return (
         supp.join(revenue, supp["s_suppkey"] == revenue["supplier_no"])
