@@ -178,6 +178,23 @@ UPGRADED_SINCE_ROW = {
     "token_pmi_bigrams": 18,       # count tables persisted: 5 explodes -> 2
     "snapshot_diff": 18,           # (doc_id, h1, h2) persisted: 3 scans -> 1
     "decontaminate_minhash": 18,   # shingle table persisted: 3 explodes -> 1
+    # — events family, same sweep (in-window events_rfm_cutpoints shares
+    #   the per_user edit but is certified by its r18 window row):
+    "events_retention_cohorts": 18,  # first_ts via window: 2 scans -> 1
+    "events_cumulative_users": 18,   # both aggs from distinct (user, day)
+    "events_rollup_incremental": 18,  # one side-tagged rollup, sliced
+    "events_gap_fill": 18,           # hourly rollup persisted: 3 -> 1
+    "events_peak_concurrency": 18,   # session bounds persisted: 3 -> 1
+    "events_rfm_scores": 18,         # horizon from persisted per_user
+    "events_rfm_distributed": 18,    # same
+    "events_rfm_cutpoints_bucketed": 18,  # same
+    "events_funnel": 18,             # step frames persisted (cascade)
+    "events_funnel_windowed": 18,    # same
+    # — text/corpus family, same sweep (in-window dedup_tfidf_cosine
+    #   shares the tf persist but is certified by its r18 window row):
+    "preference_pairs": 18,          # ranked frame persisted: 2 scans -> 1
+    "mixture_upsample": 18,          # live frame persisted: 2 scans -> 1
+    "source_overlap": 18,            # (h, source, c) persisted: 2 -> 1
 }
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

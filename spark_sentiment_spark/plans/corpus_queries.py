@@ -450,11 +450,14 @@ def preference_pairs(spark, sf_dir):
     ww = Window.partitionBy("source").orderBy(F.asc("score"),
                                               F.desc("doc_id"))
     wn = Window.partitionBy("source")
-    ranked = q.select(
+    # Round-18 optimization (guide §2.4): both join sides read the same
+    # ranked frame — persist the narrow ranking so the corpus is scanned
+    # and window-ranked once, not twice.
+    ranked = track_persist(q.select(
         "doc_id", "source", "score",
         F.row_number().over(wb).alias("r_best"),
         F.row_number().over(ww).alias("r_worst"),
-        F.count(F.lit(1)).over(wn).alias("n"))
+        F.count(F.lit(1)).over(wn).alias("n")))
     b = ranked.alias("b")
     w = ranked.alias("w")
     return (
@@ -714,9 +717,13 @@ def mixture_upsample(spark, sf_dir):
     corpus-sized work is the same md5 rank window `mixture_apply`
     pays, and the slot join probes it with a broadcast."""
     docs = load(spark, sf_dir, "documents")
-    live = (docs.where(F.col("text").isNotNull() & (F.trim("text") != ""))
-            .select("doc_id", "source",
-                    F.size(_tokens_col()).alias("n_tokens")))
+    # Round-18 optimization (guide §2.4): the quota table and the md5
+    # rank window both read `live` — persist the narrow frame so the
+    # corpus is scanned and tokenized once.
+    live = track_persist(
+        docs.where(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select("doc_id", "source",
+                F.size(_tokens_col()).alias("n_tokens")))
     quota = _mixture_quotas(live, UPSAMPLE_BUDGET)
     # guard q >= 1 before sequence(): Spark's sequence(1, 0) yields a
     # DESCENDING [1, 0] rather than the empty series DuckDB produces

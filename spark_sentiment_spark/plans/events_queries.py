@@ -341,7 +341,10 @@ def events_gap_fill(spark, sf_dir):
     ev = load(spark, sf_dir, "events").where(
         F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
     )
-    hourly = (
+    # Round-18 optimization (guide §2.4): the hourly rollup feeds three
+    # branches (bounds, user grid, fill join) — persist the bounded
+    # user×hour frame so the fact aggregation runs once.
+    hourly = track_persist(
         ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
         .agg(F.round(F.avg("value"), 6).alias("avg_value"))
     )
@@ -412,12 +415,15 @@ def events_funnel(spark, sf_dir):
             .agg(F.min(step["ts"]).alias(out_ts))
         )
 
-    s1 = (
+    # Round-18 optimization (guide §2.4): persist the bounded step frames
+    # — unpersisted, s3's branch re-ran s1's and s2's whole subtrees
+    # (the signup scan evaluated three times). One scan per step now.
+    s1 = track_persist(
         ev.where(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
     )
-    s2 = first_after(s1, "click", "t1", "t2")
+    s2 = track_persist(first_after(s1, "click", "t1", "t2"))
     s3 = first_after(s2, "purchase", "t2", "t3")
     return (
         s1.agg(F.count(F.lit(1)).alias("n_signup"))
@@ -538,8 +544,16 @@ def events_retention_cohorts(spark, sf_dir):
     so AQE plans it shuffle- or broadcast-side by its actual size (user
     cardinality is unbounded at scale — no broadcast hint)."""
     ev = load(spark, sf_dir, "events")
-    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
-    joined = ev.join(firsts, "user_id").select(
+    # Round-18 optimization (guide §2.4): first_ts is a per-user window
+    # minimum over the stream itself instead of a separate aggregate
+    # joined back — one fact scan instead of two, and with the user-keyed
+    # fan-out the window needs no additional exchange.
+    w = Window.partitionBy("user_id")
+    joined = ev.select(
+        "user_id",
+        F.min("ts").over(w).alias("first_ts"),
+        "ts",
+    ).select(
         "user_id",
         F.date_format(F.date_trunc("day", "first_ts"), "yyyy-MM-dd")
         .alias("cohort_day"),
@@ -747,17 +761,26 @@ def events_rollup_incremental(spark, sf_dir):
          + F.expr("INTERVAL 12 HOURS")).alias("split_ts"))
     tagged = ev.crossJoin(F.broadcast(split))
 
-    def rollup(df):
-        return (df.groupBy(
+    # Round-18 optimization (guide §2.4): one rollup aggregation with the
+    # side flag as an extra group key, persisted (bounded: days × types
+    # × 2 rows), then sliced — the old per-side rollups each re-scanned
+    # the fact table. Per-side aggregates are identical because grouping
+    # by (day, type, side) partitions exactly the rows each side's
+    # filter selected. (In production base is a stored rollup table, not
+    # a scan — this keeps the synthetic single-source shape honest at
+    # one pass.)
+    sided = track_persist(
+        tagged.groupBy(
             F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
-            .alias("day"), "event_type")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum(F.col("value").cast("decimal(27,6)")).alias("sv"),
-                 F.min("event_id").alias("mn"),
-                 F.max("event_id").alias("mx")))
+            .alias("day"), "event_type",
+            (F.col("ts") >= F.col("split_ts")).alias("is_delta"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(27,6)")).alias("sv"),
+             F.min("event_id").alias("mn"),
+             F.max("event_id").alias("mx")))
 
-    base = rollup(tagged.where(F.col("ts") < F.col("split_ts"))).alias("b")
-    delta = rollup(tagged.where(F.col("ts") >= F.col("split_ts"))).alias("d")
+    base = sided.where(~F.col("is_delta")).drop("is_delta").alias("b")
+    delta = sided.where(F.col("is_delta")).drop("is_delta").alias("d")
     b, d = F.col("b.sv"), F.col("d.sv")
     merged_sum = (F.when(b.isNull() & d.isNull(), F.lit(None))
                   .otherwise(F.coalesce(b, F.lit(0).cast("decimal(27,6)"))
@@ -1037,8 +1060,14 @@ def events_peak_concurrency(spark, sf_dir):
                | ((F.unix_millis("ts") - lag_ms) > 3_600_000), 1)
         .otherwise(0))
         .withColumn("session_id", F.sum("new_session").over(wrun)))
-    bounds = (sess.groupBy("user_id", "session_id")
-              .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end")))
+    # Round-18 optimization (guide §2.4): the session-bounds table feeds
+    # three branches (+1 deltas, -1 deltas, per-day session counts) —
+    # unpersisted, each re-ran the full two-window sessionization over
+    # the fact table. Persist the bounded per-session frame: one
+    # sessionization pass.
+    bounds = track_persist(
+        sess.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end")))
     day = F.date_format(F.date_trunc("day", F.col("s_start")), "yyyy-MM-dd")
     deltas = (bounds.select(day.alias("day"), F.col("s_start").alias("t"),
                             F.lit(1).alias("delta"))
@@ -1098,15 +1127,19 @@ def events_cumulative_users(spark, sf_dir):
     window's single partition holds days, not users — bounded state by
     construction."""
     ev = load(spark, sf_dir, "events")
-    day_of = lambda c: F.date_format(F.date_trunc("day", F.col(c)),
-                                     "yyyy-MM-dd")
-    first_seen = (ev.groupBy("user_id")
-                  .agg(F.min(F.date_trunc("day", "ts")).alias("d0")))
+    # Round-18 optimization (guide §2.4/§8): first-seen attribution and
+    # DAU both reduce over the distinct (user, day) pairs — persist that
+    # narrow frame once instead of scanning the fact table twice (the
+    # DAU side's countDistinct also becomes a plain count).
+    ud = track_persist(
+        ev.select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct())
+    first_seen = ud.groupBy("user_id").agg(F.min("d").alias("d0"))
     new_by_day = (first_seen
                   .groupBy(F.date_format("d0", "yyyy-MM-dd").alias("day"))
                   .agg(F.count(F.lit(1)).alias("new_users")))
-    active = (ev.groupBy(day_of("ts").alias("day"))
-              .agg(F.countDistinct("user_id").alias("dau")))
+    active = (ud.groupBy(F.date_format("d", "yyyy-MM-dd").alias("day"))
+              .agg(F.count(F.lit(1)).alias("dau")))
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding,
                                           Window.currentRow)
     return (active.join(new_by_day, "day", "left")
@@ -1344,12 +1377,16 @@ def events_rfm_scores(spark, sf_dir):
     broadcast against the per-user table, which changes no output for
     distinct-valued axes. The corpus horizon is a 1-row broadcast."""
     ev = load(spark, sf_dir, "events")
-    mx = ev.agg(F.max("ts").alias("tmax"))
-    per_user = (ev.groupBy("user_id")
-                .agg(F.max("ts").alias("umax"),
-                     F.count(F.lit(1)).cast("bigint").alias("f_events"),
-                     F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
-                     .cast("bigint").alias("m_e4")))
+    # Round-18 optimization (guide §2.4): the corpus horizon is the max
+    # over the per-user maxima, so it derives from the persisted
+    # per-user aggregate instead of a second full scan.
+    per_user = track_persist(
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("umax"),
+             F.count(F.lit(1)).cast("bigint").alias("f_events"),
+             F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
+             .cast("bigint").alias("m_e4")))
+    mx = per_user.agg(F.max("umax").alias("tmax"))
     scored = (per_user.crossJoin(F.broadcast(mx))
               .withColumn("r_days",
                           F.expr("(unix_millis(tmax) - unix_millis(umax))"
@@ -1438,12 +1475,16 @@ def events_rfm_distributed(spark, sf_dir):
     tied cutpoint values; this form is exact. Driver-side state is
     3 × n_part count scalars, never data."""
     ev = load(spark, sf_dir, "events")
-    mx = ev.agg(F.max("ts").alias("tmax"))
-    per_user = (ev.groupBy("user_id")
-                .agg(F.max("ts").alias("umax"),
-                     F.count(F.lit(1)).cast("bigint").alias("f_events"),
-                     F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
-                     .cast("bigint").alias("m_e4")))
+    # Round-18 optimization (guide §2.4): the corpus horizon is the max
+    # over the per-user maxima, so it derives from the persisted
+    # per-user aggregate instead of a second full scan.
+    per_user = track_persist(
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("umax"),
+             F.count(F.lit(1)).cast("bigint").alias("f_events"),
+             F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
+             .cast("bigint").alias("m_e4")))
+    mx = per_user.agg(F.max("umax").alias("tmax"))
     scored = (per_user.crossJoin(F.broadcast(mx))
               .withColumn("r_days",
                           F.expr("(unix_millis(tmax) - unix_millis(umax))"
@@ -1578,12 +1619,16 @@ def events_rfm_cutpoints(spark, sf_dir):
     aggregation is restated rather than shared with the twins, so no
     certified source drifts when another changes."""
     ev = load(spark, sf_dir, "events")
-    mx = ev.agg(F.max("ts").alias("tmax"))
-    per_user = (ev.groupBy("user_id")
-                .agg(F.max("ts").alias("umax"),
-                     F.count(F.lit(1)).cast("bigint").alias("f_events"),
-                     F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
-                     .cast("bigint").alias("m_e4")))
+    # Round-18 optimization (guide §2.4): the corpus horizon is the max
+    # over the per-user maxima, so it derives from the persisted
+    # per-user aggregate instead of a second full scan.
+    per_user = track_persist(
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("umax"),
+             F.count(F.lit(1)).cast("bigint").alias("f_events"),
+             F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
+             .cast("bigint").alias("m_e4")))
+    mx = per_user.agg(F.max("umax").alias("tmax"))
     scored = (per_user.crossJoin(F.broadcast(mx))
               .withColumn("r_days",
                           F.expr("(unix_millis(tmax) - unix_millis(umax))"
@@ -1656,12 +1701,16 @@ def events_rfm_cutpoints_bucketed(spark, sf_dir):
     window over distinct values (now provably bounded for money too),
     4-row broadcast joins back. Nothing ranks users."""
     ev = load(spark, sf_dir, "events")
-    mx = ev.agg(F.max("ts").alias("tmax"))
-    per_user = (ev.groupBy("user_id")
-                .agg(F.max("ts").alias("umax"),
-                     F.count(F.lit(1)).cast("bigint").alias("f_events"),
-                     F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
-                     .cast("bigint").alias("m_e4")))
+    # Round-18 optimization (guide §2.4): the corpus horizon is the max
+    # over the per-user maxima, so it derives from the persisted
+    # per-user aggregate instead of a second full scan.
+    per_user = track_persist(
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("umax"),
+             F.count(F.lit(1)).cast("bigint").alias("f_events"),
+             F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
+             .cast("bigint").alias("m_e4")))
+    mx = per_user.agg(F.max("umax").alias("tmax"))
     scored = (per_user.crossJoin(F.broadcast(mx))
               .withColumn("r_days",
                           F.expr("(unix_millis(tmax) - unix_millis(umax))"
@@ -1981,9 +2030,14 @@ def events_funnel_windowed(spark, sf_dir):
                 .groupBy(step["user_id"])
                 .agg(F.min(step["ts"]).alias(out_ts)))
 
-    s1 = (ev.where(F.col("event_type") == "signup")
-          .groupBy("user_id").agg(F.min("ts").alias("t1")))
-    s2 = first_within(s1, "click", "t1", "t2", 3_600_000)
+    # Round-18 optimization (guide §2.4): each step output feeds the next
+    # step AND its own count — unpersisted, s3's branch re-ran s1's and
+    # s2's whole subtrees (the signup scan evaluated three times).
+    # Persisting the bounded per-user step frames makes each type-
+    # filtered scan run exactly once.
+    s1 = track_persist(ev.where(F.col("event_type") == "signup")
+                       .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    s2 = track_persist(first_within(s1, "click", "t1", "t2", 3_600_000))
     s3 = first_within(s2, "purchase", "t2", "t3", 86_400_000)
     counts = (s1.agg(F.count(F.lit(1)).alias("n_signup"))
               .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_click_1h")))

@@ -2693,8 +2693,12 @@ def source_overlap(spark, sf_dir):
     — pair counts come from c_a*c_b arithmetic, not row products), and
     the output is bounded by n_sources²."""
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    hs = (docs.select(_prefix_hash_col().alias("h"), "source")
-          .groupBy("h", "source").agg(F.count(F.lit(1)).alias("c")))
+    # Round-18 optimization (guide §2.4): both self-join sides read the
+    # same bounded (hash, source, count) aggregate — persist it so the
+    # corpus is scanned and prefix-hashed once.
+    hs = track_persist(
+        docs.select(_prefix_hash_col().alias("h"), "source")
+        .groupBy("h", "source").agg(F.count(F.lit(1)).alias("c")))
     a, b = hs.alias("a"), hs.alias("b")
     return (
         a.join(b, (F.col("a.h") == F.col("b.h"))

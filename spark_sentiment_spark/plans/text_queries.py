@@ -1360,7 +1360,11 @@ def dedup_tfidf_cosine(spark, sf_dir):
     tok = (docs.select("doc_id", F.explode(
         F.split(F.lower("text"), " ", -1)).alias("w"))
         .where(F.col("w") != ""))
-    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    # Round-18 optimization (guide §2.4): tf feeds both the df rollup and
+    # the weighted-postings join — persist it so the corpus explodes once
+    # instead of twice.
+    tf = track_persist(
+        tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf")))
     df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
     dec = lambda c: F.col(c).cast("decimal(18,0)")
