@@ -195,6 +195,9 @@ UPGRADED_SINCE_ROW = {
     "preference_pairs": 18,          # ranked frame persisted: 2 scans -> 1
     "mixture_upsample": 18,          # live frame persisted: 2 scans -> 1
     "source_overlap": 18,            # (h, source, c) persisted: 2 -> 1
+    "zorder_probe": 18,              # bounds + zkey map persisted: 3 -> 1
+    "q21_waiting_suppliers": 18,     # late frame persisted: 2 joins -> 1
+    "streaming_winnowing_probe": 18,  # fp_old persisted: 2 winnow passes -> 1
 }
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

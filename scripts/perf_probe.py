@@ -41,6 +41,10 @@ def main() -> None:
         raise SystemExit(f"usage: perf_probe.py name[,name...] [repeats]; "
                          f"unknown: {unknown}")
 
+    # Optional A/B overlay for config experiments (guide §1.2 step 3):
+    # JSON dict of extra conf, e.g. '{"spark.sql.join.preferSortMergeJoin":
+    # "false"}'. Empty by default so the probe stays the exact bench config.
+    overlay = json.loads(os.environ.get("SPARK_GRAFT_PROBE_CONF", "{}"))
     spark = get_spark(
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
@@ -48,6 +52,7 @@ def main() -> None:
             "spark.ui.enabled": "false",
             "spark.driver.memory": "8g",
             "spark.sql.codegen.wholeStage": "false",
+            **overlay,
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

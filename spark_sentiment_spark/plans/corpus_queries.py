@@ -1767,7 +1767,10 @@ def dedup_winnowing_incremental(spark, sf_dir):
     hot = (fp_new.unionByName(fp_old)
            .groupBy("h").agg(F.count(F.lit(1)).alias("df"))
            .where(F.col("df") > 50).select("h"))
-    keep_new = fp_new.join(hot, "h", "left_anti")
+    # Round-18 optimization (guide §2.4): keep_new feeds three branches
+    # (the cross probe and both intra sides) — persist it so the hot-list
+    # aggregation + anti-join run once instead of three times.
+    keep_new = track_persist(fp_new.join(hot, "h", "left_anti"))
     keep_old = fp_old.join(hot, "h", "left_anti")
     nw, od = keep_new.alias("nw"), keep_old.alias("od")
     cross = (nw.join(od, F.col("nw.h") == F.col("od.h"))

@@ -368,15 +368,20 @@ def zorder_probe(spark, sf_dir):
     floor-division arithmetic on the global min/max, identical in both
     engines."""
     li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    bounds = li.agg(
+    # Round-18 optimization (guide §2.4): `bounds` feeds the zkey map AND
+    # the box derivation, `filed` feeds the footer and match aggregates —
+    # unpersisted, each consumer re-scanned lineitem (3 scans). Persist
+    # the 1-row bounds and the narrow (x, y, file_id) map: one scan.
+    bounds = track_persist(li.agg(
         F.min("l_partkey").alias("min_x"), F.max("l_partkey").alias("max_x"),
-        F.min("l_suppkey").alias("min_y"), F.max("l_suppkey").alias("max_y"))
-    filed = (li.crossJoin(F.broadcast(bounds))
-             .withColumn("xb", F.expr(_Z_XB))
-             .withColumn("yb", F.expr(_Z_YB))
-             .withColumn("zkey", F.expr(_zbit_terms("xb", "yb")))
-             .withColumn("file_id", F.expr(_Z_FILE))
-             .select("l_partkey", "l_suppkey", "file_id"))
+        F.min("l_suppkey").alias("min_y"), F.max("l_suppkey").alias("max_y")))
+    filed = track_persist(
+        li.crossJoin(F.broadcast(bounds))
+        .withColumn("xb", F.expr(_Z_XB))
+        .withColumn("yb", F.expr(_Z_YB))
+        .withColumn("zkey", F.expr(_zbit_terms("xb", "yb")))
+        .withColumn("file_id", F.expr(_Z_FILE))
+        .select("l_partkey", "l_suppkey", "file_id"))
     box = bounds.select(
         F.expr("min_x + (max_x - min_x + 1) * 2 div 8").alias("px_lo"),
         F.expr("min_x + (max_x - min_x + 1) * 3 div 8 - 1").alias("px_hi"),

@@ -798,8 +798,13 @@ def streaming_winnowing_probe(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     is_new = F.col("doc_id") % 5 == 4
-    fp_old = (_winnow_selected(docs.where(~is_new))
-              .where(F.col("s") == 1).select("doc_id", "h").distinct())
+    # Round-18 optimization (guide §2.4): fp_old feeds the hot-list agg
+    # AND the anti-join — unpersisted, materializing `index` winnowed the
+    # corpus twice (explode + 6 windows per pass). Persist the narrow
+    # (doc_id, h) frame so the corpus pass runs once.
+    fp_old = track_persist(
+        _winnow_selected(docs.where(~is_new))
+        .where(F.col("s") == 1).select("doc_id", "h").distinct())
     hot = (fp_old.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
            .where(F.col("df") > 50).select("h"))
     index = track_persist(fp_old.join(hot, "h", "left_anti"))

@@ -672,7 +672,12 @@ def q21_waiting_suppliers(spark, sf_dir):
     orders = load(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F")
     supp = load(spark, sf_dir, "supplier")
-    late = (
+    # Round-18 optimization (guide §2.4): `late` feeds the sole-supplier
+    # aggregate AND the final semi-join chain — persist the narrow
+    # (orderkey, suppkey) frame so the lineitem⋈orders pass runs once.
+    from spark_sentiment_spark.plans.registry import track_persist
+
+    late = track_persist(
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .where(F.col("l_shipdate")
                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))

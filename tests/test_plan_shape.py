@@ -26,7 +26,13 @@ def test_tpch_joins_broadcast_dims(spark, name):
 
 
 def test_q6_pushdown_and_pruning(spark):
-    plan = _plan(spark, "q6_forecast_revenue")
+    # Production shape (fanout skipped, as on any non-local master): the
+    # scan must read exactly q6's 4 columns out of the 16-column lineitem.
+    spark.conf.set("spark.spark_sentiment.load.fanout", "never")
+    try:
+        plan = _plan(spark, "q6_forecast_revenue")
+    finally:
+        spark.conf.unset("spark.spark_sentiment.load.fanout")
     # NB: plan strings truncate long lists ("...") — match within the line.
     m = re.search(r"PushedFilters: \[[^\n]*l_shipdate", plan)
     assert m, "shipdate filter not pushed to the parquet scan"
@@ -34,6 +40,18 @@ def test_q6_pushdown_and_pruning(spark):
     read_cols = m.group(1)
     # projection pruning: q6 needs 4 columns, not the 16-column lineitem
     assert len(read_cols.split(",")) <= 4
+
+    # Local-bench shape: the round-18 hash-keyed fan-out (registry.load)
+    # may add ONLY its partition key (l_orderkey) to the scan — pinned so
+    # a future edit can't silently widen the read schema further.
+    plan = _plan(spark, "q6_forecast_revenue")
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    cols = m.group(1).split(",")
+    assert len(cols) <= 5
+    extra = [c for c in cols
+             if not re.match(r"l_(orderkey|quantity|extendedprice|discount"
+                             r"|shipdate)#", c)]
+    assert not extra, f"unexpected scan columns: {extra}"
 
 
 def test_wordscore_raw_is_pure_jvm(spark):
