@@ -90,11 +90,10 @@ UPGRADED_SINCE_ROW = {
     # whitespace drift, semantics unchanged, oracle re-verified locally
     # at two SFs this round; the r12 cut re-verifies it.
     "dedup_embedding_multiprobe": 11,
-    # round 12: fn rebased onto the shared _curation_verdicts builder and
-    # its oracle onto the shared _curate_sql composer (both now also
-    # feeding curate_corpus_gopher) — logic byte-equivalent, oracle
-    # re-verified locally at two SFs this round; the r13 cut re-verifies.
-    "curate_corpus": 12,
+    # round 12: curate_corpus was declared here for the _curation_verdicts
+    # rebase; that entry is superseded by (folded into) its round-18 entry
+    # below — keep ONE key per query (dict literal duplicates silently
+    # later-win).
     # round 13: verdict/reason moved behind _composite_gate's inner
     # feature projection so the regexp alpha ratio evaluates once per
     # row instead of once per referencing branch (the stage-attribution
@@ -198,6 +197,17 @@ UPGRADED_SINCE_ROW = {
     "zorder_probe": 18,              # bounds + zkey map persisted: 3 -> 1
     "q21_waiting_suppliers": 18,     # late frame persisted: 2 joins -> 1
     "streaming_winnowing_probe": 18,  # fp_old persisted: 2 winnow passes -> 1
+    # — batch-5 second-tier persists (shared aggregates over already-
+    #   cached frames; in-window dedup_winnowing_incremental /
+    #   dedup_tfidf_cosine / hybrid_search_rrf share the sweep but are
+    #   certified by their r18 window rows):
+    "dedup_winnowing_pairs": 18,     # nd persisted: 2 aggs -> 1
+    "dedup_minhash_lsh": 18,         # comment-only A/B note (persist rejected)
+    "dedup_embedding_cosine": 18,    # unit-vector frame persisted
+    "dedup_incremental_minhash": 18,  # comment-only A/B note (persist rejected)
+    "dedup_cross_source_pairs": 18,  # comment-only A/B note (persist rejected)
+    # (decontaminate_minhash's batch-5 buckets/sizes persists fold into
+    #  its existing batch-2 entry above)
 }
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -1686,8 +1686,12 @@ def dedup_winnowing_pairs(spark, sf_dir):
     # (it does at every test SF) and falls back to a shuffled anti-join
     # beyond that, which is the correct degradation.
     keep = track_persist(fp.join(hot, "h", "left_anti"))
-    nd = keep.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint")
-                                    .alias("nfp"))
+    # Round-18 optimization (guide §2.4): nd feeds both final join sides
+    # (na, nb) — persist the narrow per-doc count so the aggregation over
+    # the cached keep frame runs once instead of twice.
+    nd = track_persist(
+        keep.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint")
+                                   .alias("nfp")))
     a = keep.select(F.col("doc_id").alias("doc_a"), "h")
     b = keep.select(F.col("doc_id").alias("doc_b"), "h")
     pr = (a.join(b, "h")
@@ -1764,9 +1768,14 @@ def dedup_winnowing_incremental(spark, sf_dir):
     fp_old = track_persist(
         _winnow_selected(docs.where(~is_new))
         .where(F.col("s") == 1).select("doc_id", "h").distinct())
-    hot = (fp_new.unionByName(fp_old)
-           .groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-           .where(F.col("df") > 50).select("h"))
+    # Round-18 optimization (guide §2.4): hot is consumed by BOTH anti-
+    # joins (keep_new's cache fill + keep_old) — persist the bounded
+    # boilerplate list so the union+agg over the cached fp frames runs
+    # once instead of twice.
+    hot = track_persist(
+        fp_new.unionByName(fp_old)
+        .groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > 50).select("h"))
     # Round-18 optimization (guide §2.4): keep_new feeds three branches
     # (the cross probe and both intra sides) — persist it so the hot-list
     # aggregation + anti-join run once instead of three times.

@@ -303,6 +303,11 @@ def dedup_minhash_lsh(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     n_hashes, n_bands = 32, 8
     mins = track_persist(_minhash_signatures(docs, n_hashes))
+    # NOT persisted (round-18 A/B): both self-join sides re-derive the
+    # band explode from the cached signatures, but that derivation is a
+    # cheap projection over cached rows — a min-of-10 A/B measured the
+    # persist's cache-fill barrier at +9% min / +7% median on this bench
+    # query, so the recompute wins.
     pairs = _band_buckets(mins, n_hashes, n_bands)
     # Candidate pairs: docs sharing any band bucket (bucket-local join, the
     # LSH scale path — no all-pairs product).
@@ -435,6 +440,12 @@ def dedup_incremental_minhash(spark, sf_dir):
                                                 n_hashes))
     sig_old = track_persist(_minhash_signatures(docs.where(~is_new),
                                                 n_hashes))
+    # NOT persisted (round-18 A/B): bands_new feeds three branches, but
+    # each re-derives the band explode from the CACHED signatures — a
+    # cheap projection — while persisting materializes the exploded
+    # (n_bands× rows) frame behind a cache-fill barrier. Min-of-10 A/B:
+    # persist +18% min (2.327 → 2.740 s at sf0.1), same verdict as
+    # dedup_minhash_lsh's identical pattern. Recompute wins.
     bands_new = _band_buckets(sig_new, n_hashes, n_bands)
     bands_old = _band_buckets(sig_old, n_hashes, n_bands)
     nb, ob = bands_new.alias("nb"), bands_old.alias("ob")
@@ -695,7 +706,10 @@ def decontaminate_minhash(spark, sf_dir):
     is_eval = F.col("doc_id") % 11 == 0
 
     mins = track_persist(_minhash_signatures(docs, n_hashes))
-    buckets = _band_buckets(mins, n_hashes, n_bands)
+    # Round-18 optimization (guide §2.4): the train and eval sides each
+    # re-derived the band explode from the cached signatures — persist the
+    # narrow (doc_id, band_id, bh) frame so the banding runs once.
+    buckets = track_persist(_band_buckets(mins, n_hashes, n_bands))
     t = buckets.where(~is_eval).alias("t")
     e = buckets.where(is_eval).alias("e")
     cand = (t.join(e, (F.col("t.bh") == F.col("e.bh"))
@@ -711,7 +725,11 @@ def decontaminate_minhash(spark, sf_dir):
     # feeds three branches (sizes + both intersect sides) — persist it
     # so the corpus is shingled once instead of three times.
     tok = track_persist(_shingled(docs).distinct())
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # Round-18 optimization (guide §2.4): sizes feeds both final join
+    # sides (st, se) — persist the narrow per-doc count so the aggregation
+    # over the cached shingle table runs once.
+    sizes = track_persist(
+        tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")))
     ta, ea = tok.alias("ta"), tok.alias("ea")
     inter = (cand
              .join(ta, F.col("train_doc") == F.col("ta.doc_id"))
@@ -1446,6 +1464,12 @@ def dedup_cross_source_pairs(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     n_hashes, n_bands = 32, 8
     mins = track_persist(_minhash_signatures(docs, n_hashes))
+    # NOT persisted (round-18 A/B): both self-join sides re-derive the
+    # band explode from the CACHED signatures — a cheap projection —
+    # while persisting materializes the exploded (n_bands× rows) frame
+    # behind a cache-fill barrier. Min-of-10 A/B: persist +25% min
+    # (1.534 → 1.921 s at sf0.1, median +54%), same verdict as
+    # dedup_minhash_lsh's identical pattern. Recompute wins.
     bands = _band_buckets(mins, n_hashes, n_bands)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, (F.col("a.bh") == F.col("b.bh"))

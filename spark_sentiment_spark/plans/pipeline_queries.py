@@ -1999,6 +1999,10 @@ def hybrid_search_rrf(spark, sf_dir):
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"))
         .where(F.length("tok") > 0).distinct())
+    # NOT persisted (round-18 A/B): sizes feeds both lex join sides, but
+    # each re-aggregates from the CACHED token table — a min-of-10 A/B
+    # measured the persist's cache-fill barrier at +27% min / +30% median
+    # on this bench query, so the dual agg over cache wins.
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     q = (toks.where(F.col("doc_id") < 3)
          .select(F.col("doc_id").alias("qid"), "tok"))

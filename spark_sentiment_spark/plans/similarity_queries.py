@@ -354,8 +354,11 @@ def dedup_embedding_cosine(spark, sf_dir):
     pair loop is one dot product, not three."""
     emb = load(spark, sf_dir, "embeddings")
     e = _as_double("embedding")
-    sides = emb.select("vec_id", (F.transform(
-        e, lambda x: x / _norm(e))).alias("u"))
+    # Round-18 optimization (guide §2.4): both pair-join sides consumed
+    # the normalize projection — persist the (vec_id, unit-vector) frame
+    # so the per-vector norm+divide runs once, not once per side.
+    sides = track_persist(emb.select("vec_id", (F.transform(
+        e, lambda x: x / _norm(e))).alias("u")))
     a, b = sides.alias("a"), sides.alias("b")
     cos = _dot(F.col("a.u"), F.col("b.u"))
     return (

@@ -1375,8 +1375,11 @@ def dedup_tfidf_cosine(spark, sf_dir):
                 F.floor(F.col("tf") * F.log((F.col("n_docs") + 1.0)
                                             / (F.col("df") + 1.0))
                         * F.lit(1_000_000.0)).cast("bigint").alias("wti")))
-    norms = wts.groupBy("doc_id").agg(
-        F.sum(dec("wti") * dec("wti")).alias("ss"))
+    # Round-18 optimization (guide §2.4): norms feeds both final join
+    # sides (na, nb) — persist the narrow per-doc sum-of-squares so the
+    # aggregation over the cached weights frame runs once.
+    norms = track_persist(wts.groupBy("doc_id").agg(
+        F.sum(dec("wti") * dec("wti")).alias("ss")))
     a, b = wts.alias("a"), wts.alias("b")
     dots = (a.join(b, (F.col("a.w") == F.col("b.w"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
