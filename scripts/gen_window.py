@@ -63,7 +63,8 @@ FORCE_ROWS_ONLY = {"mlib_score_documents": 16}
 UPGRADED_SINCE_ROW = {
     "ann_ivf_topk": 5,       # rows-only -> exact oracle (round 5)
     "ann_pq_topk": 5,        # rows-only -> exact oracle (round 5)
-    "dedup_clusters": 6,     # exact-duplicate collapse in the plan (round 6)
+    # (dedup_clusters' round-6 exact-duplicate-collapse entry is folded
+    #  into its round-18 entry below — one key per query)
     # round 7: explicit shared whitespace class replaces the three-way-
     # divergent \s in plan + oracle + UDF (round-6 ADVICE), superseding
     # the expired round-6 exact-oracle entries.
@@ -112,7 +113,8 @@ UPGRADED_SINCE_ROW = {
     # r14 cut re-verifies.
     "langid_stopword": 13,
     "langid_confusion": 13,
-    "langid_kappa": 13,
+    # (langid_kappa's round-13 entry is folded into its round-18 entry
+    #  below — one key per query)
     # round 14: the full-catalog sf0.1 oracle sweep (driver checks
     # sf0.01) found four latent SF-dependent divergences; three of the
     # fixes touch queries outside the frozen r14 window, so their green
@@ -208,6 +210,13 @@ UPGRADED_SINCE_ROW = {
     "dedup_cross_source_pairs": 18,  # comment-only A/B note (persist rejected)
     # (decontaminate_minhash's batch-5 buckets/sizes persists fold into
     #  its existing batch-2 entry above)
+    # — batch-6 shared-subtree adjudications (post-close sweep):
+    "langid_kappa": 18,      # cm persisted: 4 classifier scans -> 1
+    "dedup_jaccard_pairs": 18,  # helper tok persisted: shingling once
+    "dedup_clusters": 18,    # same helper persist (via _jaccard_pair_frame)
+    "dedup_char_ngrams": 18,  # grams persisted: 2 char-explodes -> 1
+    "token_pagerank": 18,    # comment-only A/B note (persists rejected)
+    "graph_degree_assortativity": 18,  # comment-only A/B note (persist rejected)
 }
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

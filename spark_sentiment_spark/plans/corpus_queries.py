@@ -916,6 +916,13 @@ def token_pagerank(spark, sf_dir, iters: int = PAGERANK_ITERS,
     # top-V vocabulary cap: distributed TakeOrdered on the aggregated
     # unigram counts (V rows of (token, freq) — never the corpus), then a
     # semi-join drops tail-touching edges. Inactive when vocab <= cap.
+    # NOT persisted (round-18 A/B): keep feeds both semi-joins and edges
+    # unions bg with itself, but the executed plan already deduplicates
+    # both — ReusedExchange covers the bigram-count exchange across the
+    # union sides and the keep broadcast across the semi-joins — so
+    # persisting them only added cache-fill barriers (min-of-10 A/B:
+    # +9% min on the pair). The wout/e persists below remain the frames
+    # the iteration loop actually re-reads.
     keep = (t.select(F.explode("l").alias("w"))
             .groupBy("w").agg(F.count(F.lit(1)).alias("f"))
             .orderBy(F.desc("f"), "w").limit(vocab_cap)
@@ -1447,6 +1454,11 @@ def graph_degree_assortativity(spark, sf_dir):
         .groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("d")))
     da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    # NOT persisted (round-18 A/B): edd feeds both symmetrization union
+    # sides, but its subtree is two joins over the ALREADY-CACHED ed/deg
+    # frames — recompute is two cache scans, and a min-of-10 A/B measured
+    # the persist at +12% min / +23% median. Recompute wins (the Change-5
+    # rule: memoizing derivations of cached frames loses its barrier).
     edd = ed.join(da, "a").join(db, "b")
     sym = (edd.select(F.col("da").alias("x"), F.col("db").alias("y"))
            .unionByName(

@@ -193,7 +193,11 @@ def _jaccard_pair_frame(docs):
     """The >= 0.9 Jaccard pair computation over an arbitrary document
     frame (factored so dedup_clusters can run it on exact-dup
     representatives instead of the raw corpus)."""
-    tok = _shingled(docs).distinct()
+    # Round-18 optimization (guide §2.4): tok feeds the sizes agg plus
+    # both self-join sides — persist the distinct shingle table so the
+    # shingling (explode + distinct shuffle over full text) runs once,
+    # the same shape decontaminate_minhash persists.
+    tok = track_persist(_shingled(docs).distinct())
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = tok.alias("a")
     b = tok.alias("b")
@@ -889,7 +893,11 @@ def char_ngram_stats(docs, n: int = CHAR_NGRAM_LEN):
     """Core of dedup_char_ngrams over any (doc_id, text) DataFrame —
     split out so tests can pin the semantics on hand-built corpora."""
     live = docs.where(F.col("text").isNotNull() & (F.length("text") >= n))
-    grams = (live.select(
+    # Round-18 optimization (guide §2.4): grams feeds the document-
+    # frequency agg AND the final per-doc join side — persist the
+    # distinct char-gram table so the explode + distinct shuffle over
+    # full text runs once, not twice.
+    grams = track_persist(live.select(
         "doc_id",
         F.explode(F.expr(
             f"transform(sequence(1, length(text) - {n} + 1),"

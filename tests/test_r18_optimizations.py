@@ -134,3 +134,39 @@ def test_sliding_users_minute_windowing_matches_ts(spark, sf_dir):
         F.date_format("w", "yyyy-MM-dd HH:mm:ss").alias("w"))
         .agg(F.countDistinct("user_id").alias("n")).collect()}
     assert out == expect
+
+
+def test_no_duplicate_table_loads_in_any_query():
+    """Round-18 invariant (the Change-6 AST audit, frozen as a pin): no
+    query function calls load() twice for the same table — every
+    multi-branch consumer either persists the shared frame or derives
+    both branches from one load. A duplicate load re-scans the fact
+    table once per plan branch at 100 TB; new queries must share the
+    scan. Pure-AST check, no Spark session needed."""
+    import ast
+    import collections
+    import os
+
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "spark_sentiment_spark", "plans")
+    offenders = []
+    for fn in sorted(os.listdir(root)):
+        if not fn.endswith("_queries.py"):
+            continue
+        tree = ast.parse(open(os.path.join(root, fn)).read())
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.FunctionDef):
+                continue
+            loads = collections.Counter()
+            for sub in ast.walk(node):
+                if isinstance(sub, ast.Call):
+                    name = getattr(sub.func, "id",
+                                   getattr(sub.func, "attr", ""))
+                    if name == "load" and len(sub.args) >= 3:
+                        tbl = getattr(sub.args[2], "value", None)
+                        if isinstance(tbl, str):
+                            loads[tbl] += 1
+            dups = {t: c for t, c in loads.items() if c > 1}
+            if dups:
+                offenders.append(f"{fn}:{node.name}: {dups}")
+    assert not offenders, offenders
