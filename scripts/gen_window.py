@@ -217,6 +217,10 @@ UPGRADED_SINCE_ROW = {
     "dedup_char_ngrams": 18,  # grams persisted: 2 char-explodes -> 1
     "token_pagerank": 18,    # comment-only A/B note (persists rejected)
     "graph_degree_assortativity": 18,  # comment-only A/B note (persist rejected)
+    # — batch-7: operator-level vocab persist in extract_wordlists
+    #   (corpus pass x2 -> x1; both consumers re-certified):
+    "wordlist_extraction": 18,
+    "wordlist_extraction_scaled": 18,
 }
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
