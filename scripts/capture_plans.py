@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Capture .explain("formatted") for named (default: all bench) queries
-into plans/r18/<query>_<suffix>.txt — the optimization round's plan
-evidence (guide §1 / §7.2).
+into plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt (default r19) —
+the optimization round's plan evidence (guide §1 / §7.2).
 
 Usage:
   python scripts/capture_plans.py before            # all bench queries
@@ -45,7 +45,8 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    outdir = os.path.join(REPO, "plans", "r18")
+    outdir = os.path.join(REPO, "plans",
+                          os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r19"))
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         df = qs[name](spark, sf_dir)
