@@ -937,11 +937,14 @@ def token_pagerank(spark, sf_dir, iters: int = PAGERANK_ITERS,
     wout = track_persist(edges.groupBy("src").agg(F.sum("w").alias("wt")))
     # Round-19 optimization (guide §2.4, VERDICT r18 item 1): the edge
     # frame the loop re-reads every iteration is cached HASH-PARTITIONED
-    # ON src, so each iteration's edges⋈ranks join reads the cache
-    # pre-clustered instead of re-shuffling the edge table (the edges agg
-    # leaves it partitioned by (src, dst), which does NOT satisfy the
-    # join's src clustering). One shuffle of the edge table total, at
-    # cache-fill time — not one per iteration.
+    # ON src (the edges agg leaves it partitioned by (src, dst), which
+    # does NOT satisfy the join's src clustering). Caveat discovered
+    # this round: an AQE-wrapped InMemoryRelation reports unknown
+    # partitioning to consumers planned BEFORE the cache materializes —
+    # but each power iteration here is its own eager-checkpoint action
+    # planned AFTER the fill ran, which is exactly the case where the
+    # cache's src clustering stays visible, so a non-broadcast iteration
+    # join reshuffles ranks only, never the edge table.
     p = spark.sparkContext.defaultParallelism
     e = track_persist(edges.join(wout, "src")
                       .repartition(p, "src")

@@ -1250,41 +1250,55 @@ def _stickiness_hll_core(ud):
     # Round-18 optimization (guide §2.4): the partials carry a per-bucket
     # distinct-user count (nb) alongside max-rho. Each distinct (d, user)
     # row lands in exactly one (d, bucket) group, so sum(nb) per day IS
-    # the exact DAU — dau_exact below reads the persisted |days|×256-row
-    # partials instead of re-scanning the events table and re-running the
-    # (d, user) distinct (one full fact scan + a round-robin exchange + a
-    # 2-exchange distinct removed; see plans/r18/events_stickiness_hll_*).
+    # the exact DAU — the exact tier below reads the persisted
+    # |days|×256-row partials instead of re-scanning the events table and
+    # re-running the (d, user) distinct (one full fact scan + a
+    # round-robin exchange + a 2-exchange distinct removed; see
+    # plans/r18/events_stickiness_hll_*).
+    # (A fill-side repartition(d) of the cache was tried in round 19 and
+    # REMOVED: every consumer here plans in the same action BEFORE the
+    # cache materializes, and an AQE-wrapped InMemoryRelation reports
+    # unknown partitioning at that point — the captured plan kept an
+    # ENSURE_REQUIREMENTS hash(d) exchange directly over the hash(d)
+    # cache — so the extra fill exchange bought nothing downstream.)
+    p = ud.sparkSession.sparkContext.defaultParallelism
     daypart = track_persist(
         keyed.select("d", F.expr(_HLL_BUCKET).alias("bucket"),
                      F.expr(_HLL_RHO).alias("rho"))
         .groupBy("d", "bucket").agg(F.max("rho").alias("mj"),
                                     F.count(F.lit(1)).alias("nb")))
     days = daypart.select("d").distinct()
-    mau_part = (days.alias("g")
-                .join(daypart.alias("p"),
-                      (F.col("p.d") <= F.col("g.d"))
-                      & (F.col("p.d") > F.col("g.d")
-                         - F.expr("INTERVAL 28 DAY")))
-                .groupBy(F.col("g.d").alias("d"), "bucket")
-                .agg(F.max("mj").alias("mj")))
 
-    def sk(parts, name):
-        return parts.groupBy("d").agg(
-            (F.sum(F.expr(_HLL_POW2)).cast("bigint")
-             + (F.lit(_HLL_M) - F.count(F.lit(1)))
-             * F.lit(2 ** (_HLL_BITS + 1))).alias(name))
+    def _sk(name):
+        return (F.sum(F.expr(_HLL_POW2)).cast("bigint")
+                + (F.lit(_HLL_M) - F.count(F.lit(1)))
+                * F.lit(2 ** (_HLL_BITS + 1))).alias(name)
 
-    mau_sk = sk(mau_part, "s_mau")
-    dau_sk = sk(daypart, "s_dau")
-    dau_exact = daypart.groupBy("d").agg(
-        F.sum("nb").cast("bigint").alias("dau"))
+    # Round-19 (guide §2.4): exact DAU and the DAU sketch are BOTH
+    # groupBy(d) aggregates over the same cached partials — one fused agg
+    # replaces two aggregation passes plus their re-attachment join.
+    day_stats = daypart.groupBy("d").agg(
+        F.sum("nb").cast("bigint").alias("dau"), _sk("s_dau"))
+    # Trailing-28-day MAU: the bounded range fan-out (<= 28 x |days| x 256
+    # rows) is repartitioned ONCE on the probe day so the (d, bucket)
+    # max-merge and the per-day sketch sum share that single exchange
+    # (HashPartitioning(d) satisfies ClusteredDistribution(d, bucket)).
+    mau_sk = (days.alias("g")
+              .join(daypart.alias("p"),
+                    (F.col("p.d") <= F.col("g.d"))
+                    & (F.col("p.d") > F.col("g.d")
+                       - F.expr("INTERVAL 28 DAY")))
+              .select(F.col("g.d").alias("d"), "bucket", "mj")
+              .repartition(p, "d")
+              .groupBy("d", "bucket").agg(F.max("mj").alias("mj"))
+              .groupBy("d").agg(_sk("s_mau")))
     a = F.lit(float(_HLL_A))
     # stickiness = (A/s_dau)/(A/s_mau) = s_mau/s_dau; BIGINT ppm would
     # overflow (s <= 256 * 2^41 = 2^49, x 10^6 > 2^63), so this is the
     # floor-of-identical-DOUBLEs recipe: one IEEE division and one IEEE
     # multiply on identical operands, correctly rounded in both engines.
     ratio = F.col("s_mau").cast("double") / F.col("s_dau").cast("double")
-    return (dau_exact.join(dau_sk, "d").join(mau_sk, "d")
+    return (day_stats.join(mau_sk, "d")
             .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "dau",
                     F.floor(a / F.col("s_dau").cast("double") * 100)
                     .cast("bigint").alias("dau_est_cents"),
