@@ -128,8 +128,9 @@ UPGRADED_SINCE_ROW = {
     # sf0.1's ~2.8e9 totals). events_rolling_1h's microsecond-exact
     # frame-key fix shares the sweep but sits in the r14 window, which
     # certifies it. All four re-verified at sf0.001/0.01/0.1 on landing.
-    "ann_lsh_topk": 14,
-    "dedup_semantic": 14,
+    # (ann_lsh_topk's and dedup_semantic's round-14 adaptive-twin entries
+    #  are folded into their round-19 entries below — one key per query;
+    #  both earned fresh rows at the r15 cut, expiring the r14 class.)
     "q1_pricing_summary": 14,
     # round 14, same sweep's CLASS fix: the remaining order-sensitive
     # round(sum(double-money), 2) sites converted to the exact
@@ -221,6 +222,14 @@ UPGRADED_SINCE_ROW = {
     #   (corpus pass x2 -> x1; both consumers re-certified):
     "wordlist_extraction": 18,
     "wordlist_extraction_scaled": 18,
+    # ---- round 19 (optimization round 2 of 2) ----
+    # Declared as the edits land (mid-round the r17 window stays frozen —
+    # compute_window only consults entries < WINDOW_ROUND — and the r19
+    # close-time cut re-certifies these with fresh driver rows):
+    "ann_lsh_topk": 19,    # comment-only: stage attribution + Arrow re-rank
+    #                        A/B rejection note (batch 3)
+    "dedup_semantic": 19,  # comment-only: SMJ->SHJ config re-probe
+    #                        rejection note (batch 2)
 }
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
