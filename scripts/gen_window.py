@@ -214,7 +214,8 @@ UPGRADED_SINCE_ROW = {
     # — batch-6 shared-subtree adjudications (post-close sweep):
     "langid_kappa": 18,      # cm persisted: 4 classifier scans -> 1
     "dedup_jaccard_pairs": 18,  # helper tok persisted: shingling once
-    "dedup_clusters": 18,    # same helper persist (via _jaccard_pair_frame)
+    # (dedup_clusters' round-18 _jaccard_pair_frame persist entry is
+    #  folded into its round-19 entry below — one key per query)
     "dedup_char_ngrams": 18,  # grams persisted: 2 char-explodes -> 1
     "token_pagerank": 18,    # comment-only A/B note (persists rejected)
     "graph_degree_assortativity": 18,  # comment-only A/B note (persist rejected)
@@ -230,6 +231,14 @@ UPGRADED_SINCE_ROW = {
     #                        A/B rejection note (batch 3)
     "dedup_semantic": 19,  # comment-only: SMJ->SHJ config re-probe
     #                        rejection note (batch 2)
+    # batch 4: operators/components.py loop restructure (edge cache
+    # keyed on s, prop checkpointed once per round, changed-count via
+    # carried ocomp — no third join). Deep-helper edit, so the three
+    # consumers are declared manually (their fn sources are unchanged);
+    # all three oracle re-verified at sf0.01 + sf0.1 on landing:
+    "dedup_clusters": 19,
+    "dedup_cluster_stats": 19,
+    "dedup_cluster_canonical": 19,
 }
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

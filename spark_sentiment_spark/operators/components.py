@@ -51,9 +51,21 @@ def connected_components(
     ``return_rounds=True`` returns ``(labels, rounds)`` — the round count
     the scale probe records."""
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    # Round-19 optimization (guide §2.4, same class as token_pagerank's
+    # batch-1 fix): the loop re-reads ``e`` every round through an
+    # s-keyed join, but distinct() leaves it clustered on (s, d), which
+    # does NOT satisfy the join's s clustering — so each round used to
+    # re-shuffle the whole edge table. Cache it hash-partitioned ON s:
+    # one edge shuffle total, at fill time. Each round is its own
+    # action planned after the fill, which is exactly the case where
+    # the cache's clustering stays visible to the planner (the
+    # pre-materialization AQE-unknown-partitioning caveat documented at
+    # token_pagerank does not bite here). The initial node frame's
+    # distinct() reuses the same clustering for free.
+    p = e.sparkSession.sparkContext.defaultParallelism
     e = e.unionByName(
         e.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).distinct().persist()
+    ).distinct().repartition(p, "s").persist()
 
     labels = (
         e.select(F.col("s").alias("node")).distinct()
@@ -68,6 +80,14 @@ def connected_components(
             .groupBy(F.col("d").alias("node"))
             .agg(F.min("comp").alias("ncomp"))
         )
+        # Round-19 (guide §2.4): ``prop`` feeds BOTH sides of the jump
+        # join below, and Catalyst does not share subtrees across plan
+        # branches — un-checkpointed, the e⋈labels join + aggregation
+        # above executed TWICE per round. The eager checkpoint
+        # materializes it once (and truncates its lineage, same role as
+        # the end-of-round checkpoint). ``ocomp`` rides along so the
+        # convergence check at the bottom is a filter over the final
+        # checkpoint instead of a third (node-keyed) join per round.
         prop = (
             labels.alias("o")
             .join(neigh.alias("n"), "node", "left")
@@ -77,26 +97,26 @@ def connected_components(
                     F.col("o.comp"),
                     F.coalesce(F.col("n.ncomp"), F.col("o.comp")),
                 ).alias("comp"),
+                F.col("o.comp").alias("ocomp"),
             )
+            .localCheckpoint(eager=True)
         )
         # pointer jump: comp <- comp(comp). Every comp value is itself a
         # node id (labels start as node and only ever take other labels'
         # values via min), so the lookup always hits.
         parents = prop.select(F.col("node").alias("comp"),
                               F.col("comp").alias("pcomp"))
-        new_labels = (
+        new_full = (
             prop.join(parents, "comp", "left")
             .select("node",
-                    F.coalesce(F.col("pcomp"), F.col("comp")).alias("comp"))
+                    F.coalesce(F.col("pcomp"), F.col("comp")).alias("comp"),
+                    "ocomp")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        # identical to the old new⋈old inner-join-on-node comparison:
+        # both rounds' node sets are equal and ocomp IS the old comp.
+        changed = new_full.where(F.col("comp") != F.col("ocomp")).count()
+        labels = new_full.select("node", "comp")
         if changed == 0:
             break
     e.unpersist()

@@ -72,3 +72,25 @@ def test_pagerank_matches_leftjoin_recurrence(spark, tmp_path):
         r = {v: base + 85 * s.get(v, 0) // 100 for v in nodes}
     expect = {v: (wout[v], r[v]) for v in nodes}
     assert got == expect
+
+
+def test_components_round_accounting_and_convergence(spark):
+    """Round-19 restructure of connected_components (see
+    OPTIMIZATION_r19.md batch 4): the per-round changed-count join was
+    replaced by an `ocomp` column carried through the pointer jump, and
+    `prop` is checkpointed once per round to feed both jump sides. The
+    recurrence is untouched, so on a graph that settles in one
+    propagation the loop must still take EXACTLY 2 rounds (one change
+    round + the zero-change round that fires the new filter-based
+    convergence check), with correct labels."""
+    from spark_sentiment_spark.operators.components import (
+        connected_components)
+
+    df = spark.createDataFrame([(20, 21), (30, 31)], ["s", "d"])
+    labels, rounds = connected_components(df, "s", "d",
+                                          return_rounds=True)
+    got = {r["node"]: r["comp"] for r in labels.collect()}
+    assert got == {20: 20, 21: 20, 30: 30, 31: 30}
+    assert rounds == 2, rounds
+    # the returned frame must not leak the internal ocomp column
+    assert labels.columns == ["node", "comp"]
