@@ -207,7 +207,8 @@ UPGRADED_SINCE_ROW = {
     "dedup_winnowing_pairs": 18,     # nd persisted: 2 aggs -> 1
     "dedup_minhash_lsh": 18,         # comment-only A/B note (persist rejected)
     "dedup_embedding_cosine": 18,    # unit-vector frame persisted
-    "dedup_incremental_minhash": 18,  # comment-only A/B note (persist rejected)
+    # (dedup_incremental_minhash's round-18 note entry is folded into
+    #  its round-19 entry below — one key per query)
     "dedup_cross_source_pairs": 18,  # comment-only A/B note (persist rejected)
     # (decontaminate_minhash's batch-5 buckets/sizes persists fold into
     #  its existing batch-2 entry above)
@@ -239,6 +240,13 @@ UPGRADED_SINCE_ROW = {
     "dedup_clusters": 19,
     "dedup_cluster_stats": 19,
     "dedup_cluster_canonical": 19,
+    # batch 5: the two-slice corpus passes fused — _winnow_selected /
+    # _minhash_signatures are doc-local, so ONE corpus pass fills one
+    # cache and the batch/index sides are filters over it. All three
+    # oracle re-verified at sf0.01 + sf0.1 on landing:
+    "dedup_winnowing_incremental": 19,
+    "dedup_incremental_minhash": 19,
+    "dedup_minhash_bucketed_probe": 19,
 }
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -1801,25 +1801,30 @@ def dedup_winnowing_incremental(spark, sf_dir):
     per fingerprint, and appends never rewrite the index."""
     docs = load(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % 5 == 4
-    fp_new = track_persist(
-        _winnow_selected(docs.where(is_new))
+    # Round-19 optimization (guide §2.4): the batch and index sides used
+    # to run _winnow_selected on complementary doc slices — TWO corpus
+    # scans, each paying the k-gram explode + two window passes.
+    # Selection is doc-local (every window in _winnow_selected is
+    # partitioned by doc_id), so winnow(slice) ≡ winnow(corpus) filtered
+    # to the slice: one winnow pass fills one cache, and both sides are
+    # cheap filters over it. The doc-locality is also what keeps the
+    # at-scale incremental story intact — a production batch still
+    # winnows only its own documents against a stored index; this
+    # single-pass formulation is how the from-parquet bench computes the
+    # same thing without paying the corpus pass twice. The hot-list agg
+    # also now reads the cache directly (fp IS fp_new ∪ fp_old).
+    fp = track_persist(
+        _winnow_selected(docs)
         .where(F.col("s") == 1).select("doc_id", "h").distinct())
-    fp_old = track_persist(
-        _winnow_selected(docs.where(~is_new))
-        .where(F.col("s") == 1).select("doc_id", "h").distinct())
-    # Round-18 optimization (guide §2.4): hot is consumed by BOTH anti-
-    # joins (keep_new's cache fill + keep_old) — persist the bounded
-    # boilerplate list so the union+agg over the cached fp frames runs
-    # once instead of twice.
     hot = track_persist(
-        fp_new.unionByName(fp_old)
-        .groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        fp.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > 50).select("h"))
     # Round-18 optimization (guide §2.4): keep_new feeds three branches
     # (the cross probe and both intra sides) — persist it so the hot-list
-    # aggregation + anti-join run once instead of three times.
-    keep_new = track_persist(fp_new.join(hot, "h", "left_anti"))
-    keep_old = fp_old.join(hot, "h", "left_anti")
+    # anti-join runs once instead of three times.
+    keep = fp.join(hot, "h", "left_anti")
+    keep_new = track_persist(keep.where(is_new))
+    keep_old = keep.where(~is_new)
     nw, od = keep_new.alias("nw"), keep_old.alias("od")
     cross = (nw.join(od, F.col("nw.h") == F.col("od.h"))
              .select(F.least("nw.doc_id", "od.doc_id").alias("doc_a"),

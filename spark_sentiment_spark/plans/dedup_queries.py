@@ -440,10 +440,14 @@ def dedup_incremental_minhash(spark, sf_dir):
     is_new = F.col("doc_id") % 5 == 4
     # Production: corpus signatures/bands are read from the persisted
     # index; here both sides derive from the same table, split by batch.
-    sig_new = track_persist(_minhash_signatures(docs.where(is_new),
-                                                n_hashes))
-    sig_old = track_persist(_minhash_signatures(docs.where(~is_new),
-                                                n_hashes))
+    # Round-19 optimization (guide §2.4, the winnowing-incremental class):
+    # signatures are per-doc (mapInPandas, doc-local by construction), so
+    # sig(slice) ≡ sig(corpus) filtered — ONE corpus scan + signature
+    # pass fills one cache and both sides are filters over it, instead of
+    # two full passes each paying the md5-shingle fold.
+    sig = track_persist(_minhash_signatures(docs, n_hashes))
+    sig_new = sig.where(is_new)
+    sig_old = sig.where(~is_new)
     # NOT persisted (round-18 A/B): bands_new feeds three branches, but
     # each re-derives the band explode from the CACHED signatures — a
     # cheap projection — while persisting materializes the exploded
@@ -466,7 +470,7 @@ def dedup_incremental_minhash(spark, sf_dir):
                      F.col("nb2.doc_id").alias("doc_b"),
                      F.lit(0).cast("long").alias("vs_corpus")))
     cand = cross.unionByName(intra).distinct()
-    sigs = sig_new.unionByName(sig_old)
+    sigs = sig  # the fused cache IS new ∪ old
     am, bm = sigs.alias("am"), sigs.alias("bm")
     agree = sum(
         F.when(F.col(f"am.mh{i}") == F.col(f"bm.mh{i}"), 1).otherwise(0)
@@ -1610,10 +1614,13 @@ def dedup_minhash_bucketed_probe(spark, sf_dir):
     n_hashes, n_bands, nb = 32, 8, 8
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     is_new = F.col("doc_id") % 5 == 4
-    sig_new = track_persist(_minhash_signatures(docs.where(is_new),
-                                                n_hashes))
-    sig_old = track_persist(_minhash_signatures(docs.where(~is_new),
-                                                n_hashes))
+    # Round-19 optimization (guide §2.4, the winnowing-incremental
+    # class): signatures are per-doc (mapInPandas, doc-local), so ONE
+    # corpus signature pass fills one cache and both sides are filters
+    # over it — instead of two full md5-shingle passes.
+    sig = track_persist(_minhash_signatures(docs, n_hashes))
+    sig_new = sig.where(is_new)
+    sig_old = sig.where(~is_new)
 
     def keyed(bands, id_alias):
         return bands.select(
@@ -1636,7 +1643,7 @@ def dedup_minhash_bucketed_probe(spark, sf_dir):
             .select(F.least("new_id", "old_id").alias("doc_a"),
                     F.greatest("new_id", "old_id").alias("doc_b"))
             .distinct())
-    sigs = sig_new.unionByName(sig_old)
+    sigs = sig  # the fused cache IS new ∪ old
     am, bm = sigs.alias("am"), sigs.alias("bm")
     agree = sum(
         F.when(F.col(f"am.mh{i}") == F.col(f"bm.mh{i}"), 1).otherwise(0)
