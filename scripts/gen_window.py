@@ -247,6 +247,11 @@ UPGRADED_SINCE_ROW = {
     "dedup_winnowing_incremental": 19,
     "dedup_incremental_minhash": 19,
     "dedup_minhash_bucketed_probe": 19,
+    # batch 5b: streaming_minhash_probe's static index persists its
+    # narrow signature frame (the bands⋈sigs self-join re-ran the corpus
+    # fold on both subtrees, once per micro-batch). Oracle re-verified
+    # at sf0.01 + sf0.1 on landing:
+    "streaming_minhash_probe": 19,
 }
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

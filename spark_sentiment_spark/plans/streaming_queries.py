@@ -605,7 +605,15 @@ def streaming_minhash_probe(spark, sf_dir):
     # denormalized — the persisted artifact a deployment would maintain.
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     is_new = F.col("doc_id") % 5 == 4
-    sig_old = _minhash_signatures(docs.where(~is_new), n_hashes)
+    # Round-19 optimization (guide §2.4): the index denormalizes bands
+    # against signatures — un-persisted, BOTH subtrees of that self-join
+    # re-ran the corpus signature fold, and every micro-batch re-derived
+    # the whole index again. Persist the narrow signature frame: one
+    # corpus fold total; the band explode re-derives from the cache per
+    # consumer (the r18 A/B precedent: cache the signatures, never the
+    # n_bands× exploded frame).
+    sig_old = track_persist(
+        _minhash_signatures(docs.where(~is_new), n_hashes))
     index = (_band_buckets(sig_old, n_hashes, n_bands)
              .join(sig_old, "doc_id")
              .select(F.col("doc_id").alias("old_id"), "band_id", "bh",
