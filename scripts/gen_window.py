@@ -252,6 +252,27 @@ UPGRADED_SINCE_ROW = {
     # fold on both subtrees, once per micro-batch). Oracle re-verified
     # at sf0.01 + sf0.1 on landing:
     "streaming_minhash_probe": 19,
+    # batch 6 (r18 VERDICT item 6, storage-level audit): PER_CORPUS
+    # level annotations at every corpus-cardinality persist site —
+    # level value byte-identical to the default (MEMORY_AND_DISK_DESER),
+    # zero behavior change; the declarations below are kwarg/comment
+    # drift only. Full site table in OPTIMIZATION_r19.md.
+    "ann_ivf_bucketed_probe": 19,
+    "ann_ivf_topk": 19,
+    "ann_pq_topk": 19,
+    "dedup_containment_prefix": 19,
+    "dedup_simjoin_prefix": 19,
+    "embedding_kmeans_iter": 19,
+    "knn_classify_ivf": 19,
+    "langid_char_ngram": 19,
+    "multimodal_phash_dedup": 19,
+    "prepare_training_set": 19,
+    "quality_perplexity": 19,
+    "search_bm25": 19,
+    "streaming_ivf_probe": 19,
+    "streaming_ivfpq_probe": 19,
+    "streaming_pq_probe": 19,
+    "text_tfidf_topk": 19,
 }
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -14,8 +14,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_sentiment_spark.plans.registry import (load, register,
-                                                  track_persist)
+from spark_sentiment_spark.plans.registry import (PER_CORPUS, load,
+                                                  register, track_persist)
 
 _TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
 
@@ -366,7 +366,8 @@ def contrastive_pairs(spark, sf_dir):
         "vec_id", "label",
         F.row_number().over(wl).alias("r"),
         F.coalesce(F.lead("vec_id").over(wl),
-                   F.first("vec_id").over(wl_full)).alias("pos_id")))
+                   F.first("vec_id").over(wl_full)).alias("pos_id")),
+        level=PER_CORPUS)  # one narrow row per vector
     sizes = ranked.groupBy("label").agg(F.count(F.lit(1)).alias("s"))
     wlab = Window.orderBy("label")  # bounded: one row per label
     wlab_full = wlab.rowsBetween(Window.unboundedPreceding,
@@ -457,7 +458,8 @@ def preference_pairs(spark, sf_dir):
         "doc_id", "source", "score",
         F.row_number().over(wb).alias("r_best"),
         F.row_number().over(ww).alias("r_worst"),
-        F.count(F.lit(1)).over(wn).alias("n")))
+        F.count(F.lit(1)).over(wn).alias("n")),
+        level=PER_CORPUS)  # one narrow row per doc
     b = ranked.alias("b")
     w = ranked.alias("w")
     return (
@@ -723,7 +725,8 @@ def mixture_upsample(spark, sf_dir):
     live = track_persist(
         docs.where(F.col("text").isNotNull() & (F.trim("text") != ""))
         .select("doc_id", "source",
-                F.size(_tokens_col()).alias("n_tokens")))
+                F.size(_tokens_col()).alias("n_tokens")),
+        level=PER_CORPUS)  # 3 narrow cols per doc
     quota = _mixture_quotas(live, UPSAMPLE_BUDGET)
     # guard q >= 1 before sequence(): Spark's sequence(1, 0) yields a
     # DESCENDING [1, 0] rather than the empty series DuckDB produces
@@ -1715,7 +1718,7 @@ def dedup_winnowing_pairs(spark, sf_dir):
     bit-for-bit, so the pair list and overlap values hash-match."""
     fp = (_winnow_selected(load(spark, sf_dir, "documents"))
           .where(F.col("s") == 1).select("doc_id", "h").distinct())
-    fp = track_persist(fp)
+    fp = track_persist(fp, level=PER_CORPUS)  # per (doc, fingerprint)
     hot = (fp.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
            .where(F.col("df") > 50).select("h"))
     # No broadcast hint on the hot list: its size is bounded only by
@@ -1724,13 +1727,15 @@ def dedup_winnowing_pairs(spark, sf_dir):
     # broadcast limit. AQE broadcasts it while its measured size fits
     # (it does at every test SF) and falls back to a shuffled anti-join
     # beyond that, which is the correct degradation.
-    keep = track_persist(fp.join(hot, "h", "left_anti"))
+    keep = track_persist(fp.join(hot, "h", "left_anti"),
+                         level=PER_CORPUS)  # per (doc, fingerprint)
     # Round-18 optimization (guide §2.4): nd feeds both final join sides
     # (na, nb) — persist the narrow per-doc count so the aggregation over
     # the cached keep frame runs once instead of twice.
     nd = track_persist(
         keep.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint")
-                                   .alias("nfp")))
+                                   .alias("nfp")),
+        level=PER_CORPUS)  # 2 longs per doc
     a = keep.select(F.col("doc_id").alias("doc_a"), "h")
     b = keep.select(F.col("doc_id").alias("doc_b"), "h")
     pr = (a.join(b, "h")
@@ -1815,7 +1820,8 @@ def dedup_winnowing_incremental(spark, sf_dir):
     # also now reads the cache directly (fp IS fp_new ∪ fp_old).
     fp = track_persist(
         _winnow_selected(docs)
-        .where(F.col("s") == 1).select("doc_id", "h").distinct())
+        .where(F.col("s") == 1).select("doc_id", "h").distinct(),
+        level=PER_CORPUS)  # per (doc, fingerprint)
     hot = track_persist(
         fp.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > 50).select("h"))
@@ -1823,7 +1829,8 @@ def dedup_winnowing_incremental(spark, sf_dir):
     # (the cross probe and both intra sides) — persist it so the hot-list
     # anti-join runs once instead of three times.
     keep = fp.join(hot, "h", "left_anti")
-    keep_new = track_persist(keep.where(is_new))
+    keep_new = track_persist(keep.where(is_new),
+                             level=PER_CORPUS)  # per (batch doc, fp)
     keep_old = keep.where(~is_new)
     nw, od = keep_new.alias("nw"), keep_old.alias("od")
     cross = (nw.join(od, F.col("nw.h") == F.col("od.h"))
@@ -1947,7 +1954,8 @@ def _dsir_log_weights(docs):
         grams.groupBy("doc_id", "b")
         .agg(F.count(F.lit(1)).alias("g"),
              F.max(F.when(F.col("lang") == "en", 1).otherwise(0))
-             .alias("is_target")))
+             .alias("is_target")),
+        level=PER_CORPUS)  # <= DSIR_BUCKETS rows per doc
     stats = (dbc.groupBy("b")
              .agg(F.sum(F.when(F.col("is_target") == 1, F.col("g"))
                         .otherwise(0)).alias("ct"),

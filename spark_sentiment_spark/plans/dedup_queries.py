@@ -13,8 +13,8 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_sentiment_spark.plans.registry import (load, register,
-                                                  track_persist)
+from spark_sentiment_spark.plans.registry import (PER_CORPUS, load,
+                                                  register, track_persist)
 
 def _shingled(docs, id_col: str = "doc_id", text_col: str = "text"):
     """(id, shingle) rows: 3-word shingles over the lowercased text (whole
@@ -197,7 +197,8 @@ def _jaccard_pair_frame(docs):
     # both self-join sides — persist the distinct shingle table so the
     # shingling (explode + distinct shuffle over full text) runs once,
     # the same shape decontaminate_minhash persists.
-    tok = track_persist(_shingled(docs).distinct())
+    tok = track_persist(_shingled(docs).distinct(),
+                        level=PER_CORPUS)  # per (doc, shingle) row
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = tok.alias("a")
     b = tok.alias("b")
@@ -306,7 +307,8 @@ def dedup_minhash_lsh(spark, sf_dir):
     """
     docs = load(spark, sf_dir, "documents")
     n_hashes, n_bands = 32, 8
-    mins = track_persist(_minhash_signatures(docs, n_hashes))
+    mins = track_persist(_minhash_signatures(docs, n_hashes),
+                         level=PER_CORPUS)  # 33 longs per doc
     # NOT persisted (round-18 A/B): both self-join sides re-derive the
     # band explode from the cached signatures, but that derivation is a
     # cheap projection over cached rows — a min-of-10 A/B measured the
@@ -445,7 +447,8 @@ def dedup_incremental_minhash(spark, sf_dir):
     # sig(slice) ≡ sig(corpus) filtered — ONE corpus scan + signature
     # pass fills one cache and both sides are filters over it, instead of
     # two full passes each paying the md5-shingle fold.
-    sig = track_persist(_minhash_signatures(docs, n_hashes))
+    sig = track_persist(_minhash_signatures(docs, n_hashes),
+                        level=PER_CORPUS)  # 33 longs per doc
     sig_new = sig.where(is_new)
     sig_old = sig.where(~is_new)
     # NOT persisted (round-18 A/B): bands_new feeds three branches, but
@@ -648,7 +651,8 @@ def dedup_clusters(spark, sf_dir):
         .select("doc_id", F.md5(F.lower("text")).alias("h"))
         .withColumn("rep", F.min("doc_id").over(wg))
         .withColumn("gsize", F.count(F.lit(1)).over(wg))
-        .select("doc_id", "rep", "gsize"))
+        .select("doc_id", "rep", "gsize"),
+        level=PER_CORPUS)  # 3 longs per doc
     reps = member.where(F.col("doc_id") == F.col("rep")).select("doc_id")
     pairs = _jaccard_pair_frame(docs.join(reps, "doc_id")) \
         .select("doc_a", "doc_b")
@@ -713,11 +717,13 @@ def decontaminate_minhash(spark, sf_dir):
     n_hashes, n_bands = 32, 16
     is_eval = F.col("doc_id") % 11 == 0
 
-    mins = track_persist(_minhash_signatures(docs, n_hashes))
+    mins = track_persist(_minhash_signatures(docs, n_hashes),
+                         level=PER_CORPUS)  # 33 longs per doc
     # Round-18 optimization (guide §2.4): the train and eval sides each
     # re-derived the band explode from the cached signatures — persist the
     # narrow (doc_id, band_id, bh) frame so the banding runs once.
-    buckets = track_persist(_band_buckets(mins, n_hashes, n_bands))
+    buckets = track_persist(_band_buckets(mins, n_hashes, n_bands),
+                            level=PER_CORPUS)  # n_bands rows per doc
     t = buckets.where(~is_eval).alias("t")
     e = buckets.where(is_eval).alias("e")
     cand = (t.join(e, (F.col("t.bh") == F.col("e.bh"))
@@ -732,12 +738,14 @@ def decontaminate_minhash(spark, sf_dir):
     # Round-18 optimization (guide §2.4): the distinct shingle table
     # feeds three branches (sizes + both intersect sides) — persist it
     # so the corpus is shingled once instead of three times.
-    tok = track_persist(_shingled(docs).distinct())
+    tok = track_persist(_shingled(docs).distinct(),
+                        level=PER_CORPUS)  # per (doc, shingle) row
     # Round-18 optimization (guide §2.4): sizes feeds both final join
     # sides (st, se) — persist the narrow per-doc count so the aggregation
     # over the cached shingle table runs once.
     sizes = track_persist(
-        tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")))
+        tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")),
+        level=PER_CORPUS)  # 2 longs per doc
     ta, ea = tok.alias("ta"), tok.alias("ea")
     inter = (cand
              .join(ta, F.col("train_doc") == F.col("ta.doc_id"))
@@ -901,12 +909,14 @@ def char_ngram_stats(docs, n: int = CHAR_NGRAM_LEN):
     # frequency agg AND the final per-doc join side — persist the
     # distinct char-gram table so the explode + distinct shuffle over
     # full text runs once, not twice.
-    grams = track_persist(live.select(
-        "doc_id",
-        F.explode(F.expr(
-            f"transform(sequence(1, length(text) - {n} + 1),"
-            f" i -> substring(text, i, {n}))")).alias("gram"))
-        .distinct())
+    grams = track_persist(
+        live.select(
+            "doc_id",
+            F.explode(F.expr(
+                f"transform(sequence(1, length(text) - {n} + 1),"
+                f" i -> substring(text, i, {n}))")).alias("gram"))
+        .distinct(),
+        level=PER_CORPUS)  # per distinct (doc, char-gram) — text-sized
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
     shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
     return (grams.join(counts, "gram")
@@ -1038,7 +1048,8 @@ def dedup_simjoin_prefix(spark, sf_dir):
     oracle uses."""
     docs = load(spark, sf_dir, "documents").where(
         F.col("text").isNotNull() & (F.trim("text") != ""))
-    tok = track_persist(_simjoin_grams(docs))
+    tok = track_persist(_simjoin_grams(docs),
+                        level=PER_CORPUS)  # per (doc, gram) row
     cand = _simjoin_candidates(tok)
     ta = tok.select(F.col("doc_id").alias("doc_a"), "w")
     tb = tok.select(F.col("doc_id").alias("doc_b"), "w")
@@ -1117,7 +1128,8 @@ def dedup_containment_prefix(spark, sf_dir):
     rarity order again drops stopword-grade grams from every prefix."""
     docs = load(spark, sf_dir, "documents").where(
         F.col("text").isNotNull() & (F.trim("text") != ""))
-    tok = track_persist(_simjoin_grams(docs))
+    tok = track_persist(_simjoin_grams(docs),
+                        level=PER_CORPUS)  # per (doc, gram) row
     dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     wdoc = Window.partitionBy("doc_id").orderBy("df", "w")
     wall = Window.partitionBy("doc_id")
@@ -1361,7 +1373,8 @@ def dedup_sentence_exact(spark, sf_dir):
                     F.posexplode(F.split("text", r"\. ", -1))
                     .alias("idx0", "s"))
         .where(F.col("s") != "")
-        .select("doc_id", (F.col("idx0") + 1).alias("idx"), "s"))
+        .select("doc_id", (F.col("idx0") + 1).alias("idx"), "s"),
+        level=PER_CORPUS)  # per (doc, sentence) row — text-sized
     first = sent.groupBy("s").agg(
         F.min(F.struct("doc_id", "idx")).alias("f"))
     kept = (sent.join(first, "s")
@@ -1475,7 +1488,8 @@ def dedup_cross_source_pairs(spark, sf_dir):
     broadcast dimension at any corpus size where sources matter."""
     docs = load(spark, sf_dir, "documents")
     n_hashes, n_bands = 32, 8
-    mins = track_persist(_minhash_signatures(docs, n_hashes))
+    mins = track_persist(_minhash_signatures(docs, n_hashes),
+                         level=PER_CORPUS)  # 33 longs per doc
     # NOT persisted (round-18 A/B): both self-join sides re-derive the
     # band explode from the CACHED signatures — a cheap projection —
     # while persisting materializes the exploded (n_bands× rows) frame
@@ -1618,7 +1632,8 @@ def dedup_minhash_bucketed_probe(spark, sf_dir):
     # class): signatures are per-doc (mapInPandas, doc-local), so ONE
     # corpus signature pass fills one cache and both sides are filters
     # over it — instead of two full md5-shingle passes.
-    sig = track_persist(_minhash_signatures(docs, n_hashes))
+    sig = track_persist(_minhash_signatures(docs, n_hashes),
+                        level=PER_CORPUS)  # 33 longs per doc
     sig_new = sig.where(is_new)
     sig_old = sig.where(~is_new)
 

@@ -15,8 +15,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_sentiment_spark.plans.registry import (load, register,
-                                                  track_persist,
+from spark_sentiment_spark.plans.registry import (PER_CORPUS, load,
+                                                  register, track_persist,
                                                   track_staging_dir)
 
 # Whitespace tokenization shared by both sides. Spark `split` and DuckDB
@@ -438,9 +438,12 @@ def dedup_incremental(spark, sf_dir):
     not the cache-fill barrier. Kept; ledger entry in OPTIMIZATION_r19.
     """
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # PER_CORPUS: one row per document (doc_id + 32-hex hash + tag,
+    # ~50 B/row -> billions of rows / 100s of GB at 100 TB) — disk-backed
+    # eviction, never recompute the text-hash pass (registry.py policy).
     hashed = track_persist(docs.select(
         "doc_id", _prefix_hash_col().alias("prefix_hash"),
-        (F.col("doc_id") % 5).alias("__m")))
+        (F.col("doc_id") % 5).alias("__m")), level=PER_CORPUS)
     corpus = (hashed.where(F.col("__m") != 4)
               .select("prefix_hash").distinct())
     w = Window.partitionBy("prefix_hash").orderBy("doc_id")
@@ -1043,8 +1046,11 @@ def merge_upsert(spark, sf_dir):
     # Round-18 optimization (guide §2.4): base and both update slices
     # project the same two columns — persist the narrow frame so the
     # table is scanned once instead of three times.
+    # PER_CORPUS: per-doc (doc_id, lang) — narrow but corpus-sized;
+    # see registry.py storage-level policy.
     docs = track_persist(
-        load(spark, sf_dir, "documents").select("doc_id", "lang"))
+        load(spark, sf_dir, "documents").select("doc_id", "lang"),
+        level=PER_CORPUS)
     base = docs.select("doc_id", "lang", F.lit("v1").alias("version"))
     updates = (docs.where(F.col("doc_id") % 7 == 0)
                .select("doc_id", F.upper("lang").alias("lang"),
@@ -1417,16 +1423,18 @@ def dedup_incremental_bloom(spark, sf_dir):
     # Round-18 optimization, same as dedup_incremental: persist the
     # narrow hashed frame (2 corpus scans -> 1). `incoming` is also
     # persisted — the bloom split consumes it twice (~might / might).
+    # PER_CORPUS x2: hashed is one row/doc, incoming one row/distinct
+    # incoming hash — both corpus-cardinality (registry.py policy).
     hashed = track_persist(docs.select(
         "doc_id", _prefix_hash_col().alias("prefix_hash"),
-        (F.col("doc_id") % 5).alias("__m")))
+        (F.col("doc_id") % 5).alias("__m")), level=PER_CORPUS)
     corpus = (hashed.where(F.col("__m") != 4)
               .select("prefix_hash").distinct())
     w = Window.partitionBy("prefix_hash").orderBy("doc_id")
     incoming = track_persist(
         hashed.where(F.col("__m") == 4)
         .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1))
+        .where(F.col("rn") == 1), level=PER_CORPUS)
 
     might = bloom_might_contain(
         F.col("prefix_hash"), bloom_build(corpus, "prefix_hash"))
@@ -1565,7 +1573,8 @@ def dedup_semantic(spark, sf_dir, k: int | None = None,
     emb = load(spark, sf_dir, "embeddings")
     e = _as_double("embedding")
     unit = F.transform(e, lambda x: x / _norm(e))
-    vecs = track_persist(emb.select("vec_id", unit.alias("u")))
+    vecs = track_persist(emb.select("vec_id", unit.alias("u")),
+                         level=PER_CORPUS)  # one row per vector
 
     seeds = (vecs
              .select("vec_id", "u",
@@ -1582,7 +1591,8 @@ def dedup_semantic(spark, sf_dir, k: int | None = None,
         .select("vec_id", "cluster", "u", sim.alias("sim"))
         .withColumn("rn", F.row_number().over(wa))
         .where(F.col("rn") <= probe)
-        .select("vec_id", "cluster", "u", "rn"))
+        .select("vec_id", "cluster", "u", "rn"),
+        level=PER_CORPUS)  # `probe` rows per vector
     assigned = probes.where(F.col("rn") == 1).select("vec_id", "cluster", "u")
 
     x, y = probes.alias("x"), probes.alias("y")
@@ -1801,7 +1811,8 @@ def quality_perplexity(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     toks = track_persist(docs.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")))
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")),
+        level=PER_CORPUS)  # per (doc, token) row — text-sized
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").cast("double").alias("n"))
     bits = -F.log2(F.col("cnt") / F.col("n"))
@@ -1889,7 +1900,8 @@ def quality_bigram_backoff(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     toks = track_persist(docs.select(
-        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("l")))
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("l")),
+        level=PER_CORPUS)  # one token-array row per doc — text-sized
     bg_expr = F.expr(
         "zip_with(slice(l, 1, size(l)-1), slice(l, 2, size(l)-1),"
         " (a, b) -> struct(a AS w1, b AS w2))")
@@ -2032,7 +2044,8 @@ def hybrid_search_rrf(spark, sf_dir):
     toks = track_persist(docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"))
-        .where(F.length("tok") > 0).distinct())
+        .where(F.length("tok") > 0).distinct(),
+        level=PER_CORPUS)  # per distinct (doc, token) — text-sized
     # NOT persisted (round-18 A/B): sizes feeds both lex join sides, but
     # each re-aggregates from the CACHED token table — a min-of-10 A/B
     # measured the persist's cache-fill barrier at +27% min / +30% median
@@ -2231,8 +2244,11 @@ def snapshot_diff(spark, sf_dir):
     # scanned the table three times and ran the content md5 over the
     # full text in each branch. One scan, both hashes in one pass,
     # 32-byte rows in the cache.
+    # PER_CORPUS: per-doc 2x32-hex rows (~80 B/row at corpus
+    # cardinality) — see registry.py storage-level policy.
     hashes = track_persist(
-        docs.select("doc_id", h1.alias("h1"), h2.alias("h2")))
+        docs.select("doc_id", h1.alias("h1"), h2.alias("h2")),
+        level=PER_CORPUS)
     v1 = hashes.select("doc_id", F.col("h1").alias("h"))
     v2 = (hashes.where(F.col("doc_id") % 11 != 0)
           .select("doc_id", F.col("h2").alias("h"))
@@ -2736,7 +2752,8 @@ def source_overlap(spark, sf_dir):
     # corpus is scanned and prefix-hashed once.
     hs = track_persist(
         docs.select(_prefix_hash_col().alias("h"), "source")
-        .groupBy("h", "source").agg(F.count(F.lit(1)).alias("c")))
+        .groupBy("h", "source").agg(F.count(F.lit(1)).alias("c")),
+        level=PER_CORPUS)  # <= one row per (doc hash, source)
     a, b = hs.alias("a"), hs.alias("b")
     return (
         a.join(b, (F.col("a.h") == F.col("b.h"))
@@ -2933,7 +2950,8 @@ def multimodal_phash_dedup(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
     hashes = track_persist(
-        decode_ppm_ahash(attach_ppm_group_content(docs)))
+        decode_ppm_ahash(attach_ppm_group_content(docs)),
+        level=PER_CORPUS)  # one perceptual-hash row per doc
     bands = hashes.selectExpr(
         "doc_id", "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (bi, bv)")
     cand = (bands.alias("a")
@@ -3470,7 +3488,8 @@ def prepare_training_set(spark, sf_dir, manifest=None):
     kept = track_persist(
         docs.select("doc_id", "source",
                     _n_tokens_col().alias("n_tokens"))
-        .join(manifest.where(F.col("keep")).select("doc_id"), "doc_id"))
+        .join(manifest.where(F.col("keep")).select("doc_id"), "doc_id"),
+        level=PER_CORPUS)  # per-surviving-doc, 3 narrow cols
     return _prep_training_set(kept)
 
 

@@ -12,8 +12,8 @@ import pandas as pd  # module-level: pandas-UDF type hints resolve from here
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_sentiment_spark.plans.registry import (load, register,
-                                                  track_persist)
+from spark_sentiment_spark.plans.registry import (PER_CORPUS, load,
+                                                  register, track_persist)
 
 
 def _as_double(col):
@@ -200,7 +200,7 @@ def ann_ivf_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     e = _as_double("embedding")
     unit = F.transform(e, lambda x: x / _norm(e))
-    vecs = track_persist(emb.select("vec_id", "label", unit.alias("u")))
+    vecs = track_persist(emb.select("vec_id", "label", unit.alias("u")), level=PER_CORPUS)
 
     seeds = (vecs
              .select("vec_id", "u",
@@ -215,7 +215,8 @@ def ann_ivf_topk(spark, sf_dir):
     scored = track_persist(
         vecs.crossJoin(F.broadcast(cent))
         .select("vec_id", "label", "u", "cell", sim.alias("sim"))
-        .withColumn("rn", F.row_number().over(wa)))
+        .withColumn("rn", F.row_number().over(wa)),
+        level=PER_CORPUS)  # n_cells rows per vector
     assigned = scored.where(F.col("rn") <= IVF_ASSIGN) \
         .select("vec_id", "label", "u", "cell")
     qprobes = (scored.where((F.col("vec_id") < 5)
@@ -279,7 +280,7 @@ def ann_ivf_bucketed_probe(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     e = _as_double("embedding")
     unit = F.transform(e, lambda x: x / _norm(e))
-    vecs = track_persist(emb.select("vec_id", "label", unit.alias("u")))
+    vecs = track_persist(emb.select("vec_id", "label", unit.alias("u")), level=PER_CORPUS)
 
     seeds = (vecs
              .select("vec_id", "u",
@@ -294,7 +295,8 @@ def ann_ivf_bucketed_probe(spark, sf_dir):
     scored = track_persist(
         vecs.crossJoin(F.broadcast(cent))
         .select("vec_id", "label", "u", "cell", sim.alias("sim"))
-        .withColumn("rn", F.row_number().over(wa)))
+        .withColumn("rn", F.row_number().over(wa)),
+        level=PER_CORPUS)  # n_cells rows per vector
 
     nb = 8
     base = track_staging_dir(tempfile.mkdtemp(prefix="ivf_probe_"))
@@ -358,7 +360,8 @@ def dedup_embedding_cosine(spark, sf_dir):
     # the normalize projection — persist the (vec_id, unit-vector) frame
     # so the per-vector norm+divide runs once, not once per side.
     sides = track_persist(emb.select("vec_id", (F.transform(
-        e, lambda x: x / _norm(e))).alias("u")))
+        e, lambda x: x / _norm(e))).alias("u")),
+        level=PER_CORPUS)  # one row per vector
     a, b = sides.alias("a"), sides.alias("b")
     cos = _dot(F.col("a.u"), F.col("b.u"))
     return (
@@ -527,11 +530,12 @@ def ann_lsh_topk(spark, sf_dir, n_tables: int = ANN_LSH_TABLES,
     # sigs is persisted: both sides of the bucket self-join read the cached
     # signatures instead of re-evaluating the T×P dot products.
     sigs = track_persist(emb.select(
-        "vec_id", F.posexplode(buckets).alias("t", "bucket")))
+        "vec_id", F.posexplode(buckets).alias("t", "bucket")),
+        level=PER_CORPUS)  # n_tables rows per vector
     # Vectors are L2-normalized ONCE here (2 norm passes per candidate
     # pair → 1 per vector): the re-rank cosine is then a bare dot product.
     unit = F.transform(e, lambda x: x / _norm(e))
-    vecs = track_persist(emb.select("vec_id", unit.alias("e")))
+    vecs = track_persist(emb.select("vec_id", unit.alias("e")), level=PER_CORPUS)
 
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
@@ -744,7 +748,7 @@ def ann_pq_topk(spark, sf_dir, topk: int = 10, rerank: int = PQ_RERANK):
     emb = load(spark, sf_dir, "embeddings")
     e = _as_double("embedding")
     unit = F.transform(e, lambda x: x / _norm(e))
-    vecs = track_persist(emb.select("vec_id", unit.alias("e")))
+    vecs = track_persist(emb.select("vec_id", unit.alias("e")), level=PER_CORPUS)
 
     # -- content-addressed codebooks: 16-row bounded driver fetch --------
     sub = PQ_SUB
@@ -775,7 +779,9 @@ def ann_pq_topk(spark, sf_dir, topk: int = 10, rerank: int = PQ_RERANK):
             d2 += diff * diff
         return pd.Series(d2.argmin(-1).astype(np.int32).tolist())
 
-    encoded = track_persist(vecs.select("vec_id", _encode("e").alias("codes")))
+    encoded = track_persist(vecs.select("vec_id",
+                                    _encode("e").alias("codes")),
+                        level=PER_CORPUS)  # one row per vector
 
     # -- per-query integer ADC tables (M×K, broadcast) -------------------
     queries = vecs.where(F.col("vec_id") < 5) \
@@ -1223,7 +1229,7 @@ def _ivfpq_stage_index(spark, vecs, code_batches: int = 1,
         # cross-join AND the Arrow encode over the whole corpus
         # (round-14 plan-audit gotcha #3: k references re-expand the
         # DAG k times).
-        coded = track_persist(coded)
+        coded = track_persist(coded, level=PER_CORPUS)
         for b in range(code_batches):
             (coded.where(F.col("vec_id") % code_batches == b)
              .repartition(F.col("cell"))
@@ -1796,7 +1802,8 @@ def multiprobe_candidates(emb, n_tables: int = MP_TABLES,
         "vec_id", F.posexplode(_probe_buckets(e)).alias("idx", "bucket"))
         .select("vec_id",
                 (F.col("idx") / per_probe).cast("int").alias("t"),
-                (F.col("idx") % per_probe).alias("slot"), "bucket"))
+                (F.col("idx") % per_probe).alias("slot"), "bucket"),
+        level=PER_CORPUS)  # n_probes rows per vector
     homes = sigs.where(F.col("slot") == 0).select("vec_id", "t", "bucket")
     p, h = sigs.alias("p"), homes.alias("h")
     return (p.join(h, (F.col("p.t") == F.col("h.t"))
@@ -1846,7 +1853,7 @@ def dedup_embedding_multiprobe(spark, sf_dir):
     cand = multiprobe_candidates(emb, n_planes=n_planes)
     e = _as_double("embedding")
     unit = F.transform(e, lambda x: x / _norm(e))
-    vecs = track_persist(emb.select("vec_id", unit.alias("u")))
+    vecs = track_persist(emb.select("vec_id", unit.alias("u")), level=PER_CORPUS)
     va, vb = vecs.alias("va"), vecs.alias("vb")
     cos = _dot(F.col("va.u"), F.col("vb.u"))
     return (cand.join(va, F.col("vec_a") == F.col("va.vec_id"))
@@ -1904,7 +1911,7 @@ def decontaminate_semantic(spark, sf_dir):
             .where(is_eval_a != is_eval_b))
     e = _as_double("embedding")
     unit = F.transform(e, lambda x: x / _norm(e))
-    vecs = track_persist(emb.select("vec_id", unit.alias("u")))
+    vecs = track_persist(emb.select("vec_id", unit.alias("u")), level=PER_CORPUS)
     va, vb = vecs.alias("va"), vecs.alias("vb")
     cos = _dot(F.col("va.u"), F.col("vb.u"))
     return (cand.join(va, F.col("vec_a") == F.col("va.vec_id"))
@@ -2083,7 +2090,7 @@ def knn_classify_ivf(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     e = _as_double("embedding")
     unit = F.transform(e, lambda x: x / _norm(e))
-    vecs = track_persist(emb.select("vec_id", "label", unit.alias("u")))
+    vecs = track_persist(emb.select("vec_id", "label", unit.alias("u")), level=PER_CORPUS)
     seeds = (vecs
              .select("vec_id", "u",
                      F.md5(F.col("vec_id").cast("string")).alias("h"))
@@ -2096,7 +2103,8 @@ def knn_classify_ivf(spark, sf_dir):
     scored = track_persist(
         vecs.crossJoin(F.broadcast(cent))
         .select("vec_id", "label", "u", "cell", sim.alias("sim"))
-        .withColumn("rn", F.row_number().over(wa)))
+        .withColumn("rn", F.row_number().over(wa)),
+        level=PER_CORPUS)  # n_cells rows per vector
     assigned = scored.where(F.col("rn") <= IVF_ASSIGN) \
         .select("vec_id", "label", "u", "cell")
     qprobes = (scored.where((F.col("vec_id") < KNN_CLASSIFY_NQ)
@@ -2192,7 +2200,9 @@ def embedding_outliers(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     e = _as_double("embedding")
     un = track_persist(emb.select(
-        "vec_id", "label", F.transform(e, lambda x: x / _norm(e)).alias("u")))
+        "vec_id", "label",
+        F.transform(e, lambda x: x / _norm(e)).alias("u")),
+        level=PER_CORPUS)  # one row per vector
     per_dim = (un.select("label", F.posexplode("u").alias("i", "x"))
                .groupBy("label", "i").agg(F.avg("x").alias("v")))
     cent = (per_dim.groupBy("label")
@@ -2204,7 +2214,8 @@ def embedding_outliers(spark, sf_dir):
                   / _norm(F.col("cu")), 6)
     scored = track_persist(
         un.join(F.broadcast(cent), "label")
-        .select("vec_id", "label", cos.alias("cos")))
+        .select("vec_id", "label", cos.alias("cos")),
+        level=PER_CORPUS)  # one narrow row per vector
     stats = scored.groupBy("label").agg(
         F.avg("cos").alias("mu"), F.stddev_pop("cos").alias("sd"))
     z_raw = F.round((F.col("cos") - F.col("mu")) / F.col("sd"), 6)
@@ -2311,7 +2322,7 @@ def embedding_kmeans_iter(spark, sf_dir):
     unit = F.transform(e, lambda x: x / _norm(e))
     ui = F.transform(unit, lambda x: F.floor(x * KMEANS_GRID)
                      .cast("double"))
-    un = track_persist(emb.select("vec_id", ui.alias("ui")))
+    un = track_persist(emb.select("vec_id", ui.alias("ui")), level=PER_CORPUS)
     seeds = (un.select("vec_id", "ui",
                        F.md5(F.col("vec_id").cast("string")).alias("h"))
              .orderBy("h", "vec_id").limit(KMEANS_K))
@@ -2326,7 +2337,8 @@ def embedding_kmeans_iter(spark, sf_dir):
                 _dot(F.col("ui"), F.col("cu")).alias("score"))
         .withColumn("rn", F.row_number().over(w_a))
         .where(F.col("rn") == 1)
-        .select("vec_id", "ui", "cell"))
+        .select("vec_id", "ui", "cell"),
+        level=PER_CORPUS)  # one row per vector
     n0 = a0.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
     cent1 = (a0.select("cell", F.posexplode("ui").alias("i", "x"))
              .groupBy("cell", "i").agg(F.sum("x").alias("s"))

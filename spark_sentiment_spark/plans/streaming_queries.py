@@ -24,8 +24,8 @@ import itertools
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_sentiment_spark.plans.registry import (load, register,
-                                                  track_persist,
+from spark_sentiment_spark.plans.registry import (PER_CORPUS, load,
+                                                  register, track_persist,
                                                   track_staging_dir)
 
 
@@ -613,7 +613,8 @@ def streaming_minhash_probe(spark, sf_dir):
     # consumer (the r18 A/B precedent: cache the signatures, never the
     # n_bands× exploded frame).
     sig_old = track_persist(
-        _minhash_signatures(docs.where(~is_new), n_hashes))
+        _minhash_signatures(docs.where(~is_new), n_hashes),
+        level=PER_CORPUS)  # 33 longs per corpus doc
     index = (_band_buckets(sig_old, n_hashes, n_bands)
              .join(sig_old, "doc_id")
              .select(F.col("doc_id").alias("old_id"), "band_id", "bh",
@@ -812,10 +813,12 @@ def streaming_winnowing_probe(spark, sf_dir):
     # (doc_id, h) frame so the corpus pass runs once.
     fp_old = track_persist(
         _winnow_selected(docs.where(~is_new))
-        .where(F.col("s") == 1).select("doc_id", "h").distinct())
+        .where(F.col("s") == 1).select("doc_id", "h").distinct(),
+        level=PER_CORPUS)  # per (corpus doc, fingerprint)
     hot = (fp_old.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
            .where(F.col("df") > 50).select("h"))
-    index = track_persist(fp_old.join(hot, "h", "left_anti"))
+    index = track_persist(fp_old.join(hot, "h", "left_anti"),
+                          level=PER_CORPUS)  # per (doc, fingerprint)
 
     # Stage the delta as two files (split by doc_id mod 10) delivered
     # one per trigger — two genuine micro-batches, pinning that batch
@@ -904,7 +907,8 @@ def streaming_ivf_probe(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     e = _as_double("embedding")
     unit = F.transform(e, lambda x: x / _norm(e))
-    vecs = track_persist(emb.select("vec_id", "label", unit.alias("u")))
+    vecs = track_persist(emb.select("vec_id", "label", unit.alias("u")),
+                         level=PER_CORPUS)  # one row per vector
 
     seeds = (vecs
              .select("vec_id", "u",
@@ -921,7 +925,8 @@ def streaming_ivf_probe(spark, sf_dir):
         .select("vec_id", "label", "u", "cell", sim.alias("sim"))
         .withColumn("rn", F.row_number().over(wa))
         .where(F.col("rn") <= IVF_ASSIGN)
-        .select("vec_id", "label", "u", "cell"))
+        .select("vec_id", "label", "u", "cell"),
+        level=PER_CORPUS)  # IVF_ASSIGN rows per vector
 
     # Queries arrive as TWO micro-batches (split by vec_id) — one file
     # per trigger, pinning that batch boundaries cannot change any
@@ -1024,7 +1029,8 @@ def streaming_pq_probe(spark, sf_dir, topk: int = 10,
     emb = load(spark, sf_dir, "embeddings")
     e = _as_double("embedding")
     unit = F.transform(e, lambda x: x / _norm(e))
-    vecs = track_persist(emb.select("vec_id", unit.alias("e")))
+    vecs = track_persist(emb.select("vec_id", unit.alias("e")),
+                         level=PER_CORPUS)  # one row per vector
 
     # ---- static side: the persisted quantized index (built ONCE) -------
     base, n_codes = _pq_stage_index(spark, vecs)
@@ -1113,7 +1119,8 @@ def streaming_ivfpq_probe(spark, sf_dir, topk: int = 10,
     emb = load(spark, sf_dir, "embeddings")
     e = _as_double("embedding")
     unit = F.transform(e, lambda x: x / _norm(e))
-    vecs = track_persist(emb.select("vec_id", unit.alias("e")))
+    vecs = track_persist(emb.select("vec_id", unit.alias("e")),
+                         level=PER_CORPUS)  # one row per vector
 
     # ---- static side: the persisted composed index (built ONCE) --------
     base, n_codes = _ivfpq_stage_index(spark, vecs)

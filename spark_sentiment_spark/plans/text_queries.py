@@ -9,8 +9,8 @@ from pyspark.sql.window import Window
 
 from spark_sentiment_spark.functions.lexicon import LEXICON_CSV
 from spark_sentiment_spark.functions.text import clean_text_col, clean_text_sql
-from spark_sentiment_spark.plans.registry import (load, register,
-                                                  track_persist)
+from spark_sentiment_spark.plans.registry import (PER_CORPUS, load,
+                                                  register, track_persist)
 
 # --- Cleaning (native regexp chain, F4-F7 / U1) -----------------------------
 
@@ -655,7 +655,7 @@ def text_tfidf_topk(spark, sf_dir):
     # rows, so doc-frequency is a plain count over tf — no second pass over
     # the token stream and no two-phase countDistinct.
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    tf = track_persist(tf)
+    tf = track_persist(tf, level=PER_CORPUS)  # per (doc, term) row
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
@@ -969,7 +969,8 @@ def langid_char_ngram(spark, sf_dir):
     ).otherwise(F.array(F.col("s")))
     tri = track_persist(
         base.select("doc_id", "lang", F.explode(grams).alias("g"))
-        .distinct())
+        .distinct(),
+        level=PER_CORPUS)  # per distinct (doc, trigram) — text-sized
     wprof = Window.partitionBy("plang").orderBy(F.col("c").desc(), "g")
     profk = (tri.where(F.col("doc_id") % 2 == 0)
              .groupBy(F.col("lang").alias("plang"), "g")
@@ -1183,7 +1184,8 @@ def search_phrase(spark, sf_dir):
     pos = track_persist(
         docs.select("doc_id", F.posexplode(
             F.split(F.lower("text"), " ", -1)).alias("i", "w"))
-        .select("doc_id", (F.col("i") + 1).alias("i"), "w"))
+        .select("doc_id", (F.col("i") + 1).alias("i"), "w"),
+        level=PER_CORPUS)  # per (doc, position) row — text-sized
     ph = None
     for w1, w2 in _PHRASES:
         row = spark.range(1).select(
@@ -1364,7 +1366,8 @@ def dedup_tfidf_cosine(spark, sf_dir):
     # the weighted-postings join — persist it so the corpus explodes once
     # instead of twice.
     tf = track_persist(
-        tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf")))
+        tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf")),
+        level=PER_CORPUS)  # per (doc, term) row
     df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
     dec = lambda c: F.col(c).cast("decimal(18,0)")
@@ -1374,12 +1377,14 @@ def dedup_tfidf_cosine(spark, sf_dir):
         .select("doc_id", "w",
                 F.floor(F.col("tf") * F.log((F.col("n_docs") + 1.0)
                                             / (F.col("df") + 1.0))
-                        * F.lit(1_000_000.0)).cast("bigint").alias("wti")))
+                        * F.lit(1_000_000.0)).cast("bigint").alias("wti")),
+        level=PER_CORPUS)  # per (doc, kept term) row
     # Round-18 optimization (guide §2.4): norms feeds both final join
     # sides (na, nb) — persist the narrow per-doc sum-of-squares so the
     # aggregation over the cached weights frame runs once.
     norms = track_persist(wts.groupBy("doc_id").agg(
-        F.sum(dec("wti") * dec("wti")).alias("ss")))
+        F.sum(dec("wti") * dec("wti")).alias("ss")),
+        level=PER_CORPUS)  # 2 cols per doc
     a, b = wts.alias("a"), wts.alias("b")
     dots = (a.join(b, (F.col("a.w") == F.col("b.w"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -1475,7 +1480,8 @@ def search_bm25(spark, sf_dir):
     tok = track_persist(
         docs.select("doc_id", F.explode(
             F.split(F.lower("text"), " ", -1)).alias("w"))
-        .where(F.col("w") != ""))
+        .where(F.col("w") != ""),
+        level=PER_CORPUS)  # per (doc, token) row — text-sized
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
@@ -1595,7 +1601,8 @@ def _bm25_stage_index(spark, sf_dir):
     tok = track_persist(
         docs.select("doc_id", F.explode(
             F.split(F.lower("text"), " ", -1)).alias("w"))
-        .where(F.col("w") != ""))
+        .where(F.col("w") != ""),
+        level=PER_CORPUS)  # per (doc, token) row — text-sized
 
     base = track_staging_dir(tempfile.mkdtemp(prefix="bm25_index_"))
     postings_src = (tok.groupBy("doc_id", "w")
