@@ -15,7 +15,9 @@ Rows-only queries never take a slot (their weaker check adds no signal).
 The window is FROZEN for the round it was cut for (round-7 hardening):
 only CORRECTNESS history from rounds < WINDOW_ROUND counts, only queries
 present in the cut-time hash snapshot are eligible, and UPGRADED entries
-dated the current round defer to the next cut. Cutting a new window =
+are consulted up to and including the cut round (round-19 refinement —
+see the policy note at UPGRADED_SINCE_ROW; the round-19 cut happens at
+round close, after the round's edits). Cutting a new window =
 bump WINDOW_ROUND, run `python scripts/gen_window.py --cut` (rewrites the
 snapshot), paste the printed list into
 plans/registry.py::_WINDOW_PRIORITY. A flagless run only PRINTS the
@@ -57,9 +59,19 @@ FORCE_ROWS_ONLY = {"mlib_score_documents": 16}
 # change so entries expire by themselves: a query drops out of this class
 # the moment it earns a driver row in a round >= its change round. Append
 # here whenever a green query's semantics are edited mid-round.
-# A change made DURING round N (entry value N, while WINDOW_ROUND == N)
-# must not churn the already-cut round-N window, so compute_window() only
-# consults entries with round < WINDOW_ROUND; the next cut picks them up.
+# A change made AFTER the round-N window was cut (entry value N, while
+# WINDOW_ROUND == N) must not churn the already-cut list, which is why
+# entries used to be consulted only with round < WINDOW_ROUND. Round-19
+# refinement: this round's window is cut AT ROUND CLOSE, after all of
+# the round's edits, so compute_window() now consults round <=
+# WINDOW_ROUND — otherwise the r19 restructures (token_pagerank,
+# events_stickiness_hll, the batch-5 fusions …) would defer to an r20
+# cut that will never happen and their r18 rows would keep certifying
+# pre-restructure code. The stability property is preserved by
+# procedure rather than by the comparator: no entry dated the cut round
+# is added after the cut (the declaration test still enforces that any
+# post-cut drift gets an entry, and a recut would then be required —
+# exactly the behavior we want on a late edit).
 UPGRADED_SINCE_ROW = {
     "ann_ivf_topk": 5,       # rows-only -> exact oracle (round 5)
     "ann_pq_topk": 5,        # rows-only -> exact oracle (round 5)
@@ -332,7 +344,7 @@ def compute_window() -> tuple[list[str], dict]:
 
     never = sorted(n for n in oracle_names if n not in latest)
     upgraded = [n for n, rnd in UPGRADED_SINCE_ROW.items()
-                if rnd < WINDOW_ROUND
+                if rnd <= WINDOW_ROUND  # close-time cut: see policy note
                 and n in oracle_names and n in latest and latest[n] < rnd]
     # One-time rows-only routing (see FORCE_ROWS_ONLY): only at its
     # designated cut, only while it still has no driver row of any kind.
