@@ -285,6 +285,16 @@ UPGRADED_SINCE_ROW = {
     "streaming_ivfpq_probe": 19,
     "streaming_pq_probe": 19,
     "text_tfidf_topk": 19,
+    # batch 7: the staged-index family persists its unit-normalized
+    # vector frame at every entry point (seed fetch, cell assign, Arrow
+    # encode, invariant count and probe each re-paid the scan +
+    # normalize). All five oracle re-verified at sf0.01 + sf0.1 on
+    # landing; family pins (round13/15/16) green:
+    "ann_pq_persisted_probe": 19,
+    "ann_ivfpq_persisted_probe": 19,
+    "ann_ivfpq_tombstone_probe": 19,
+    "ann_ivfpq_compacted_probe": 19,
+    "ann_ivfpq_refresh_probe": 19,
 }
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

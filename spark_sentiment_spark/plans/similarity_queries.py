@@ -866,7 +866,13 @@ def ann_pq_persisted_probe(spark, sf_dir, topk: int = 10,
     emb = load(spark, sf_dir, "embeddings")
     e = _as_double("embedding")
     unit = F.transform(e, lambda x: x / _norm(e))
-    vecs = emb.select("vec_id", unit.alias("e"))
+    # Round-19 optimization (guide §2.4): every staged-index entry point
+    # re-derived the unit-normalized frame per consumer — the codebook
+    # seed fetch, the cell assignment, the Arrow encode, the invariant
+    # count and the probe each paid the parquet scan + normalize.
+    # Persist it once (narrow: one row per vector).
+    vecs = track_persist(emb.select("vec_id", unit.alias("e")),
+                         level=PER_CORPUS)
 
     # ---- phase 1: build + persist the quantized index (ONCE) -----------
     base, n_codes = _pq_stage_index(spark, vecs)
@@ -1295,7 +1301,13 @@ def ann_ivfpq_persisted_probe(spark, sf_dir, topk: int = 10,
     emb = load(spark, sf_dir, "embeddings")
     e = _as_double("embedding")
     unit = F.transform(e, lambda x: x / _norm(e))
-    vecs = emb.select("vec_id", unit.alias("e"))
+    # Round-19 optimization (guide §2.4): every staged-index entry point
+    # re-derived the unit-normalized frame per consumer — the codebook
+    # seed fetch, the cell assignment, the Arrow encode, the invariant
+    # count and the probe each paid the parquet scan + normalize.
+    # Persist it once (narrow: one row per vector).
+    vecs = track_persist(emb.select("vec_id", unit.alias("e")),
+                         level=PER_CORPUS)
 
     # ---- phase 1: build + persist the composed index (ONCE) ------------
     base, n_codes = _ivfpq_stage_index(spark, vecs)
@@ -1422,7 +1434,13 @@ def ann_ivfpq_tombstone_probe(spark, sf_dir, topk: int = 10,
     emb = load(spark, sf_dir, "embeddings")
     e = _as_double("embedding")
     unit = F.transform(e, lambda x: x / _norm(e))
-    vecs = emb.select("vec_id", unit.alias("e"))
+    # Round-19 optimization (guide §2.4): every staged-index entry point
+    # re-derived the unit-normalized frame per consumer — the codebook
+    # seed fetch, the cell assignment, the Arrow encode, the invariant
+    # count and the probe each paid the parquet scan + normalize.
+    # Persist it once (narrow: one row per vector).
+    vecs = track_persist(emb.select("vec_id", unit.alias("e")),
+                         level=PER_CORPUS)
 
     base, n_codes = _ivfpq_stage_index(spark, vecs)
     if n_codes == 0:
@@ -1493,7 +1511,13 @@ def ann_ivfpq_compacted_probe(spark, sf_dir, topk: int = 10,
     emb = load(spark, sf_dir, "embeddings")
     e = _as_double("embedding")
     unit = F.transform(e, lambda x: x / _norm(e))
-    vecs = emb.select("vec_id", unit.alias("e"))
+    # Round-19 optimization (guide §2.4): every staged-index entry point
+    # re-derived the unit-normalized frame per consumer — the codebook
+    # seed fetch, the cell assignment, the Arrow encode, the invariant
+    # count and the probe each paid the parquet scan + normalize.
+    # Persist it once (narrow: one row per vector).
+    vecs = track_persist(emb.select("vec_id", unit.alias("e")),
+                         level=PER_CORPUS)
 
     # ---- build + append: the fragmented micro-batch layout -------------
     base, n_codes = _ivfpq_stage_index(spark, vecs,
@@ -1605,7 +1629,13 @@ def ann_ivfpq_refresh_probe(spark, sf_dir, topk: int = 10,
     emb = load(spark, sf_dir, "embeddings")
     e = _as_double("embedding")
     unit = F.transform(e, lambda x: x / _norm(e))
-    vecs = emb.select("vec_id", unit.alias("e"))
+    # Round-19 optimization (guide §2.4): every staged-index entry point
+    # re-derived the unit-normalized frame per consumer — the codebook
+    # seed fetch, the cell assignment, the Arrow encode, the invariant
+    # count and the probe each paid the parquet scan + normalize.
+    # Persist it once (narrow: one row per vector).
+    vecs = track_persist(emb.select("vec_id", unit.alias("e")),
+                         level=PER_CORPUS)
 
     # ---- the standing index + accumulated deletes -----------------------
     base, n_codes = _ivfpq_stage_index(spark, vecs, prefix="ivfpq_refresh_")
