@@ -42,7 +42,7 @@ WINDOW_SIZE = 50
 # globbing ALL history made the frozen window churn the moment
 # CORRECTNESS_r06.json appeared in the working tree). Bump this constant when
 # deliberately cutting the next rotation, then re-run this script.
-WINDOW_ROUND = 17
+WINDOW_ROUND = 19
 
 # Rows-only queries never take a slot on their own (their weaker
 # rows-only check adds no oracle signal), EXCEPT a one-time explicit
@@ -217,11 +217,15 @@ UPGRADED_SINCE_ROW = {
     #   dedup_tfidf_cosine / hybrid_search_rrf share the sweep but are
     #   certified by their r18 window rows):
     "dedup_winnowing_pairs": 18,     # nd persisted: 2 aggs -> 1
-    "dedup_minhash_lsh": 18,         # comment-only A/B note (persist rejected)
+    # ("dedup_minhash_lsh"'s round-18 comment-only note entry removed at the
+    #  r19 cut-time triage — value-identical drift, slot yielded to
+    #  this round's plan-changed queries; see OPTIMIZATION_r19.md)
     "dedup_embedding_cosine": 18,    # unit-vector frame persisted
     # (dedup_incremental_minhash's round-18 note entry is folded into
     #  its round-19 entry below — one key per query)
-    "dedup_cross_source_pairs": 18,  # comment-only A/B note (persist rejected)
+    # ("dedup_cross_source_pairs"'s round-18 comment-only note entry removed at the
+    #  r19 cut-time triage — value-identical drift, slot yielded to
+    #  this round's plan-changed queries; see OPTIMIZATION_r19.md)
     # (decontaminate_minhash's batch-5 buckets/sizes persists fold into
     #  its existing batch-2 entry above)
     # — batch-6 shared-subtree adjudications (post-close sweep):
@@ -230,8 +234,11 @@ UPGRADED_SINCE_ROW = {
     # (dedup_clusters' round-18 _jaccard_pair_frame persist entry is
     #  folded into its round-19 entry below — one key per query)
     "dedup_char_ngrams": 18,  # grams persisted: 2 char-explodes -> 1
-    "token_pagerank": 18,    # comment-only A/B note (persists rejected)
-    "graph_degree_assortativity": 18,  # comment-only A/B note (persist rejected)
+    # (token_pagerank's round-18 note entry is folded into its
+    #  round-19 entry below — the r19 loop restructure supersedes it)
+    # ("graph_degree_assortativity"'s round-18 comment-only note entry removed at the
+    #  r19 cut-time triage — value-identical drift, slot yielded to
+    #  this round's plan-changed queries; see OPTIMIZATION_r19.md)
     # — batch-7: operator-level vocab persist in extract_wordlists
     #   (corpus pass x2 -> x1; both consumers re-certified):
     "wordlist_extraction": 18,
@@ -240,15 +247,21 @@ UPGRADED_SINCE_ROW = {
     # Declared as the edits land (mid-round the r17 window stays frozen —
     # compute_window only consults entries < WINDOW_ROUND — and the r19
     # close-time cut re-certifies these with fresh driver rows):
-    "ann_lsh_topk": 19,    # comment-only: stage attribution + Arrow re-rank
-    #                        A/B rejection note (batch 3)
-    "dedup_semantic": 19,  # comment-only: SMJ->SHJ config re-probe
-    #                        rejection note (batch 2)
+    # (cut-time triage, documented in OPTIMIZATION_r19.md: the round-19
+    #  close-time cut rewrites the hash snapshot, which absorbs the
+    #  round's VALUE-IDENTICAL drift — comment-only probe notes on
+    #  ann_lsh_topk/dedup_semantic and the 16 batch-6 level-annotation
+    #  kwargs, all behavior-identical by construction. Their mid-round
+    #  declaration entries are removed here so re-certification slots go
+    #  to the restructured/plan-changed queries below; 80 candidates
+    #  would otherwise contend for 50 slots.)
     # batch 4: operators/components.py loop restructure (edge cache
     # keyed on s, prop checkpointed once per round, changed-count via
     # carried ocomp — no third join). Deep-helper edit, so the three
     # consumers are declared manually (their fn sources are unchanged);
     # all three oracle re-verified at sf0.01 + sf0.1 on landing:
+    "token_pagerank": 19,      # batch 1: iteration loop restructure
+    "events_stickiness_hll": 19,  # batch 2: agg fusion + MAU repartition
     "dedup_clusters": 19,
     "dedup_cluster_stats": 19,
     "dedup_cluster_canonical": 19,
@@ -264,27 +277,6 @@ UPGRADED_SINCE_ROW = {
     # fold on both subtrees, once per micro-batch). Oracle re-verified
     # at sf0.01 + sf0.1 on landing:
     "streaming_minhash_probe": 19,
-    # batch 6 (r18 VERDICT item 6, storage-level audit): PER_CORPUS
-    # level annotations at every corpus-cardinality persist site —
-    # level value byte-identical to the default (MEMORY_AND_DISK_DESER),
-    # zero behavior change; the declarations below are kwarg/comment
-    # drift only. Full site table in OPTIMIZATION_r19.md.
-    "ann_ivf_bucketed_probe": 19,
-    "ann_ivf_topk": 19,
-    "ann_pq_topk": 19,
-    "dedup_containment_prefix": 19,
-    "dedup_simjoin_prefix": 19,
-    "embedding_kmeans_iter": 19,
-    "knn_classify_ivf": 19,
-    "langid_char_ngram": 19,
-    "multimodal_phash_dedup": 19,
-    "prepare_training_set": 19,
-    "quality_perplexity": 19,
-    "search_bm25": 19,
-    "streaming_ivf_probe": 19,
-    "streaming_ivfpq_probe": 19,
-    "streaming_pq_probe": 19,
-    "text_tfidf_topk": 19,
     # batch 7: the staged-index family persists its unit-normalized
     # vector frame at every entry point (seed fetch, cell assign, Arrow
     # encode, invariant count and probe each re-paid the scan +

@@ -255,60 +255,66 @@ def _fanout_needed(spark: SparkSession) -> bool:
 # stale set is the ~17 remaining r12 rows + r13+ rows; the full-refresh
 # cycle stays ~2 rounds at window 50 with the catalog held flat.
 _WINDOW_PRIORITY = [
-    # — never driver-checked (round-16 addition, judge-verified green) —
-    "ann_ivfpq_refresh_probe",
-    # — upgraded after latest row — (empty this cut)
-    # — forced rows-only — (empty this cut; r16 entry consumed)
+    # round-19 close-time cut (scripts/gen_window.py --cut at
+    # WINDOW_ROUND = 19): 54 upgraded-since-row candidates for 50
+    # slots — every value-risk r19 restructure and every un-rowed
+    # r18 restructure is in; the 4 truncated are r19 persist-only
+    # (value-identical) ann_ivfpq probes, locally oracle-green at
+    # both SFs (triage note in OPTIMIZATION_r19.md).
+    # — never driver-checked —
+    # — upgraded after latest row —
+    "contrastive_pairs",  # r16
+    "vocab_coverage",  # r12
+    "agg_hll_sketch",  # r15
+    "events_daily_uniques_hll",  # r15
+    "agg_hll_merge_shards",  # r13
+    "events_sliding_users_hll",  # r13
+    "curate_corpus",  # r13
+    "curate_corpus_gopher",  # r13
+    "curate_corpus_c4",  # r13
+    "curate_corpus_staged",  # r14
+    "dedup_incremental",  # r16
+    "dedup_incremental_bloom",  # r16
+    "q15_top_supplier",  # r14
+    "events_stickiness",  # r15
+    "events_seasonal_anomaly",  # r15
+    "token_pmi_bigrams",  # r16
+    "snapshot_diff",  # r12
+    "decontaminate_minhash",  # r15
+    "events_retention_cohorts",  # r14
+    "events_cumulative_users",  # r13
+    "events_rollup_incremental",  # r16
+    "events_gap_fill",  # r14
+    "events_peak_concurrency",  # r13
+    "events_rfm_scores",  # r14
+    "events_rfm_distributed",  # r16
+    "events_rfm_cutpoints_bucketed",  # r13
+    "events_funnel",  # r14
+    "events_funnel_windowed",  # r15
+    "preference_pairs",  # r13
+    "mixture_upsample",  # r15
+    "source_overlap",  # r13
+    "zorder_probe",  # r15
+    "q21_waiting_suppliers",  # r12
+    "streaming_winnowing_probe",  # r12
+    "dedup_winnowing_pairs",  # r16
+    "dedup_embedding_cosine",  # r15
+    "langid_kappa",  # r14
+    "dedup_jaccard_pairs",  # r16
+    "dedup_char_ngrams",  # r15
+    "wordlist_extraction",  # r16
+    "token_pagerank",  # r18
+    "events_stickiness_hll",  # r18
+    "dedup_clusters",  # r15
+    "dedup_cluster_stats",  # r15
+    "dedup_cluster_canonical",  # r15
+    "dedup_winnowing_incremental",  # r18
+    "dedup_incremental_minhash",  # r13
+    "dedup_minhash_bucketed_probe",  # r15
+    "streaming_minhash_probe",  # r16
+    "ann_pq_persisted_probe",  # r14
+    # — forced rows-only (one-time) —
     # — oldest-stale backfill —
-    "pii_redaction",  # r11
-    "quality_bigram_backoff",  # r11
-    "quantile_histogram_by_lang",  # r11
-    "quantile_histogram_sketch",  # r11
-    "search_boolean_and",  # r11
-    "search_phrase",  # r11
-    "skew_profile",  # r11
-    "streaming_conversions",  # r11
-    "streaming_dedup",  # r11
-    "streaming_hll_distinct",  # r11
-    "streaming_scd2_merge",  # r11
-    "streaming_sliding_hour",  # r11
-    "token_cms_topk",  # r11
-    "token_counts_regex",  # r11
-    "token_pagerank",  # r11
-    "vocab_growth_curve",  # r11
-    "wordlist_extraction_scaled",  # r11
-    "zorder_layout",  # r11
-    "agg_mad_by_group",  # r12
-    "boilerplate_ngrams",  # r12
-    "bpe_merges",  # r12
-    "bpe_token_counts",  # r12
-    "clean_text",  # r12
-    "corpus_dsir_weights",  # r12
-    "decontaminate_ngram",  # r12
-    "decontaminate_semantic",  # r12
-    "dedup_embedding_multiprobe",  # r12
-    "dedup_sentence_exact",  # r12
-    "dedup_span_excise",  # r12
-    "dedup_tfidf_cosine",  # r12
-    "dedup_winnowing_incremental",  # r12
-    "distinct_pairs",  # r12
-    "doc_rolling_hash",  # r12
-    "drift_psi",  # r12
-    "embedding_centroids",  # r12
-    "embedding_norm_stats",  # r12
-    "embedding_outliers",  # r12
-    "embedding_quantize",  # r12
-    "events_attribution",  # r12
-    "events_dedup_latest",  # r12
-    "events_heatmap",  # r12
-    "events_rfm_cutpoints",  # r12
-    "events_session_sequences",  # r12
-    "events_stickiness_hll",  # r12
-    "events_transitions",  # r12
-    "events_volume_anomaly",  # r12
-    "hybrid_search_rrf",  # r12
-    "knn_cosine_topk",  # r12
-    "merge_upsert",  # r12
 ]
 
 
